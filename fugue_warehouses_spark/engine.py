@@ -1,0 +1,324 @@
+"""SparkWarehouseEngine — the reference's ExecutionEngine contract, Spark-native.
+
+Every operator from SURVEY.md §2.A/§2.B, expressed declaratively so
+Catalyst owns planning: joins pick broadcast/sort-merge by stats + AQE,
+filters/projections push into the parquet scan, semi/anti are native
+join types (no rewrite, unlike fugue_bigquery/execution_engine.py:104-124).
+
+Scale stance: no driver-side collects in any operator; every method
+returns a lazy frame. Small dimension tables go through
+``broadcast``; persist offers both memory caching and durable
+content-addressed checkpoints (plans/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fugue_warehouses_spark.frame import WarehouseFrame, frame_from_local
+from fugue_warehouses_spark.operators.take import take as _take
+from fugue_warehouses_spark.plans.checkpoint import (
+    deterministic_checkpoint,
+    yield_table_as,
+)
+from fugue_warehouses_spark.sql import is_select_query, select_sql
+
+_JOIN_HOW = {
+    "inner": "inner",
+    "cross": "cross",
+    "left_outer": "left",
+    "left": "left",
+    "right_outer": "right",
+    "right": "right",
+    "full_outer": "full",
+    "outer": "full",
+    "full": "full",
+    "semi": "left_semi",
+    "left_semi": "left_semi",
+    "anti": "left_anti",
+    "left_anti": "left_anti",
+}
+
+
+class SparkWarehouseEngine:
+    """One engine, one session. The reference's registry/inference layer
+    (fugue_bigquery/registry.py) collapses away: Spark SQL is both the
+    operator API and the SQL engine."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # ---- ingest / frames (A9) ------------------------------------
+    def to_df(self, data: Any, schema: str | None = None) -> WarehouseFrame:
+        return frame_from_local(self.spark, data, schema)
+
+    # ---- scans (A1, A2, A5) --------------------------------------
+    def load_table(self, table: str, columns: list[str] | None = None) -> WarehouseFrame:
+        """Table name or SELECT text -> lazy frame (A1+A2 unified)."""
+        if is_select_query(table):
+            df = self.spark.sql(table)
+        else:
+            df = self.spark.table(table)
+        if columns:
+            df = df.select(*columns)
+        return WarehouseFrame(df)
+
+    def load_df(
+        self,
+        path: str,
+        fmt: str | None = None,
+        columns: list[str] | None = None,
+        **options: Any,
+    ) -> WarehouseFrame:
+        """File load (A5). Format inferred from the extension when not
+        given. Column pruning + any later filter push into the scan
+        (Catalyst: ColumnPruning / PushDownPredicates — verified in
+        tests via explain)."""
+        fmt = fmt or _infer_format(path)
+        reader = self.spark.read
+        if fmt == "csv":
+            reader = reader.option("header", "true").option("inferSchema", "true")
+        df = reader.options(**options).format(fmt).load(path)
+        if columns:
+            df = df.select(*columns)
+        return WarehouseFrame(df)
+
+    # ---- sinks (A6, A7) ------------------------------------------
+    def save_table(
+        self, df: WarehouseFrame | DataFrame, table: str, mode: str = "overwrite"
+    ) -> None:
+        _n(df).write.mode(mode).saveAsTable(table)
+
+    def save_df(
+        self,
+        df: WarehouseFrame | DataFrame,
+        path: str,
+        fmt: str | None = None,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        force_single: bool = False,
+        **options: Any,
+    ) -> None:
+        native = _n(df)
+        if force_single:
+            native = native.coalesce(1)
+        writer = native.write.mode(mode).options(**options)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.format(fmt or _infer_format(path)).save(path)
+
+    # ---- catalog (A22, A23) --------------------------------------
+    def table_exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(name)
+
+    def register_temp(self, df: WarehouseFrame | DataFrame, name: str) -> None:
+        _n(df).createOrReplaceTempView(name)
+
+    def drop_temp(self, name: str) -> None:
+        self.spark.catalog.dropTempView(name)
+
+    # ---- SQL (B1, A2, A25) ---------------------------------------
+    def sql(self, statement: str) -> WarehouseFrame:
+        """Raw SQL — SELECT or DDL (A25); full 2.C surface."""
+        return WarehouseFrame(self.spark.sql(statement))
+
+    def select(
+        self, *fragments: Any, dfs: dict[str, Any] | None = None
+    ) -> WarehouseFrame:
+        return select_sql(self.spark, *fragments, dfs=dfs)
+
+    # ---- joins (A10, A11, B4) ------------------------------------
+    def join(
+        self,
+        df1: WarehouseFrame | DataFrame,
+        df2: WarehouseFrame | DataFrame,
+        how: str,
+        on: list[str] | None = None,
+        broadcast_right: bool = False,
+    ) -> WarehouseFrame:
+        """All Fugue join types. Key default = same-named columns
+        (SURVEY.md A11). semi/anti are Spark-native left_semi/left_anti
+        — result carries the left schema only, right side implicitly
+        dedup'd, matching the reference's rewrite semantics without the
+        rewrite. ``broadcast_right`` hints Catalyst for small dims (it
+        also auto-broadcasts under the size threshold / AQE)."""
+        a, b = _n(df1), _n(df2)
+        how_norm = _JOIN_HOW.get(how.lower().replace(" ", "_"))
+        if how_norm is None:
+            raise ValueError(f"unknown join type {how!r}")
+        if broadcast_right:
+            b = F.broadcast(b)
+        if how_norm == "cross":
+            return WarehouseFrame(a.crossJoin(b))
+        keys = on if on is not None else sorted(set(a.columns) & set(b.columns))
+        if not keys:
+            raise ValueError("no join keys: no same-named columns and no `on`")
+        return WarehouseFrame(a.join(b, on=keys, how=how_norm))
+
+    # ---- set ops (B5, B6, B7) ------------------------------------
+    def union(
+        self,
+        df1: WarehouseFrame | DataFrame,
+        df2: WarehouseFrame | DataFrame,
+        distinct: bool = True,
+    ) -> WarehouseFrame:
+        out = _n(df1).unionByName(_n(df2))
+        return WarehouseFrame(out.distinct() if distinct else out)
+
+    def intersect(
+        self,
+        df1: WarehouseFrame | DataFrame,
+        df2: WarehouseFrame | DataFrame,
+        distinct: bool = True,
+    ) -> WarehouseFrame:
+        a, b = _n(df1), _n(df2)
+        return WarehouseFrame(a.intersect(b) if distinct else a.intersectAll(b))
+
+    def subtract(
+        self,
+        df1: WarehouseFrame | DataFrame,
+        df2: WarehouseFrame | DataFrame,
+        distinct: bool = True,
+    ) -> WarehouseFrame:
+        a, b = _n(df1), _n(df2)
+        return WarehouseFrame(a.subtract(b) if distinct else a.exceptAll(b))
+
+    def distinct(self, df: WarehouseFrame | DataFrame) -> WarehouseFrame:
+        return WarehouseFrame(_n(df).distinct())
+
+    # ---- null handling (B8, B9) ----------------------------------
+    def dropna(
+        self,
+        df: WarehouseFrame | DataFrame,
+        how: str = "any",
+        thresh: int | None = None,
+        subset: list[str] | None = None,
+    ) -> WarehouseFrame:
+        return WarehouseFrame(_n(df).dropna(how=how, thresh=thresh, subset=subset))
+
+    def fillna(
+        self, df: WarehouseFrame | DataFrame, value: Any, subset: list[str] | None = None
+    ) -> WarehouseFrame:
+        if isinstance(value, dict):
+            return WarehouseFrame(_n(df).fillna(value))
+        return WarehouseFrame(_n(df).fillna(value, subset=subset))
+
+    # ---- sample / limit / take (A12, A13, B10) -------------------
+    def sample(
+        self,
+        df: WarehouseFrame | DataFrame,
+        n: int | None = None,
+        frac: float | None = None,
+        replace: bool = False,
+        seed: int | None = None,
+    ) -> WarehouseFrame:
+        """Fraction sampling is a Sample plan node (pushed below wide
+        ops); n-sampling is exact-n via limit, matching the reference
+        (count()==90 asserted, tests/fugue_bigquery/test_execution_engine.py:52-58)."""
+        if (n is None) == (frac is None):
+            raise ValueError("specify exactly one of n, frac")
+        native = _n(df)
+        if n is not None:
+            return WarehouseFrame(native.limit(n))
+        return WarehouseFrame(
+            native.sample(withReplacement=replace, fraction=frac, seed=seed)
+        )
+
+    def take(
+        self,
+        df: WarehouseFrame | DataFrame,
+        n: int,
+        presort: str | None = None,
+        na_position: str = "last",
+        partition_by: list[str] | None = None,
+    ) -> WarehouseFrame:
+        return WarehouseFrame(_take(_n(df), n, presort, na_position, partition_by))
+
+    # ---- aggregation (B11) ---------------------------------------
+    def aggregate(
+        self,
+        df: WarehouseFrame | DataFrame,
+        partition_by: list[str] | None,
+        agg_exprs: dict[str, str],
+    ) -> WarehouseFrame:
+        """Per-key or global aggregation; ``agg_exprs`` maps output name
+        -> SQL aggregate expression (map-side partial aggregation comes
+        free from Spark's HashAggregate pair)."""
+        cols = [F.expr(e).alias(name) for name, e in agg_exprs.items()]
+        native = _n(df)
+        if partition_by:
+            return WarehouseFrame(native.groupBy(*partition_by).agg(*cols))
+        return WarehouseFrame(native.agg(*cols))
+
+    # ---- partitioning (B14, B15, A3) -----------------------------
+    def repartition(
+        self,
+        df: WarehouseFrame | DataFrame,
+        num: int | None = None,
+        by: list[str] | None = None,
+        presort: str | None = None,
+        algo: str = "hash",
+    ) -> WarehouseFrame:
+        """PartitionSpec mapping (SURVEY.md §1.4): hash -> repartition,
+        even/rand -> round-robin, range -> repartitionByRange; presort ->
+        sortWithinPartitions (no global shuffle)."""
+        native = _n(df)
+        if by:
+            if algo == "range":
+                native = (
+                    native.repartitionByRange(num, *by)
+                    if num
+                    else native.repartitionByRange(*by)
+                )
+            else:
+                native = native.repartition(num, *by) if num else native.repartition(*by)
+        elif num:
+            native = native.repartition(num)
+        if presort:
+            from fugue_warehouses_spark.operators.take import _order_columns
+
+            native = native.sortWithinPartitions(*_order_columns(presort, []))
+        return WarehouseFrame(native)
+
+    def broadcast(self, df: WarehouseFrame | DataFrame) -> WarehouseFrame:
+        return WarehouseFrame(F.broadcast(_n(df)))
+
+    # ---- persist / checkpoint (A17, B16) -------------------------
+    def persist(self, df: WarehouseFrame | DataFrame, lazy: bool = False) -> WarehouseFrame:
+        native = _n(df).cache()
+        if not lazy:
+            native.count()  # force materialization, like the reference's CTAS persist
+        return WarehouseFrame(native)
+
+    def checkpoint(self, df: WarehouseFrame | DataFrame, namespace: str = "") -> WarehouseFrame:
+        return WarehouseFrame(
+            deterministic_checkpoint(_n(df), self.spark, namespace=namespace)
+        )
+
+    def yield_table_as(self, df: WarehouseFrame | DataFrame, name: str) -> None:
+        yield_table_as(_n(df), name, self.spark)
+
+    # ---- convenience ---------------------------------------------
+    def stop(self) -> None:
+        self.spark.stop()
+
+
+def _n(df: WarehouseFrame | DataFrame) -> DataFrame:
+    return df.native if isinstance(df, WarehouseFrame) else df
+
+
+def _infer_format(path: str) -> str:
+    lowered = path.rstrip("/").lower()
+    for ext, fmt in (
+        (".parquet", "parquet"),
+        (".csv", "csv"),
+        (".json", "json"),
+        (".orc", "orc"),
+        (".avro", "avro"),
+    ):
+        if lowered.endswith(ext):
+            return fmt
+    return "parquet"

@@ -1,0 +1,244 @@
+"""WarehouseFrame — the engine's bounded, schema-fixed table.
+
+Mirrors the reference's single data abstraction (SURVEY.md §1.1): a
+bounded relational table with an explicit schema, lazy until executed,
+carrying an optional metadata dict preserved across conversions
+(fugue_bigquery/execution_engine.py:66-67,138-139). Here the lazy
+expression is a Spark DataFrame (Catalyst logical plan) instead of an
+Ibis expression; conversions (B17) map to toPandas/toArrow/collect.
+
+The ``alter_columns`` cast matrix re-implements the semantics the
+reference's conformance tests pin down
+(tests/fugue_bigquery/test_dataframe.py:62-175): per-column cast to a
+target schema, str<->bool case-insensitive, whole-double->int,
+ISO date/timestamp rendering, NULL preservation, no-op skip.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fugue_warehouses_spark.schema import schema_to_struct, struct_to_schema
+
+
+class WarehouseFrame:
+    """Thin, typed wrapper over a Spark DataFrame.
+
+    ``is_bounded`` is always True (batch frames); streaming frames live
+    in :mod:`fugue_warehouses_spark.streaming`. ``is_local`` is always
+    False — the data is engine-resident (distributed), matching the
+    reference's warehouse-resident lazy tables
+    (fugue_bigquery/dataframe.py:29-31).
+    """
+
+    def __init__(self, df: DataFrame, metadata: dict[str, Any] | None = None):
+        self._df = df
+        self._metadata: dict[str, Any] = dict(metadata or {})
+
+    # ---- identity -------------------------------------------------
+    @property
+    def native(self) -> DataFrame:
+        return self._df
+
+    @property
+    def schema(self) -> T.StructType:
+        return self._df.schema
+
+    @property
+    def schema_str(self) -> str:
+        return struct_to_schema(self._df.schema)
+
+    @property
+    def columns(self) -> list[str]:
+        return list(self._df.columns)
+
+    @property
+    def is_bounded(self) -> bool:
+        return True
+
+    @property
+    def is_local(self) -> bool:
+        return False
+
+    # ---- metadata -------------------------------------------------
+    @property
+    def metadata(self) -> dict[str, Any]:
+        return self._metadata
+
+    @property
+    def has_metadata(self) -> bool:
+        return len(self._metadata) > 0
+
+    def reset_metadata(self, metadata: dict[str, Any] | None) -> "WarehouseFrame":
+        return WarehouseFrame(self._df, metadata)
+
+    # ---- schema ops ----------------------------------------------
+    def alter_columns(self, schema: str | T.StructType) -> "WarehouseFrame":
+        """Cast the listed columns to new types; other columns pass through.
+
+        Casting to the current type is a no-op (skipped, preserving the
+        plan). Semantics per the reference's cast matrix
+        (tests/fugue_bigquery/test_dataframe.py:62-175).
+        """
+        target = schema_to_struct(schema)
+        current = {f.name: f.dataType for f in self._df.schema.fields}
+        casts: dict[str, Any] = {}
+        for field in target.fields:
+            if field.name not in current:
+                raise ValueError(f"column {field.name!r} not in frame")
+            if current[field.name] == field.dataType:
+                continue
+            casts[field.name] = _cast_column(
+                F.col(field.name), current[field.name], field.dataType
+            )
+        if not casts:
+            return self
+        return WarehouseFrame(self._df.withColumns(casts), self._metadata)
+
+    def rename(self, mapping: dict[str, str]) -> "WarehouseFrame":
+        missing = set(mapping) - set(self._df.columns)
+        if missing:
+            raise ValueError(f"columns not in frame: {sorted(missing)}")
+        return WarehouseFrame(self._df.withColumnsRenamed(mapping), self._metadata)
+
+    def select_columns(self, columns: list[str]) -> "WarehouseFrame":
+        return WarehouseFrame(self._df.select(*columns), self._metadata)
+
+    # ---- conversions (B17) ---------------------------------------
+    def as_pandas(self):
+        return self._df.toPandas()
+
+    def as_arrow(self) -> pa.Table:
+        return self._df.toArrow()
+
+    def as_array(self, type_safe: bool = False) -> list[list[Any]]:
+        rows = self._df.collect()
+        return [list(r) for r in rows]
+
+    def as_dict_iterable(self) -> Iterator[dict[str, Any]]:
+        for row in self._df.toLocalIterator():
+            yield row.asDict(recursive=True)
+
+    def head(self, n: int, columns: list[str] | None = None) -> list[list[Any]]:
+        df = self._df.select(*columns) if columns else self._df
+        return [list(r) for r in df.limit(n).collect()]
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def show(self, n: int = 20) -> None:
+        self._df.show(n)
+
+    def peek_dict(self) -> dict[str, Any]:
+        rows = self._df.limit(1).collect()
+        if not rows:
+            raise ValueError("frame is empty")
+        return rows[0].asDict(recursive=True)
+
+
+def _cast_column(col, from_type: T.DataType, to_type: T.DataType):
+    """One column of the cast matrix. Spark's native cast already gives
+    case-insensitive str->bool, truncating double->int, ISO renderings;
+    only a couple of edges need help."""
+    if isinstance(from_type, T.BooleanType) and isinstance(to_type, T.StringType):
+        # canonical rendering "true"/"false" (Spark native does this too)
+        return col.cast("string")
+    if isinstance(from_type, (T.FloatType, T.DoubleType)) and isinstance(
+        to_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        # reference semantics: whole floats convert exactly; we truncate
+        return col.cast(to_type)
+    if isinstance(from_type, T.StringType) and isinstance(to_type, T.TimestampNTZType):
+        # accept both "2020-01-01" and "2020-01-01 01:02:03"
+        return col.cast(to_type)
+    return col.cast(to_type)
+
+
+# ---- construction helpers ----------------------------------------
+
+
+def frame_from_local(
+    spark: SparkSession,
+    data: Any,
+    schema: str | T.StructType | None = None,
+) -> WarehouseFrame:
+    """Ingest local data (A9): list-of-rows / pandas / Arrow / dict-of-lists
+    plus an optional compact schema string -> engine-resident frame.
+
+    The reference uploads local data to a warehouse temp table
+    (fugue_bigquery/execution_engine.py:55-77); in Spark this is just
+    ``spark.createDataFrame`` — no upload round-trip.
+    """
+    struct = schema_to_struct(schema) if schema is not None else None
+    if isinstance(data, WarehouseFrame):
+        return data if struct is None else data.alter_columns(struct)
+    if isinstance(data, DataFrame):
+        wf = WarehouseFrame(data)
+        return wf if struct is None else wf.alter_columns(struct)
+    if isinstance(data, pa.Table):
+        df = spark.createDataFrame(data.to_pandas(), schema=struct)
+        return WarehouseFrame(df)
+    import pandas as pd
+
+    if isinstance(data, pd.DataFrame):
+        return WarehouseFrame(spark.createDataFrame(data, schema=struct))
+    if isinstance(data, dict):
+        return WarehouseFrame(spark.createDataFrame(pd.DataFrame(data), schema=struct))
+    # iterable of rows
+    if isinstance(data, Iterable):
+        rows = [tuple(r) for r in data]
+        if struct is None:
+            raise ValueError("schema required for row-iterable input")
+        return WarehouseFrame(spark.createDataFrame(rows, schema=struct))
+    raise TypeError(f"cannot build frame from {type(data)}")
+
+
+# ---- test-kit equality (B18) -------------------------------------
+
+
+def _normalize_value(v: Any, ndigits: int = 6) -> Any:
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, ndigits)
+    if isinstance(v, list):
+        return tuple(_normalize_value(x, ndigits) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _normalize_value(x, ndigits)) for k, x in v.items()))
+    return v
+
+
+def assert_eq(
+    actual: WarehouseFrame | DataFrame,
+    expected: Any,
+    schema: str | T.StructType | None = None,
+    check_order: bool = False,
+    ndigits: int = 6,
+) -> None:
+    """Order-insensitive dataframe equality (Fugue contract B18).
+
+    ``expected`` may be a WarehouseFrame, Spark DataFrame, or a list of
+    rows (with ``schema`` naming the columns for error messages only).
+    Floats compared after rounding to ``ndigits``.
+    """
+    adf = actual.native if isinstance(actual, WarehouseFrame) else actual
+    arows = [tuple(_normalize_value(v, ndigits) for v in r) for r in adf.collect()]
+    if isinstance(expected, WarehouseFrame):
+        expected = expected.native
+    if isinstance(expected, DataFrame):
+        erows = [
+            tuple(_normalize_value(v, ndigits) for v in r) for r in expected.collect()
+        ]
+    else:
+        erows = [tuple(_normalize_value(v, ndigits) for v in r) for r in expected]
+    if not check_order:
+        arows = sorted(arows, key=repr)
+        erows = sorted(erows, key=repr)
+    assert arows == erows, f"frames differ:\n actual={arows}\n expect={erows}"

@@ -1,0 +1,84 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference delegates execution to warehouse engines and exposes a
+``parallelism`` knob (read fan-out = 2x parallelism,
+fugue_bigquery/api.py:100-102,176-177). Here the single engine is
+Spark; this module centralizes the session config so every entry point
+(tests, bench, driver contract) gets the same tuned session.
+
+Design-for-scale notes (local[32] test rig, 1000-executor target):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+  dynamic join-strategy demotion — the knobs that keep a fixed plan
+  honest at 100 TB.
+- Arrow on: every pandas interchange (toPandas, mapInPandas,
+  applyInPandas) is Arrow-batched, never row-pickled.
+- Session timezone UTC: the canonical timestamp policy is
+  "microsecond, UTC-naive" (SURVEY.md §1.3); pinning the session TZ
+  makes parquet timestamp round-trips deterministic and matches the
+  DuckDB oracle.
+- shuffle.partitions default sized for the local rig; real clusters
+  should raise it (or rely on AQE coalescing from a high initial).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # parquet ns timestamps (events.ts) must not error; truncate to us
+    "spark.sql.legacy.parquet.nanosAsLong": "false",
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+}
+
+
+def get_spark(
+    app_name: str = "fugue_warehouses_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    real cluster leave it unset and submit via spark-submit so the
+    cluster manager decides.
+    """
+    # Python workers deserialize our pandas-UDF closures by module
+    # reference; make the package importable on workers regardless of
+    # the driver's cwd. (On a real cluster, ship the package via pip /
+    # --py-files instead; this covers local mode + tests.)
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
+        )
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,198 @@
+"""Python transform surface (Fugue contracts B12/B13) — Arrow-batched.
+
+The reference ships warehouse data OUT to a companion engine to run
+Python (SURVEY.md §3.2 — Ibis expr -> SQL -> temp table -> Arrow ->
+pandas/Ray, then re-UPLOADS results to feed them back to SQL). In Spark
+the UDF runs inside the same plan: ``mapInPandas`` /
+``applyInPandas`` move Arrow batches to a Python worker colocated with
+the executor — no engine hop, no re-upload, and the frame before and
+after is the same distributed DataFrame.
+
+Supported conventions:
+- ``schema="*"`` passthrough, ``"*,ct:int"`` additive, or an explicit
+  compact schema string (parsed by fugue_warehouses_spark.schema);
+- ``# schema: *,ct:int,p:int`` comment hints read from the function
+  source (tests/fugue_trino/test_workflow.py:64-75);
+- param binding: extra kwargs forwarded to the function
+  (``params={"p": 1}``);
+- ``partition_by`` -> per-key groups via applyInPandas (+ presort
+  inside each group); no partition -> per-physical-partition via
+  mapInPandas;
+- cotransform (B13, which the reference *disabled* on both backends —
+  tests/fugue_bigquery/test_execution_engine.py:27-37) via
+  ``cogroup(...).applyInPandas``.
+
+UDFs are the slow path by design: row-at-a-time Python is never used,
+only Arrow-batched pandas, and everything expressible with built-in
+functions should stay out of this module.
+"""
+
+from __future__ import annotations
+
+import inspect
+import re
+from typing import Any, Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from fugue_warehouses_spark.frame import WarehouseFrame
+from fugue_warehouses_spark.operators.take import parse_presort
+from fugue_warehouses_spark.schema import parse_schema, struct_to_schema
+
+_SCHEMA_HINT_RE = re.compile(r"^\s*#\s*schema\s*:\s*(.+)$", re.MULTILINE)
+
+
+def _hint_from_source(fn: Callable) -> str | None:
+    try:
+        src = inspect.getsource(fn)
+        comments = inspect.getcomments(fn) or ""
+    except (OSError, TypeError):
+        return None
+    m = _SCHEMA_HINT_RE.search(comments + "\n" + src)
+    return m.group(1).strip() if m else None
+
+
+def resolve_output_schema(
+    input_schema: T.StructType, schema: str | T.StructType | None, fn: Callable
+) -> T.StructType:
+    """Explicit schema arg wins; else the ``# schema:`` comment hint.
+
+    ``*`` expands to the input schema; ``*,extra:type`` appends fields.
+    """
+    if schema is None:
+        schema = _hint_from_source(fn)
+    if schema is None:
+        raise ValueError(
+            "output schema required: pass schema= or add a '# schema:' hint"
+        )
+    if isinstance(schema, T.StructType):
+        return schema
+    text = schema.strip()
+    if text == "*":
+        return input_schema
+    if text.startswith("*"):
+        extra = parse_schema(text[1:].lstrip(","))
+        fields = list(input_schema.fields) + list(extra.fields)
+        return T.StructType(fields)
+    return parse_schema(text)
+
+
+def _wrap(fn: Callable, params: dict[str, Any]) -> Callable[[pd.DataFrame], pd.DataFrame]:
+    def call(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(pdf, **params)
+
+    return call
+
+
+def _conform(pdf: pd.DataFrame, out_schema: T.StructType) -> pd.DataFrame:
+    cols = [f.name for f in out_schema.fields]
+    return pdf[cols]
+
+
+def transform(
+    df: WarehouseFrame | DataFrame,
+    fn: Callable,
+    schema: str | T.StructType | None = None,
+    partition_by: list[str] | None = None,
+    presort: str | None = None,
+    params: dict[str, Any] | None = None,
+) -> WarehouseFrame:
+    """Schema-hinted pandas transform over partitions (B12).
+
+    ``fn(pdf: pd.DataFrame, **params) -> pd.DataFrame``.
+    With ``partition_by`` each key group arrives whole (and presorted if
+    requested); otherwise each physical partition arrives whole.
+    """
+    native = df.native if isinstance(df, WarehouseFrame) else df
+    params = params or {}
+    out_schema = resolve_output_schema(native.schema, schema, fn)
+    call = _wrap(fn, params)
+    sort_spec = parse_presort(presort)
+
+    if partition_by:
+
+        def apply_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            if sort_spec:
+                pdf = pdf.sort_values(
+                    by=[c for c, _, _ in sort_spec],
+                    ascending=[asc for _, asc, _ in sort_spec],
+                )
+            return _conform(call(pdf), out_schema)
+
+        out = native.groupBy(*partition_by).applyInPandas(apply_group, out_schema)
+        return WarehouseFrame(out)
+
+    def map_partition(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if sort_spec:
+            pdf = pdf.sort_values(
+                by=[c for c, _, _ in sort_spec],
+                ascending=[asc for _, asc, _ in sort_spec],
+            )
+        yield _conform(call(pdf), out_schema)
+
+    return WarehouseFrame(native.mapInPandas(map_partition, out_schema))
+
+
+def cotransform(
+    df1: WarehouseFrame | DataFrame,
+    df2: WarehouseFrame | DataFrame,
+    fn: Callable,
+    on: list[str],
+    schema: str | T.StructType | None = None,
+    params: dict[str, Any] | None = None,
+) -> WarehouseFrame:
+    """Key-aligned two-frame transform (B13) via cogroup.applyInPandas.
+
+    ``fn(left: pd.DataFrame, right: pd.DataFrame, **params) -> pd.DataFrame``
+    receives the two groups sharing each key. The reference disabled
+    this capability on both its backends; Spark makes it native.
+    """
+    a = df1.native if isinstance(df1, WarehouseFrame) else df1
+    b = df2.native if isinstance(df2, WarehouseFrame) else df2
+    params = params or {}
+    if schema is None:
+        schema = _hint_from_source(fn)
+    if schema is None:
+        raise ValueError("output schema required for cotransform")
+    out_schema = schema if isinstance(schema, T.StructType) else parse_schema(schema)
+
+    def apply(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return _conform(fn(left, right, **params), out_schema)
+
+    out = a.groupBy(*on).cogroup(b.groupBy(*on)).applyInPandas(apply, out_schema)
+    return WarehouseFrame(out)
+
+
+def out_transform(
+    df: WarehouseFrame | DataFrame,
+    fn: Callable,
+    partition_by: list[str] | None = None,
+    params: dict[str, Any] | None = None,
+) -> None:
+    """Side-effect-only transform (Fugue's out_transform): run ``fn``
+    over every partition/group, discard output, force execution."""
+    native = df.native if isinstance(df, WarehouseFrame) else df
+    params = params or {}
+
+    def consume(pdf: pd.DataFrame) -> pd.DataFrame:
+        fn(pdf, **(params or {}))
+        return pd.DataFrame({"n": [len(pdf)]})
+
+    schema = T.StructType([T.StructField("n", T.LongType())])
+    if partition_by:
+        out = native.groupBy(*partition_by).applyInPandas(
+            lambda pdf: consume(pdf), schema
+        )
+    else:
+        def map_partition(batches):
+            for pdf in batches:
+                yield consume(pdf)
+
+        out = native.mapInPandas(map_partition, schema)
+    out.count()

@@ -1,0 +1,183 @@
+import os
+
+import pytest
+
+from fugue_warehouses_spark.engine import SparkWarehouseEngine
+from fugue_warehouses_spark.frame import assert_eq
+
+
+@pytest.fixture(scope="module")
+def eng(spark):
+    return SparkWarehouseEngine(spark)
+
+
+def _ab(eng, rows):
+    return eng.to_df(rows, "a:str,b:long")
+
+
+def test_joins_all_types(eng):
+    left = eng.to_df([["a", 1], ["b", 2]], "x:str,b:long")
+    right = eng.to_df([["a", True], ["c", False]], "x:str,c:bool")
+    assert_eq(eng.join(left, right, "inner"), [["a", 1, True]])
+    assert_eq(
+        eng.join(left, right, "left_outer"), [["a", 1, True], ["b", 2, None]]
+    )
+    assert_eq(
+        eng.join(left, right, "right_outer"), [["a", 1, True], ["c", None, False]]
+    )
+    assert_eq(
+        eng.join(left, right, "full_outer"),
+        [["a", 1, True], ["b", 2, None], ["c", None, False]],
+    )
+    # semi/anti: left schema only
+    semi = eng.join(left, right, "semi")
+    assert semi.columns == ["x", "b"]
+    assert_eq(semi, [["a", 1]])
+    anti = eng.join(left, right, "anti")
+    assert_eq(anti, [["b", 2]])
+    cross = eng.join(left, right, "cross")
+    assert cross.count() == 4
+
+
+def test_semi_right_dupes_do_not_multiply(eng):
+    left = eng.to_df([["a", 1]], "x:str,b:long")
+    right = eng.to_df([["a", True], ["a", False]], "x:str,c:bool")
+    assert_eq(eng.join(left, right, "semi"), [["a", 1]])
+
+
+def test_set_ops(eng):
+    d1 = _ab(eng, [["a", 1], ["b", 2], ["b", 2]])
+    d2 = _ab(eng, [["b", 2], ["c", 3]])
+    assert_eq(eng.union(d1, d2), [["a", 1], ["b", 2], ["c", 3]])
+    assert_eq(
+        eng.union(d1, d2, distinct=False),
+        [["a", 1], ["b", 2], ["b", 2], ["b", 2], ["c", 3]],
+    )
+    assert_eq(eng.intersect(d1, d2), [["b", 2]])
+    assert_eq(eng.subtract(d1, d2), [["a", 1]])
+    assert_eq(eng.distinct(d1), [["a", 1], ["b", 2]])
+
+
+def test_dropna_fillna(eng):
+    d = eng.to_df([["a", 1.0], [None, 2.0], [None, None]], "a:str,b:double")
+    assert_eq(eng.dropna(d), [["a", 1.0]])
+    assert_eq(eng.dropna(d, how="all"), [["a", 1.0], [None, 2.0]])
+    assert_eq(eng.dropna(d, subset=["b"]), [["a", 1.0], [None, 2.0]])
+    assert_eq(
+        eng.fillna(d, {"a": "?", "b": 0.0}),
+        [["a", 1.0], ["?", 2.0], ["?", 0.0]],
+    )
+
+
+def test_sample(eng):
+    rows = [[i] for i in range(100)]
+    d = eng.to_df(rows, "a:long")
+    assert eng.sample(d, n=90).count() == 90
+    c = eng.sample(d, frac=0.5, seed=42).count()
+    assert 20 <= c <= 80
+    with pytest.raises(ValueError):
+        eng.sample(d)
+    with pytest.raises(ValueError):
+        eng.sample(d, n=5, frac=0.5)
+
+
+def test_take_global_and_partitioned(eng):
+    d = eng.to_df(
+        [["a", 3], ["a", 1], ["a", 2], ["b", 10], ["b", 20], [None, 5]],
+        "k:str,v:long",
+    )
+    assert_eq(eng.take(d, 1, presort="v desc"), [["b", 20]])
+    assert_eq(
+        eng.take(d, 1, presort="v asc", partition_by=["k"]),
+        [["a", 1], ["b", 10], [None, 5]],
+    )
+    # nulls-first default on asc
+    assert_eq(
+        eng.take(d, 2, presort="v asc"),
+        [["a", 1], ["a", 2]],
+    )
+
+
+def test_take_null_position(eng):
+    d = eng.to_df([["a", None], ["b", 1], ["c", 2]], "k:str,v:long")
+    assert_eq(eng.take(d, 1, presort="v asc", na_position="first"), [["a", None]])
+    assert_eq(eng.take(d, 1, presort="v asc", na_position="last"), [["b", 1]])
+
+
+def test_aggregate(eng):
+    d = eng.to_df([["a", 1], ["a", 2], ["b", 5]], "k:str,v:long")
+    assert_eq(
+        eng.aggregate(d, ["k"], {"s": "sum(v)", "n": "count(*)"}),
+        [["a", 3, 2], ["b", 5, 1]],
+    )
+    assert_eq(eng.aggregate(d, None, {"mx": "max(v)"}), [[5]])
+
+
+def test_sql_select_fragments(eng):
+    d1 = eng.to_df([[1, 10], [2, 20], [3, 30]], "x:long,y:long")
+    d2 = eng.to_df([[2, 20, 40], [3, 30, 90]], "x:long,y:long,z:long")
+    res = eng.select(
+        "SELECT t1.*, z AS zb FROM",
+        d1,
+        "AS t1 INNER JOIN",
+        d2,
+        "AS t2 ON t1.x = t2.x",
+    )
+    assert_eq(res, [[2, 20, 40], [3, 30, 90]])
+    # implicit leading SELECT + literal select
+    assert_eq(eng.select("'test' AS a"), [["test"]])
+    assert_eq(eng.select("* FROM", d1, "WHERE x > 2"), [[3, 30]])
+
+
+def test_repartition_and_broadcast(eng):
+    d = eng.to_df([[i, i % 3] for i in range(30)], "a:long,k:long")
+    assert eng.repartition(d, num=5).native.rdd.getNumPartitions() == 5
+    by = eng.repartition(d, by=["k"], presort="a desc")
+    assert by.count() == 30
+    assert eng.broadcast(d).count() == 30
+
+
+def test_persist_and_checkpoint(eng, tmp_path):
+    eng.spark.conf.set(
+        "spark.fugue_warehouses.checkpoint.dir", str(tmp_path / "ckpt")
+    )
+    d = eng.to_df([["a", 1], ["b", 2]], "a:str,b:long")
+    p = eng.persist(d)
+    assert p.count() == 2
+    c1 = eng.checkpoint(d)
+    assert_eq(c1, [["a", 1], ["b", 2]])
+    # same logical plan -> same materialization (dir count stays 1)
+    d2 = eng.to_df([["a", 1], ["b", 2]], "a:str,b:long")
+    eng.checkpoint(d2)
+    roots = list((tmp_path / "ckpt").iterdir())
+    assert len(roots) == 1
+
+
+def test_save_load_roundtrip(eng, tmp_path):
+    d = eng.to_df([["a", 1], ["b", 2]], "a:str,b:long")
+    path = str(tmp_path / "out.parquet")
+    eng.save_df(d, path)
+    back = eng.load_df(path)
+    assert_eq(back, [["a", 1], ["b", 2]])
+    # force_single -> one data file
+    single = str(tmp_path / "single.parquet")
+    eng.save_df(d, single, force_single=True)
+    files = [f for f in os.listdir(single) if f.endswith(".parquet")]
+    assert len(files) == 1
+    # csv with header
+    csvp = str(tmp_path / "out.csv")
+    eng.save_df(d, csvp, header="true")
+    back2 = eng.load_df(csvp)
+    assert back2.count() == 2
+
+
+def test_save_table_and_exists(eng):
+    d = eng.to_df([["a", 1]], "a:str,b:long")
+    eng.register_temp(d, "ttmp1")
+    assert eng.table_exists("ttmp1")
+    loaded = eng.load_table("ttmp1")
+    assert_eq(loaded, [["a", 1]])
+    loaded2 = eng.load_table("SELECT a FROM ttmp1")
+    assert_eq(loaded2, [["a"]])
+    eng.drop_temp("ttmp1")
+    assert not eng.table_exists("ttmp1")

@@ -1,0 +1,119 @@
+from datetime import date, datetime
+
+import pandas as pd
+
+from fugue_warehouses_spark.frame import WarehouseFrame, assert_eq, frame_from_local
+
+
+def _wf(spark, data, schema):
+    return frame_from_local(spark, data, schema)
+
+
+def test_construction_and_conversions(spark):
+    wf = _wf(spark, [["x", 1]], "a:str,b:int")
+    assert wf.schema_str == "a:str,b:int"
+    assert wf.is_bounded and not wf.is_local
+    assert wf.count() == 1
+    assert wf.as_array() == [["x", 1]]
+    assert list(wf.as_dict_iterable()) == [{"a": "x", "b": 1}]
+    pdf = wf.as_pandas()
+    assert list(pdf.columns) == ["a", "b"]
+    at = wf.as_arrow()
+    assert at.num_rows == 1
+
+
+def test_metadata_preserved():
+    pass  # metadata API covered below
+
+
+def test_metadata(spark):
+    wf = _wf(spark, [["x", 1]], "a:str,b:int")
+    assert not wf.has_metadata
+    wf2 = wf.reset_metadata({"k": "v"})
+    assert wf2.has_metadata and wf2.metadata == {"k": "v"}
+    wf3 = wf2.alter_columns("b:long")
+    assert wf3.metadata == {"k": "v"}
+
+
+def test_empty_frame(spark):
+    wf = _wf(spark, [], "a:int,b:int")
+    assert wf.count() == 0
+    assert wf.as_array() == []
+
+
+# ---- the cast matrix (reference: tests/fugue_bigquery/test_dataframe.py:62-175)
+
+
+def test_int_widening(spark):
+    wf = _wf(spark, [["a", 1], ["b", 2]], "a:str,b:int").alter_columns("b:long")
+    assert wf.schema_str == "a:str,b:long"
+    assert_eq(wf, [["a", 1], ["b", 2]])
+
+
+def test_str_bool_case_insensitive(spark):
+    wf = _wf(spark, [["trUe"], ["False"], [None]], "b:str").alter_columns("b:bool")
+    assert_eq(wf, [[True], [False], [None]])
+
+
+def test_bool_to_str(spark):
+    wf = _wf(spark, [[True], [False], [None]], "b:bool").alter_columns("b:str")
+    assert_eq(wf, [["true"], ["false"], [None]])
+
+
+def test_double_int_roundtrip(spark):
+    wf = _wf(spark, [[1.0], [2.0], [None]], "b:double").alter_columns("b:long")
+    assert_eq(wf, [[1], [2], [None]])
+    wf2 = _wf(spark, [[1], [2], [None]], "b:long").alter_columns("b:double")
+    assert_eq(wf2, [[1.0], [2.0], [None]])
+
+
+def test_str_double(spark):
+    wf = _wf(spark, [["1.1"], ["2.5"], [None]], "b:str").alter_columns("b:double")
+    assert_eq(wf, [[1.1], [2.5], [None]])
+
+
+def test_date_to_str_iso(spark):
+    wf = _wf(
+        spark, [[date(2020, 1, 1)], [date(2020, 1, 2)], [None]], "b:date"
+    ).alter_columns("b:str")
+    assert_eq(wf, [["2020-01-01"], ["2020-01-02"], [None]])
+
+
+def test_str_to_date_and_datetime(spark):
+    wf = _wf(spark, [["2020-01-01"], [None]], "b:str").alter_columns("b:date")
+    assert_eq(wf, [[date(2020, 1, 1)], [None]])
+    wf2 = _wf(spark, [["2020-01-02 01:02:03"], [None]], "b:str").alter_columns(
+        "b:datetime"
+    )
+    assert_eq(wf2, [[datetime(2020, 1, 2, 1, 2, 3)], [None]])
+
+
+def test_datetime_to_str_rendering(spark):
+    wf = _wf(
+        spark,
+        [[datetime(2020, 1, 1, 3, 4, 5)], [None]],
+        "b:datetime",
+    ).alter_columns("b:str")
+    assert_eq(wf, [["2020-01-01 03:04:05"], [None]])
+
+
+def test_nat_becomes_null(spark):
+    pdf = pd.DataFrame({"a": [pd.NaT], "b": [1]})
+    wf = frame_from_local(spark, pdf, "a:datetime,b:int")
+    assert wf.as_array() == [[None, 1]]
+
+
+def test_alter_noop_returns_same(spark):
+    wf = _wf(spark, [["x", 1]], "a:str,b:int")
+    assert wf.alter_columns("b:int") is wf
+
+
+def test_rename_and_select(spark):
+    wf = _wf(spark, [["x", 1]], "a:str,b:int").rename({"b": "bb"})
+    assert wf.columns == ["a", "bb"]
+    assert wf.select_columns(["bb"]).as_array() == [[1]]
+
+
+def test_head_with_columns(spark):
+    wf = _wf(spark, [["a", 1], ["b", 2], ["c", 3]], "a:str,b:int")
+    assert wf.head(2, columns=["b"]) == [[1], [2]]
