@@ -1,0 +1,338 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+North-star extensions (SURVEY.md §2.E): exact, fingerprint, MinHash+LSH,
+SimHash, and n-gram-Jaccard dedup over a documents table. Design rules
+for the 100 TB target:
+
+- signatures/shingles/hashes are pure Spark expressions (xxhash64,
+  transform/aggregate over arrays) — JVM-side, no Python UDFs;
+- candidate generation is LSH band-bucketing: one shuffle on
+  (band, bucket) instead of an O(n^2) cross join;
+- pair verification (exact Jaccard / Hamming) only runs on bucket
+  collisions;
+- connected components is iterative label propagation over the pair
+  graph (joins + aggregations only — no driver-side union-find), the
+  standard large-graph approach;
+- every stage is deterministic (fixed hash seeds via lit() salts), so
+  results are reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fugue_warehouses_spark.functions.text import char_ngrams, fingerprint, tokens
+
+# ---------------- exact -------------------------------------------
+
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Whole-row (or subset-keyed) exact dedup — hash-shuffle groupBy."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def fingerprint_dedup(
+    df: DataFrame, text_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Keep one row per normalized-text fingerprint (md5), choosing the
+    min/max id as representative. One shuffle on the fingerprint."""
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(order)
+    return (
+        df.withColumn("__wf_rn", F.row_number().over(w))
+        .filter(F.col("__wf_rn") == 1)
+        .drop("__wf_rn")
+    )
+
+
+# ---------------- jaccard / shingles ------------------------------
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two array<string> columns (distinct sets)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with character-n-gram Jaccard >= threshold.
+
+    ``block_col`` bounds the join (pairs only form within a block —
+    e.g. a source or an LSH bucket); without it this is a cross join
+    and only sane on small frames. Returns (id_a, id_b, jaccard_sim).
+    """
+    grams = df.select(
+        F.col(id_col), *( [F.col(block_col)] if block_col else [] ),
+        char_ngrams(text_col, n).alias("__grams"),
+    )
+    left = grams.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id_a"),
+        F.col("__grams").alias("__ga"),
+    )
+    right = grams.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id_b"),
+        F.col("__grams").alias("__gb"),
+    )
+    joined = (
+        left.join(right, on=block_col, how="inner")
+        if block_col
+        else left.crossJoin(right)
+    )
+    sim = jaccard(F.col("__ga"), F.col("__gb"))
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard_sim", sim)
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+# ---------------- MinHash + LSH -----------------------------------
+
+
+def minhash_signature(
+    text_col: Column | str, num_hashes: int = 64, shingle: int = 3
+) -> Column:
+    """array<long> MinHash signature over character shingles.
+
+    hash_i(s) = xxhash64(i, s) with the hash index as salt — a cheap,
+    deterministic family; min over the shingle set per index. All
+    expression-level (num_hashes * |shingles| xxhash evals, JVM-side).
+    """
+    grams = char_ngrams(text_col, shingle)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(grams, lambda g: F.xxhash64(i, g))),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "__sig",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """MinHash-LSH banding: split the signature into ``bands`` slices of
+    ``rows_per_band``; docs colliding on any band slice become a pair.
+
+    One explode (xN bands) + one shuffle on (band, bucket-hash). Bucket
+    join is self-join grouped by bucket; output pairs are distinct.
+    At scale, skewed mega-buckets (boilerplate docs) are the hazard —
+    the groupBy path lets AQE split skewed partitions, and a bucket-size
+    cap can be added by filtering count() over a bucket window.
+    """
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"], how="inner")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    shingle: int = 3,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact shingle Jaccard.
+
+    Returns (id_a, id_b, jaccard_sim >= threshold). The classic
+    shingle->minhash->band->bucket-join pipeline; only bucket
+    collisions pay the exact-verification cost.
+    """
+    rows_per_band = max(1, num_hashes // bands)
+    with_sig = df.select(
+        F.col(id_col),
+        char_ngrams(text_col, shingle).alias("__grams"),
+        minhash_signature(text_col, num_hashes, shingle).alias("__sig"),
+    )
+    pairs = lsh_candidate_pairs(with_sig, id_col, "__sig", bands, rows_per_band)
+    ga = with_sig.select(F.col(id_col).alias("id_a"), F.col("__grams").alias("__ga"))
+    gb = with_sig.select(F.col(id_col).alias("id_b"), F.col("__grams").alias("__gb"))
+    return (
+        pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("__ga"), F.col("__gb")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+# ---------------- SimHash -----------------------------------------
+
+
+def simhash_bits(text_col: Column | str, bits: int = 64) -> Column:
+    """array<int> of SimHash sign bits over whitespace tokens.
+
+    Per bit b: sum over token hashes of +-1 depending on bit b of
+    xxhash64(token); bit set iff sum >= 0. Pure expressions."""
+    tok_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+
+    # bits unrolled at plan-build time (shiftright needs a literal int);
+    # 64 small aggregates stay well inside codegen limits
+    def bit_score(b: int):
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return (F.aggregate(tok_hashes, F.lit(0).cast("long"), merge) >= 0).cast("int")
+
+    return F.array(*[bit_score(b) for b in range(bits)])
+
+
+def hamming(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def near_dup_pairs_simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: band the bit vector (pigeonhole — any pair with
+    hamming <= bands-1 collides on >= one band); verify exact Hamming.
+
+    Returns (id_a, id_b, hamming_dist <= max_hamming).
+    """
+    per = bits // bands
+    with_sig = df.select(F.col(id_col), simhash_bits(text_col, bits).alias("__bits"))
+    banded = with_sig.select(
+        F.col(id_col).alias("__id"),
+        F.col("__bits"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice(F.col("__bits"), b * per + 1, per)).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", "__bits", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, on=["band", "bucket"], how="inner")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__bits").alias("__ba"),
+            F.col("b.__bits").alias("__bb"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming_dist", hamming(F.col("__ba"), F.col("__bb")))
+        .filter(F.col("hamming_dist") <= max_hamming)
+        .select("id_a", "id_b", "hamming_dist")
+    )
+
+
+# ---------------- connected components + dedup --------------------
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """Label propagation over an (id_a, id_b) edge list -> (id, component).
+
+    component = min node id reachable. Each round: every node adopts
+    the min label in its neighborhood (joins + groupBy only — shuffle
+    per round, no driver-side graph). Converges in O(diameter) rounds;
+    dedup graphs are near-cliques so a few rounds suffice. Iteration
+    stops early when a round changes nothing.
+    """
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    labels = nodes.withColumn("component", F.col("id"))
+    labels.persist()
+    labels.count()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id, "inner")
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_near(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 15,
+) -> DataFrame:
+    """Drop near-duplicates: group pair graph into components, keep the
+    min-id representative of each component plus all unpaired rows."""
+    comps = connected_components(pairs.select("id_a", "id_b"), max_iter)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

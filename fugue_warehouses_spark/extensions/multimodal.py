@@ -1,0 +1,161 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+North-star extension (SURVEY.md §2.E): image/audio/video as
+``binary`` columns with a ``StructType`` metadata sibling (mime,
+uri, width/height/duration/...), processed by Arrow-batched pandas
+UDFs over ``mapInPandas``.
+
+The decode/feature kernels depend on codec libraries (PIL/ffmpeg/...)
+that are NOT in this container, so the kernel bodies are stubbed:
+``decode_stub=True`` (default) produces deterministic fake features
+derived from the payload bytes; ``decode_stub=False`` raises
+``NotImplementedError`` at the point a real codec would run. The
+Spark-side plumbing — schema, batch shape, partitioning, UDF
+signatures — is real and tested; swapping in a real kernel is a
+one-function change.
+
+Scale notes: payloads never pass through the driver; partition sizing
+should target `spark.sql.files.maxPartitionBytes` chunks of payload
+bytes, and feature extraction is embarrassingly parallel (mapInPandas,
+no shuffle). Columnar parquet keeps metadata scans payload-free
+(column pruning skips the binary column entirely unless selected).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_METADATA_TYPE = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("uri", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def attach_media_metadata(
+    df: DataFrame,
+    payload_col: str,
+    mime: str,
+    uri_col: str | None = None,
+) -> DataFrame:
+    """Add a typed ``meta`` struct next to a binary payload column."""
+    meta = F.struct(
+        F.lit(mime).alias("mime"),
+        (F.col(uri_col) if uri_col else F.lit(None).cast("string")).alias("uri"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return df.withColumn("meta", meta)
+
+
+def _fake_features(payload: bytes, n: int) -> list[float]:
+    """Deterministic stand-in for a decode+embed kernel: n floats in
+    [0,1) derived from the payload digest."""
+    out: list[float] = []
+    seed = payload or b""
+    counter = 0
+    while len(out) < n:
+        h = hashlib.sha256(seed + counter.to_bytes(4, "big")).digest()
+        for i in range(0, 32, 4):
+            out.append(int.from_bytes(h[i : i + 4], "big") / 2**32)
+            if len(out) == n:
+                break
+        counter += 1
+    return out
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    n_features: int = 16,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """binary payload -> array<double> feature vector via mapInPandas.
+
+    Output schema: (id, features array<double>, n_bytes long). With
+    ``decode_stub=False`` this is where a real image/audio decoder
+    would run; the container has no codec libs, so it raises."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires codec libraries (PIL/ffmpeg) "
+                    "not present in this environment"
+                )
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "features": [
+                        _fake_features(bytes(p) if p is not None else b"", n_features)
+                        for p in payloads
+                    ],
+                    "n_bytes": [len(p) if p is not None else 0 for p in payloads],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    every_ms: int = 1000,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame.
+
+    Stubbed kernel emits a deterministic frame count derived from
+    payload size (1 frame per 10 KiB, >=1); a real kernel would demux
+    and decode. Output: (id, frame_idx, ts_ms, frame binary)."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError("video demux requires ffmpeg")
+            ids, idxs, tss, frames = [], [], [], []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col] or b""
+                n_frames = max(1, len(payload) // 10240)
+                for i in range(n_frames):
+                    ids.append(int(row[id_col]))
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    digest = hashlib.sha256(
+                        bytes(payload) + i.to_bytes(4, "big")
+                    ).digest()
+                    frames.append(digest)
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star extension (SURVEY.md §2.E). Two paths:
+
+- ``brute_force_topk`` — exact cosine top-k. The query set is
+  broadcast (it's the small side by construction), so the corpus is
+  scanned once with no shuffle; ranking is a per-query window. This is
+  the correctness baseline and is DuckDB-verifiable.
+- ``lsh_topk`` — random-hyperplane (SRP) LSH: sign-bit signatures
+  bucket the corpus; only bucket collisions are re-ranked exactly.
+  The scale path: candidate generation is one shuffle on
+  (table, bucket), exact math only on collisions. Hyperplanes are
+  derived deterministically from a seed via xxhash64 — no RNG state,
+  reproducible across runs/executors.
+
+All vector math is double-precision, fixed accumulation order
+(functions/vectors.py) so results are engine-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fugue_warehouses_spark.functions.vectors import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, match_id, cosine_sim), k rows per query.
+
+    Ties broken by match_id ascending (deterministic). ``round_digits``
+    rounds the similarity *before* ranking so rank order is stable
+    across engines with different summation order.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("match_id"), F.col(corpus_vec).alias("__cv")
+    )
+    sim = cosine(F.col("__qv"), F.col("__cv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .withColumn("cosine_sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "match_id", "cosine_sim")
+    )
+
+
+def similarity_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """All corpus pairs with cosine >= threshold (id_a < id_b).
+
+    O(n^2) comparisons — the exact baseline for embedding near-dup;
+    use :func:`lsh_topk` buckets or blocking at scale.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sim = cosine(F.col("__va"), F.col("__vb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", sim)
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def _srp_signature(vec_col: str, dim: int, n_planes: int, seed: int, table):
+    """Sign-bit signature under pseudo-random hyperplanes.
+
+    Plane p's component d is a deterministic value derived from
+    xxhash64(seed, table, p, d) scaled to [-1, 1) — each LSH table gets
+    an independent plane family, identical on every executor (no RNG
+    state to ship). bit_p = (v . plane_p) >= 0.
+    """
+    def component(p, d):
+        h = F.xxhash64(F.lit(seed), table, p, d)
+        return (h.cast("double") / F.lit(float(2**63))).cast("double")
+
+    vec = F.col(vec_col)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: (
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda x, d: x.cast("double") * component(p, d),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0
+        ).cast("int"),
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table SRP-LSH.
+
+    Each table hashes vectors to a bucket (the packed sign bits of
+    ``n_planes`` hyperplanes); query/corpus pairs colliding in any
+    table are re-ranked with exact cosine. Recall grows with
+    ``n_tables``; cost is n_tables bucket shuffles of the corpus vs a
+    full scan per query for brute force. Returns <=k rows per query —
+    an *approximate* result (rows-only correctness check).
+    """
+    def with_buckets(df: DataFrame, idc: str, vecc: str, out_id: str, out_vec: str):
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.col(vecc).alias(out_vec),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_tables - 1)),
+                    lambda t: F.struct(
+                        t.alias("table_id"),
+                        F.xxhash64(
+                            _srp_signature(vecc, dim, n_planes, seed, t)
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("tb"),
+        ).select(out_id, out_vec, "tb.table_id", "tb.bucket")
+
+    qb = with_buckets(queries, query_id, query_vec, "query_id", "__qv")
+    cb = with_buckets(corpus, corpus_id, corpus_vec, "match_id", "__cv")
+    cand = (
+        qb.join(cb, on=["table_id", "bucket"], how="inner")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "__qv", "match_id", "__cv")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "match_id", "cosine_sim")
+    )

@@ -33,8 +33,9 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
-    # parquet ns timestamps (events.ts) must not error; truncate to us
-    "spark.sql.legacy.parquet.nanosAsLong": "false",
+    # parquet TIMESTAMP(NANOS) is otherwise illegal to read in Spark 4;
+    # read as long and normalize to us in sources/star.py
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

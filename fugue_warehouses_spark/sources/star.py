@@ -1,0 +1,58 @@
+"""Loaders for the driver's star-schema parquet tables (TESTDATA.md).
+
+One place owns physical-read policy so every query benefits:
+
+- parquet scans are split-parallel by Spark's source framework (the
+  reference needed a hand-built stream-sharded reader for this,
+  fugue_bigquery/client.py:227-296 — here it's the default);
+- filters/column selections later in the plan push into these scans
+  (PushedFilters / ReadSchema — asserted in tests/test_plans.py);
+- type normalization to the canonical µs timestamp happens at load:
+  `events.ts` is TIMESTAMP(NANOS) in the fixture parquet, which Spark 4
+  reads only as a raw long (nanosAsLong) — normalized here to
+  TimestampNTZ(µs) so downstream code never sees the quirk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STAR_TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos-as-long -> µs TimestampNTZ (canonical policy, SURVEY.md §1.3)
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    return df
+
+
+def load_star_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load_star_table(spark, sf_dir, n) for n in STAR_TABLES}
+
+
+def register_star_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load + createOrReplaceTempView for each table; SQL queries can
+    then reference them by name."""
+    out = load_star_tables(spark, sf_dir)
+    for name, df in out.items():
+        df.createOrReplaceTempView(name)
+    return out

@@ -24,21 +24,6 @@ def sf_dir():
 @pytest.fixture(scope="session")
 def tables(spark, sf_dir):
     """Register the driver's star-schema parquet tables as temp views."""
-    names = [
-        "region",
-        "nation",
-        "customer",
-        "supplier",
-        "part",
-        "orders",
-        "lineitem",
-        "events",
-        "documents",
-        "embeddings",
-    ]
-    out = {}
-    for n in names:
-        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-        df.createOrReplaceTempView(n)
-        out[n] = df
-    return out
+    from fugue_warehouses_spark.sources import register_star_views
+
+    return register_star_views(spark, sf_dir)

@@ -1,0 +1,82 @@
+import pytest
+from pyspark.sql import functions as F
+
+from fugue_warehouses_spark.extensions import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs away "
+        "into the deep dark forest to find some food for the winter"
+    )
+    near = base.replace("winter", "summer")
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, near),  # near dup of 0
+        (3, "completely different text about spark shuffles and joins ok"),
+        (4, "another unrelated document mentioning embeddings and vectors"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    assert D.exact_dedup(docs, ["text"]).count() == 4
+
+
+def test_fingerprint_dedup_keeps_min_id(spark, docs):
+    out = D.fingerprint_dedup(docs, "text", "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {0, 2, 3, 4}
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert all(r["jaccard_sim"] <= 1.0 for r in pairs)
+    exact = [r for r in pairs if (r["id_a"], r["id_b"]) == (0, 1)][0]
+    assert exact["jaccard_sim"] == 1.0
+
+
+def test_minhash_near_dup_pairs(spark, docs):
+    pairs = D.near_dup_pairs_minhash(docs, "doc_id", "text", threshold=0.6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 2) in got
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_simhash_near_dup_pairs(spark, docs):
+    pairs = D.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 2) in got
+    assert not any((3 in p and 4 in p) for p in got)
+
+
+def test_connected_components_and_dedup(spark, docs):
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    comps = {r["id"]: r["component"] for r in D.connected_components(edges).collect()}
+    assert comps == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+    kept = D.dedup_near(docs, edges, "doc_id")
+    assert {r["doc_id"] for r in kept.collect()} == {0, 3}
+
+
+def test_chain_components_converge(spark):
+    # a 6-node chain exercises multi-round propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    comps = {r["id"]: r["component"] for r in D.connected_components(edges).collect()}
+    assert set(comps.values()) == {0}
+
+
+def test_minhash_on_real_documents(spark, tables):
+    docs = tables["documents"]
+    pairs = D.near_dup_pairs_minhash(docs, "doc_id", "text", threshold=0.9)
+    # deterministic: run twice, same result
+    a = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    b = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    assert a == b
