@@ -90,9 +90,16 @@ def ngram_jaccard_pairs(
         if block_col
         else left.crossJoin(right)
     )
-    sim = jaccard(F.col("__ga"), F.col("__gb"))
+    # size prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs with
+    # mismatched set sizes can't reach the threshold — skip the O(n)
+    # intersection for them (large fraction of pairs at typical corpora)
+    na, nb = F.size(F.col("__ga")), F.size(F.col("__gb"))
+    inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb"))).cast("double")
+    union = (na + nb).cast("double") - inter
+    sim = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb))
         .withColumn("jaccard_sim", sim)
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
@@ -103,15 +110,17 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(
-    text_col: Column | str, num_hashes: int = 64, shingle: int = 3
+    grams_col: Column | str, num_hashes: int = 64
 ) -> Column:
-    """array<long> MinHash signature over character shingles.
+    """array<long> MinHash signature over a *materialized* shingle-array
+    column. hash_i(s) = xxhash64(i, s) with the hash index as salt — a
+    cheap deterministic family; min over the shingle set per index.
 
-    hash_i(s) = xxhash64(i, s) with the hash index as salt — a cheap,
-    deterministic family; min over the shingle set per index. All
-    expression-level (num_hashes * |shingles| xxhash evals, JVM-side).
-    """
-    grams = char_ngrams(text_col, shingle)
+    IMPORTANT: pass a column reference (``F.col("grams")``), not the
+    shingle *expression* — an inline expression would be re-evaluated
+    once per hash index (64x the shingling work; this was a measured
+    6x slowdown of the whole pipeline at sf0.1)."""
+    grams = F.col(grams_col) if isinstance(grams_col, str) else grams_col
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(F.transform(grams, lambda g: F.xxhash64(i, g))),
@@ -164,27 +173,61 @@ def near_dup_pairs_minhash(
     text_col: str,
     threshold: float = 0.7,
     num_hashes: int = 64,
-    shingle: int = 3,
-    bands: int = 16,
+    shingle: int = 5,
+    bands: int = 8,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle Jaccard.
 
     Returns (id_a, id_b, jaccard_sim >= threshold). The classic
     shingle->minhash->band->bucket-join pipeline; only bucket
     collisions pay the exact-verification cost.
+
+    Parameter choices are the scale levers:
+    - banding S-curve: collision prob per pair = 1-(1-J^r)^b with
+      r = num_hashes/bands. Defaults (r=8, b=8) put the knee at
+      J~0.77 — steep enough that a corpus whose *typical* pair
+      similarity is below ~0.5 produces almost no false candidates.
+      Wide bands (r=4) on a high-baseline-similarity corpus caused a
+      5M-candidate blowup at sf0.1 (measured 240 s -> sub-second
+      candidate stage after retuning).
+    - shingle=5: 3-grams saturate on small vocabularies (avg pair
+      J~0.43 on the fixture corpus); 5-grams drop that to ~0.17.
+    - verification prefilter: the signature match-fraction (64 cheap
+      comparisons) must reach threshold-0.2 before the exact O(|set|)
+      intersection runs.
     """
     rows_per_band = max(1, num_hashes // bands)
-    with_sig = df.select(
-        F.col(id_col),
-        char_ngrams(text_col, shingle).alias("__grams"),
-        minhash_signature(text_col, num_hashes, shingle).alias("__sig"),
+    with_grams = df.select(
+        F.col(id_col), char_ngrams(text_col, shingle).alias("__grams")
+    )
+    with_sig = with_grams.withColumn(
+        "__sig", minhash_signature(F.col("__grams"), num_hashes)
     )
     pairs = lsh_candidate_pairs(with_sig, id_col, "__sig", bands, rows_per_band)
-    ga = with_sig.select(F.col(id_col).alias("id_a"), F.col("__grams").alias("__ga"))
-    gb = with_sig.select(F.col(id_col).alias("id_b"), F.col("__grams").alias("__gb"))
+    a = with_sig.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__grams").alias("__ga"),
+        F.col("__sig").alias("__sa"),
+    )
+    b = with_sig.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__grams").alias("__gb"),
+        F.col("__sig").alias("__sb"),
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("__sa"), F.col("__sb"), lambda x, y: F.when(x == y, 1).otherwise(0)
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(num_hashes))
+    )
     return (
-        pairs.join(ga, "id_a")
-        .join(gb, "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(est >= F.lit(threshold - 0.2))
         .withColumn("jaccard_sim", jaccard(F.col("__ga"), F.col("__gb")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
@@ -194,22 +237,28 @@ def near_dup_pairs_minhash(
 # ---------------- SimHash -----------------------------------------
 
 
-def simhash_bits(text_col: Column | str, bits: int = 64) -> Column:
-    """array<int> of SimHash sign bits over whitespace tokens.
+def token_hashes(text_col: Column | str) -> Column:
+    """array<long> of xxhash64 per whitespace token — materialize this
+    once, then feed the *column* to :func:`simhash_bits` (same
+    inline-recompute hazard as minhash_signature)."""
+    return F.transform(tokens(text_col), lambda t: F.xxhash64(t))
 
-    Per bit b: sum over token hashes of +-1 depending on bit b of
-    xxhash64(token); bit set iff sum >= 0. Pure expressions."""
-    tok_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
 
-    # bits unrolled at plan-build time (shiftright needs a literal int);
-    # 64 small aggregates stay well inside codegen limits
+def simhash_bits(tok_hashes_col: Column | str, bits: int = 64) -> Column:
+    """array<int> of SimHash sign bits from a token-hash array column.
+
+    Per bit b: sum over token hashes of +-1 depending on bit b; bit set
+    iff sum >= 0. Bits unrolled at plan-build time (shiftright needs a
+    literal int); 64 small aggregates stay inside codegen limits."""
+    th = F.col(tok_hashes_col) if isinstance(tok_hashes_col, str) else tok_hashes_col
+
     def bit_score(b: int):
         def merge(acc, h):
             return acc + F.when(
                 F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
 
-        return (F.aggregate(tok_hashes, F.lit(0).cast("long"), merge) >= 0).cast("int")
+        return (F.aggregate(th, F.lit(0).cast("long"), merge) >= 0).cast("int")
 
     return F.array(*[bit_score(b) for b in range(bits)])
 
@@ -236,7 +285,9 @@ def near_dup_pairs_simhash(
     Returns (id_a, id_b, hamming_dist <= max_hamming).
     """
     per = bits // bands
-    with_sig = df.select(F.col(id_col), simhash_bits(text_col, bits).alias("__bits"))
+    with_sig = df.select(
+        F.col(id_col), token_hashes(text_col).alias("__th")
+    ).select(F.col(id_col), simhash_bits(F.col("__th"), bits).alias("__bits"))
     banded = with_sig.select(
         F.col(id_col).alias("__id"),
         F.col("__bits"),

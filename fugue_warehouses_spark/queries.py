@@ -1,0 +1,916 @@
+"""Headline query registry: Spark implementation + DuckDB oracle twins.
+
+Every operator family from SURVEY.md §2 (joins, set ops, null handling,
+sampling, take, aggregation, window/rollup, casts, UDF transform) and
+every north-star extension (dedup, similarity, text analysis) appears
+here as a named query over the driver's star schema, with an ANSI-SQL
+twin the DuckDB oracle can run. The driver compares row-count + schema
++ order-insensitive value hash at sf0.01 (BASELINE.md).
+
+Cross-engine determinism rules used throughout:
+- every computed column aliased identically on both sides;
+- money sums rounded to 2, averages to 4, ratios/similarities to 6;
+- double->int conversions via floor() (DuckDB CAST rounds, Spark
+  truncates);
+- timestamps compared as formatted strings (ns/us parquet quirks);
+- top-k always has a total order (score desc, id asc), ranking on the
+  *rounded* score so float summation order can't flip ranks;
+- integer sums cast to BIGINT in DuckDB (its SUM(BIGINT) is HUGEINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fugue_warehouses_spark.engine import SparkWarehouseEngine
+from fugue_warehouses_spark.extensions import dedup as DD
+from fugue_warehouses_spark.extensions import multimodal as MM
+from fugue_warehouses_spark.extensions import similarity as SS
+from fugue_warehouses_spark.functions import text as TX
+from fugue_warehouses_spark.operators.take import take
+from fugue_warehouses_spark.sources import load_star_table, register_star_views
+from fugue_warehouses_spark.transform import transform
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_star_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# TPC-H-style relational queries (joins, aggregation, pushdown)
+# =====================================================================
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join shape: customer (small, filtered) broadcasts into
+    orders, then into lineitem; top-10 via TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        li.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(dims, (c.c_nationkey == n.n_nationkey) & (s.s_nationkey == n.n_nationkey))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "q6_revenue_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name AS n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# =====================================================================
+# Operator-contract queries (window/take, rollup, set ops, semi/anti,
+# null handling, casts, UDF transform)
+# =====================================================================
+
+
+@_q(
+    "top_customer_per_nation",
+    """
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             round(sum(o.o_totalprice), 2) AS total_spent
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    )
+    SELECT n_name, c_custkey, c_name, total_spent
+    FROM spend
+    QUALIFY row_number() OVER (
+      PARTITION BY n_name ORDER BY total_spent DESC, c_custkey ASC) = 1
+    """,
+)
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the take-with-presort operator (B10)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+    )
+    return take(
+        spend,
+        1,
+        presort="total_spent desc, c_custkey asc",
+        partition_by=["n_name"],
+    ).select("n_name", "c_custkey", "c_name", "total_spent")
+
+
+@_q(
+    "rollup_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@_q(
+    "cube_lineitem_flags",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+@_q(
+    "semi_customers_with_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = SparkWarehouseEngine(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return eng.join(c, o, "semi", on=["c_custkey"]).native.select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@_q(
+    "anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = SparkWarehouseEngine(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return eng.join(c, o, "anti", on=["c_custkey"]).native.select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@_q(
+    "union_high_value_keys",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+    UNION
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def union_high_value_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = SparkWarehouseEngine(spark)
+    a = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 8000).select(
+        "c_custkey"
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return eng.union(a, b, distinct=True).native
+
+
+@_q(
+    "intersect_segment_buyers",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def intersect_segment_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = SparkWarehouseEngine(spark)
+    a = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return eng.intersect(a, b).native
+
+
+@_q(
+    "except_non_machinery",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def except_non_machinery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = SparkWarehouseEngine(spark)
+    a = _t(spark, sf_dir, "customer").select("c_custkey")
+    b = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_custkey")
+    )
+    return eng.subtract(a, b).native
+
+
+@_q(
+    "fillna_low_values",
+    """
+    SELECT event_id,
+           coalesce(CASE WHEN value < 10 THEN NULL ELSE value END, -1.0) AS value_clean
+    FROM events
+    """,
+)
+def fillna_low_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropna/fillna contract (B8/B9) driven through the engine API."""
+    eng = SparkWarehouseEngine(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") < 10, None).otherwise(F.col("value")).alias(
+            "value_clean"
+        ),
+    )
+    return eng.fillna(ev, {"value_clean": -1.0}).native
+
+
+@_q(
+    "dropna_events",
+    """
+    SELECT * FROM (
+      SELECT event_id, CASE WHEN value < 10 THEN NULL ELSE value END AS v
+      FROM events
+    ) WHERE v IS NOT NULL
+    """,
+)
+def dropna_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = SparkWarehouseEngine(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") < 10, None).otherwise(F.col("value")).alias("v"),
+    )
+    return eng.dropna(ev, subset=["v"]).native
+
+
+@_q(
+    "alter_columns_casts",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_int,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+           CAST(l_extendedprice AS VARCHAR) AS price_str
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    """,
+)
+def alter_columns_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cast-matrix operator (A16) as a graded query."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_quantity").cast("long").alias("qty_int"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+        F.col("l_extendedprice").cast("string").alias("price_str"),
+    )
+
+
+@_q(
+    "take_top2_per_order",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    QUALIFY row_number() OVER (
+      PARTITION BY l_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber ASC) <= 2
+    """,
+)
+def take_top2_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return take(
+        li,
+        2,
+        presort="l_extendedprice desc, l_linenumber asc",
+        partition_by=["l_orderkey"],
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@_q(
+    "orders_zscore",
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN stddev_pop(o_totalprice) OVER w = 0 THEN 0.0
+                ELSE round((o_totalprice - avg(o_totalprice) OVER w)
+                           / stddev_pop(o_totalprice) OVER w, 4)
+           END AS z
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey)
+    """,
+)
+def orders_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDF-transform contract (B12) as a graded query: per-customer
+    z-score via applyInPandas, verified against SQL window functions."""
+    import pandas as pd
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["o_totalprice"]
+        std = x.std(ddof=0)
+        z = (x - x.mean()) / std if std > 0 else x * 0.0
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_custkey": pdf["o_custkey"],
+                "z": z.round(4),
+            }
+        )
+
+    return transform(
+        o,
+        zscore,
+        schema="o_orderkey:long,o_custkey:long,z:double",
+        partition_by=["o_custkey"],
+    ).native
+
+
+# =====================================================================
+# Events: time-series / sessionization / windowed stats
+# =====================================================================
+
+
+@_q(
+    "events_hourly_stats",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@_q(
+    "events_sessionization",
+    """
+    WITH d AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), f AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(CAST(ts AS TIMESTAMP))
+                          - epoch_us(CAST(prev_ts AS TIMESTAMP)) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM d
+    )
+    SELECT user_id,
+           CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM f GROUP BY user_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) — the batch twin of the
+    streaming session_window operator in streaming/windows.py."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts")).over(w).cast("timestamp")
+    )
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800000000), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_sess").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_q(
+    "events_first_per_user_type",
+    """
+    SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) = 1
+    """,
+)
+def events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return take(
+        ev, 1, presort="ts asc, event_id asc", partition_by=["user_id", "event_type"]
+    ).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+
+
+# =====================================================================
+# Documents: text analysis + dedup
+# =====================================================================
+
+_TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"
+
+
+@_q(
+    "doc_token_stats",
+    f"""
+    WITH t AS (
+      SELECT lang, len({_TOKS}) AS ntok, length(text) AS nchar
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           round(avg(ntok), 4) AS avg_tokens,
+           round(avg(nchar), 4) AS avg_chars
+    FROM t GROUP BY lang
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            TX.token_count("text").alias("ntok"),
+            TX.char_count("text").alias("nchar"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            F.round(F.avg("ntok"), 4).alias("avg_tokens"),
+            F.round(F.avg("nchar"), 4).alias("avg_chars"),
+        )
+    )
+
+
+_QUALITY_SQL = f"""
+    WITH t AS (
+      SELECT source, text,
+             {_TOKS} AS toks,
+             len({_TOKS}) AS ntok
+      FROM documents
+    ), s AS (
+      SELECT source,
+             CASE WHEN ntok >= 20 THEN 1.0 ELSE ntok / 20.0 END AS len_ok,
+             coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+               / greatest(ntok, 1) AS mtl,
+             len(list_filter(toks, t ->
+               t IN ('the','a','an','and','of','to','in','is')))::DOUBLE
+               / greatest(ntok, 1) AS stop_ratio,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1) AS punct_ratio
+      FROM t
+    )
+    SELECT source,
+           round(avg((len_ok
+                      + (CASE WHEN mtl >= 3.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)
+                      + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0),
+                 6) AS avg_quality
+    FROM s GROUP BY source
+    """
+
+
+@_q("doc_quality_by_source", _QUALITY_SQL)
+def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", TX.quality_score("text").alias("q"))
+        .groupBy("source")
+        .agg(F.round(F.avg("q"), 6).alias("avg_quality"))
+    )
+
+
+def _langid_sql() -> str:
+    counts = []
+    for lang, markers in TX.LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        counts.append(
+            f"len(list_filter({_TOKS}, t -> lower(t) IN ({lst}))) AS c_{lang}"
+        )
+    cases = " ".join(
+        f"WHEN c_{lang} = best THEN '{lang}'" for lang in TX.LANG_MARKERS
+    )
+    return f"""
+    WITH c AS (
+      SELECT lang AS lang_label, {', '.join(counts)}
+      FROM documents
+    ), b AS (
+      SELECT lang_label, greatest(c_en, c_de, c_fr, c_es, c_zh) AS best,
+             c_en, c_de, c_fr, c_es, c_zh
+      FROM c
+    )
+    SELECT lang_label,
+           CASE WHEN best = 0 THEN 'und' {cases} END AS lang_pred,
+           count(*) AS n
+    FROM b GROUP BY 1, 2
+    """
+
+
+@_q("doc_lang_confusion", _langid_sql())
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("lang_label"), TX.lang_id("text").alias("lang_pred")
+        )
+        .groupBy("lang_label", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "doc_exact_dedup",
+    """
+    SELECT doc_id, source
+    FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ORDER BY doc_id ASC) = 1
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.fingerprint_dedup(docs, "text", "doc_id").select("doc_id", "source")
+
+
+_NGRAM_SQL = """
+    WITH g AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(text) - 4, 1)),
+               i -> substring(text, i, 5))) AS grams
+      FROM documents WHERE source = 'src0'
+    )
+    SELECT * FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                   / (len(a.grams) + len(b.grams)
+                      - len(list_intersect(a.grams, b.grams))), 6) AS jaccard_sim
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE jaccard_sim >= 0.2
+    """
+
+
+@_q("doc_ngram_jaccard_pairs", _NGRAM_SQL)
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Jaccard within one source block — the bounded
+    exact-verification baseline; full-corpus near-dup runs through the
+    MinHash-LSH pipeline instead (doc_minhash_near_dups)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    pairs = DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="source", n=5, threshold=0.2
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
+@_q("doc_minhash_near_dups")  # no oracle: LSH banding isn't SQL-expressible
+def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.near_dup_pairs_minhash(docs, "doc_id", "text", threshold=0.6).select(
+        "id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim")
+    )
+
+
+@_q("doc_simhash_near_dups")  # no oracle: banded Hamming join
+def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=6)
+
+
+# =====================================================================
+# Embeddings: similarity search
+# =====================================================================
+
+
+@_q(
+    "embedding_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+           round(list_cosine_similarity(q.v, c.v), 6) AS cosine_sim
+    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, match_id ASC) <= 10
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SS.brute_force_topk(emb, queries, k=10, round_digits=6)
+
+
+@_q(
+    "embedding_similar_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE cosine_sim >= 0.35
+    """,
+)
+def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SS.similarity_pairs(emb, threshold=0.35, round_digits=6)
+
+
+@_q(
+    "embedding_norms_by_label",
+    """
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4)
+             AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fugue_warehouses_spark.functions.vectors import norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", norm("embedding").alias("nrm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("nrm"), 4).alias("avg_norm"))
+    )
+
+
+@_q("embedding_lsh_topk")  # no oracle: approximate by design
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SS.lsh_topk(emb, queries, k=10, dim=64, n_planes=4, n_tables=16)
+
+
+@_q("multimodal_features")  # no oracle: sha256-derived stub features
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing on a binary column fabricated from text
+    payloads (the fixture set has no media table)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("payload")
+    )
+    return MM.extract_features(media, "payload", "id", n_features=8)
+
+
+# =====================================================================
+# entry points used by __spark_entry__.py
+# =====================================================================
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q1_pricing_summary(spark, sf_dir)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLE)

@@ -36,11 +36,10 @@ def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos-as-long -> µs TimestampNTZ (canonical policy, SURVEY.md §1.3)
+        # integer division: double division loses ulps at ~1.7e18 ns
         df = df.withColumn(
             "ts",
-            F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     return df
 
