@@ -71,10 +71,14 @@ def ngram_jaccard_pairs(
     e.g. a source or an LSH bucket); without it this is a cross join
     and only sane on small frames. Returns (id_a, id_b, jaccard_sim).
     """
+    # Exchange barrier: materialize the shingle arrays before the self
+    # join — otherwise CollapseProject inlines char_ngrams into the join
+    # output and every *pair* re-shingles both documents.
+    par = df.sparkSession.sparkContext.defaultParallelism
     grams = df.select(
         F.col(id_col), *( [F.col(block_col)] if block_col else [] ),
         char_ngrams(text_col, n).alias("__grams"),
-    )
+    ).repartition(par, F.col(id_col))
     left = grams.select(
         *( [F.col(block_col)] if block_col else [] ),
         F.col(id_col).alias("id_a"),
@@ -116,10 +120,14 @@ def minhash_signature(
     column. hash_i(s) = xxhash64(i, s) with the hash index as salt — a
     cheap deterministic family; min over the shingle set per index.
 
-    IMPORTANT: pass a column reference (``F.col("grams")``), not the
-    shingle *expression* — an inline expression would be re-evaluated
-    once per hash index (64x the shingling work; this was a measured
-    6x slowdown of the whole pipeline at sf0.1)."""
+    IMPORTANT: the caller must place a shuffle (``repartition``) or a
+    cache between the shingling projection and this one. Catalyst's
+    CollapseProject merges adjacent projections, so merely assigning
+    the shingles to a column does NOT materialize them — the collapsed
+    plan re-evaluates the whole shingling expression inside each of the
+    ``num_hashes`` lambdas (measured: 2.2s -> 200s at sf0.1 when the
+    barrier is missing, compounded by a single-partition source scan
+    since higher-order functions are interpreted, not codegen'd)."""
     grams = F.col(grams_col) if isinstance(grams_col, str) else grams_col
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
@@ -197,9 +205,16 @@ def near_dup_pairs_minhash(
       intersection runs.
     """
     rows_per_band = max(1, num_hashes // bands)
+    # The repartition is load-bearing twice over: (1) it is an Exchange
+    # barrier, so the shingle arrays are materialized once instead of
+    # being re-inlined into all 64 signature lambdas by CollapseProject;
+    # (2) it spreads signature hashing across cores even when the source
+    # is a single parquet split, and AQE's ReuseExchange shares the
+    # shuffled shingles across the candidate/verify branches below.
+    par = df.sparkSession.sparkContext.defaultParallelism
     with_grams = df.select(
         F.col(id_col), char_ngrams(text_col, shingle).alias("__grams")
-    )
+    ).repartition(par, F.col(id_col))
     with_sig = with_grams.withColumn(
         "__sig", minhash_signature(F.col("__grams"), num_hashes)
     )
@@ -285,9 +300,15 @@ def near_dup_pairs_simhash(
     Returns (id_a, id_b, hamming_dist <= max_hamming).
     """
     per = bits // bands
-    with_sig = df.select(
-        F.col(id_col), token_hashes(text_col).alias("__th")
-    ).select(F.col(id_col), simhash_bits(F.col("__th"), bits).alias("__bits"))
+    # Exchange barrier before the 64 per-bit aggregates — same
+    # CollapseProject hazard as near_dup_pairs_minhash: without it the
+    # tokenize+hash expression is re-inlined into every bit_score.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    with_sig = (
+        df.select(F.col(id_col), token_hashes(text_col).alias("__th"))
+        .repartition(par, F.col(id_col))
+        .select(F.col(id_col), simhash_bits(F.col("__th"), bits).alias("__bits"))
+    )
     banded = with_sig.select(
         F.col(id_col).alias("__id"),
         F.col("__bits"),
