@@ -900,6 +900,111 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Event-time windows (batch twins of streaming/windows.py — same code
+# path runs unbounded under Structured Streaming; tests/test_streaming.py
+# asserts stream==batch, the oracle here asserts batch==SQL)
+# =====================================================================
+
+
+@_q(
+    "events_tumbling_15m",
+    """
+    SELECT strftime(to_timestamp(epoch_us(ts) // 900000000 * 900),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fugue_warehouses_spark.streaming import tumbling_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_agg(
+        ev, "ts", "15 minutes",
+        {"n": "count(1)", "total_value": "round(sum(value), 2)"},
+        keys=["event_type"],
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n", "total_value",
+    )
+
+
+@_q(
+    "events_sliding_30m_15m",
+    """
+    SELECT strftime(to_timestamp(epoch_us(ts) // 900000000 * 900 - s.k * 900),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events CROSS JOIN (VALUES (0), (1)) AS s(k)
+    GROUP BY 1
+    """,
+)
+def events_sliding_30m_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute windows sliding every 15 — each event lands in exactly
+    two; the oracle expands the two slots with a cross join."""
+    from fugue_warehouses_spark.streaming import sliding_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_agg(
+        ev, "ts", "30 minutes", "15 minutes",
+        {"n": "count(1)", "total_value": "round(sum(value), 2)"},
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n", "total_value",
+    )
+
+
+@_q(
+    "events_session_windows",
+    """
+    WITH d AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM d
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM g GROUP BY user_id, sess_id
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window semantics: span = [first event, last event + gap).
+    Oracle is the classic gaps-and-islands rewrite."""
+    from fugue_warehouses_spark.streaming import session_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_agg(
+        ev, "ts", "30 minutes",
+        {"n": "count(1)", "total_value": "round(sum(value), 2)"},
+        keys=["user_id"],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n", "total_value",
+    )
+
+
+# =====================================================================
 # entry points used by __spark_entry__.py
 # =====================================================================
 

@@ -32,15 +32,24 @@ STAR_TABLES: tuple[str, ...] = (
 )
 
 
+def normalize_event_time(df: DataFrame, time_col: str = "ts") -> DataFrame:
+    """nanos-as-long -> µs TimestampNTZ (canonical policy, SURVEY.md §1.3).
+
+    Works on batch and streaming frames (stateless projection).
+    Integer division: double division loses ulps at ~1.7e18 ns.
+    """
+    if dict(df.dtypes).get(time_col) == "bigint":
+        df = df.withColumn(
+            time_col,
+            F.timestamp_micros(F.expr(f"{time_col} div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
 def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-as-long -> µs TimestampNTZ (canonical policy, SURVEY.md §1.3)
-        # integer division: double division loses ulps at ~1.7e18 ns
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+    if name == "events":
+        df = normalize_event_time(df)
     return df
 
 

@@ -1,0 +1,37 @@
+"""Structured Streaming layer (extension — not in the reference).
+
+The reference (fugue-warehouses) has no streaming support at all: grep
+for watermark/window/state finds only the BigQuery Storage *batch* scan
+shards (reference fugue_bigquery/client.py:243-271). This package adds
+the thin event-stream surface SURVEY.md §2.D/§7.7 calls for, built on
+Spark Structured Streaming so every operator here is unbounded-safe:
+
+- windows: tumbling / sliding / session windowed aggregation, shared
+  between batch and streaming DataFrames (same plan, same results);
+- dedup: exact dedup within a watermark (bounded state);
+- stateful: custom per-key running state via applyInPandasWithState;
+- io: file-stream sources over the testdata parquet and memory-sink
+  drain helpers for availableNow (run-to-completion) execution.
+"""
+
+from fugue_warehouses_spark.streaming.io import (
+    read_parquet_stream,
+    run_available_now,
+)
+from fugue_warehouses_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+from fugue_warehouses_spark.streaming.dedup import dedup_within_watermark
+from fugue_warehouses_spark.streaming.stateful import running_totals
+
+__all__ = [
+    "read_parquet_stream",
+    "run_available_now",
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "dedup_within_watermark",
+    "running_totals",
+]

@@ -1,0 +1,68 @@
+"""Stream sources/sinks for testing and batch-parity drains.
+
+``read_parquet_stream`` turns a directory of parquet files into a file
+stream (the standard replay pattern — each file is a micro-batch
+split). ``run_available_now`` drains a streaming query to completion
+with Trigger.AvailableNow and returns the result as a batch DataFrame
+from the in-memory sink: the idiom for asserting stream-vs-batch parity
+in tests without wall-clock waits.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet_stream(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a parquet path. Streaming file sources
+    need an explicit schema; if none is given, infer it with a one-off
+    batch read of the same path (driver-side footer peek, no data scan).
+    """
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # file streams monitor directories; a plain-file path fails with
+        # "Option 'basePath' must be a directory". A single-character
+        # glob ([x] matching the last char) makes Spark anchor basePath
+        # at the parent directory while matching exactly this file.
+        path = f"{path[:-1]}[{path[-1]}]"
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    name: str | None = None,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Run a streaming frame to completion (AvailableNow) into a memory
+    sink; return the sink contents as a batch DataFrame.
+
+    Memory sink collects to the driver — test-scale only. Production
+    sinks are writeStream.format('parquet'/'kafka'/...) with
+    checkpointLocation; this helper exists for parity assertions.
+    """
+    sink = name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(sink)

@@ -1,0 +1,156 @@
+"""Stream-vs-batch parity for the Structured Streaming layer.
+
+Each test replays the events parquet as a file stream (AvailableNow),
+drains it to a memory sink, and asserts the result equals the same
+helper applied to the identical data read as a batch frame — the
+batch/stream-unified contract of streaming/windows.py et al.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fugue_warehouses_spark.sources.star import normalize_event_time
+from fugue_warehouses_spark.streaming import (
+    dedup_within_watermark,
+    read_parquet_stream,
+    run_available_now,
+    running_totals,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_path(sf_dir):
+    return f"{sf_dir}/events.parquet"
+
+
+def _batch(spark, path):
+    return normalize_event_time(spark.read.parquet(path))
+
+
+def _stream(spark, path):
+    return normalize_event_time(read_parquet_stream(spark, path))
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+AGG = {"n": "count(1)", "total": "round(sum(value), 2)"}
+
+
+def test_tumbling_stream_matches_batch(spark, events_path):
+    batch = _batch(spark, events_path)
+    stream = _stream(spark, events_path)
+    b = tumbling_agg(batch, "ts", "15 minutes", AGG, keys=["event_type"])
+    s = run_available_now(
+        tumbling_agg(
+            stream, "ts", "15 minutes", AGG, keys=["event_type"],
+            watermark="1 minute",
+        ),
+        output_mode="complete",
+    )
+    cols = ["window_start", "window_end", "event_type", "n", "total"]
+    assert _sorted_rows(s, cols) == _sorted_rows(b, cols)
+    assert len(_sorted_rows(b, cols)) > 0
+
+
+def test_sliding_stream_matches_batch(spark, events_path):
+    batch = _batch(spark, events_path)
+    stream = _stream(spark, events_path)
+    b = sliding_agg(batch, "ts", "30 minutes", "15 minutes", AGG)
+    s = run_available_now(
+        sliding_agg(
+            stream, "ts", "30 minutes", "15 minutes", AGG, watermark="1 minute"
+        ),
+        output_mode="complete",
+    )
+    cols = ["window_start", "window_end", "n", "total"]
+    assert _sorted_rows(s, cols) == _sorted_rows(b, cols)
+    # every event lands in exactly duration/slide = 2 windows
+    n_events = batch.count()
+    assert sum(r[2] for r in _sorted_rows(b, cols)) == 2 * n_events
+
+
+def test_session_stream_matches_batch(spark, events_path):
+    batch = _batch(spark, events_path)
+    stream = _stream(spark, events_path)
+    b = session_agg(batch, "ts", "30 minutes", AGG, keys=["user_id"])
+    s = run_available_now(
+        session_agg(
+            stream, "ts", "30 minutes", AGG, keys=["user_id"],
+            watermark="1 minute",
+        ),
+        output_mode="complete",
+    )
+    cols = ["session_start", "session_end", "user_id", "n", "total"]
+    assert _sorted_rows(s, cols) == _sorted_rows(b, cols)
+
+
+def test_session_agg_matches_gaps_and_islands(spark, events_path):
+    """session_window must agree with the lag/cumsum sessionization."""
+    batch = _batch(spark, events_path)
+    sess = session_agg(batch, "ts", "30 minutes", {"n": "count(1)"}, keys=["user_id"])
+    per_user = sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events")
+    )
+    from fugue_warehouses_spark.queries import QUERIES
+
+    import os
+
+    oracle = QUERIES["events_sessionization"](
+        spark, os.path.dirname(events_path)
+    ).withColumn("n_events", F.col("n_events").cast("long"))
+    cols = ["user_id", "n_sessions", "n_events"]
+    assert _sorted_rows(per_user, cols) == _sorted_rows(oracle, cols)
+
+
+def test_dedup_within_watermark(spark, events_path, tmp_path):
+    # replay the same file twice -> every event_id duplicated across files
+    batch = _batch(spark, events_path)
+    dup_dir = str(tmp_path / "dup")
+    batch.write.parquet(dup_dir, mode="overwrite")
+    batch.write.mode("append").parquet(dup_dir)
+
+    stream = normalize_event_time(read_parquet_stream(spark, dup_dir))
+    deduped = run_available_now(
+        dedup_within_watermark(stream, ["event_id"], "ts", "1 hour")
+    )
+    assert deduped.count() == batch.count()
+    # batch fallback path
+    assert (
+        dedup_within_watermark(
+            normalize_event_time(spark.read.parquet(dup_dir)), ["event_id"], "ts", "1 hour"
+        ).count()
+        == batch.count()
+    )
+
+
+def test_running_totals_stateful(spark, events_path):
+    batch = _batch(spark, events_path)
+    expected = running_totals(batch, "user_id", "value")
+
+    stream = _stream(spark, events_path)
+    emitted = run_available_now(
+        running_totals(stream, "user_id", "value"), output_mode="update"
+    )
+    # last emission per key == final totals (single AvailableNow batch
+    # may still split; keep the max-n row per key)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    cols = ["user_id", "n_events"]
+    assert _sorted_rows(final, cols) == _sorted_rows(expected, cols)
+    tot_s = {r[0]: r[1] for r in final.select("user_id", "total_value").collect()}
+    tot_b = {r[0]: r[1] for r in expected.select("user_id", "total_value").collect()}
+    assert set(tot_s) == set(tot_b)
+    assert all(abs(tot_s[k] - tot_b[k]) < 1e-6 for k in tot_s)
