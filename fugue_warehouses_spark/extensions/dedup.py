@@ -175,6 +175,77 @@ def lsh_candidate_pairs(
     )
 
 
+def _shingle_minhash_numpy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle: int,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, __grams array<long>, __sig array<long>) via one vectorized
+    Arrow batch pass — the scale path for MinHash signatures.
+
+    Expression-level minhash (64 interpreted higher-order lambdas over a
+    ~300-element array per row) measured ~35s at sf0.1 on 32 cores; this
+    numpy path does the same work in <1s per core-batch:
+
+    - shingles: byte sliding-window view, base-257 polynomial encoding —
+      injective for shingle <= 7 (257^7 < 2^64), so 'hashed shingle set'
+      IS the shingle set and exact Jaccard over it equals string Jaccard;
+    - signature: multiply-add permutation family (a_i * g + b_i mod 2^64,
+      odd a_i), min per i — one (num_hashes x n_grams) broadcasted min.
+
+    Seeded rng for the (a, b) family: deterministic across executors and
+    runs; no RNG state is shipped.
+    """
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(seed)
+    A = (rng.integers(1, 2**62, size=num_hashes, dtype=np.uint64) << 1) | 1
+    B = rng.integers(0, 2**62, size=num_hashes, dtype=np.uint64)
+    POW = (np.uint64(257) ** np.arange(shingle - 1, -1, -1, dtype=np.uint64))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("__grams", T.ArrayType(T.LongType())),
+            T.StructField("__sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            ids, grams_out, sigs_out = [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                if len(b) == 0:
+                    b = np.zeros(shingle, dtype=np.uint8)
+                if len(b) < shingle:  # whole-text single shingle
+                    g = np.array([b.astype(np.uint64) @ POW[-len(b):]])
+                else:
+                    g = np.unique(
+                        sliding_window_view(b, shingle).astype(np.uint64) @ POW
+                    )
+                sig = (A[:, None] * g[None, :] + B[:, None]).min(axis=1)
+                ids.append(i)
+                grams_out.append(g.view(np.int64))
+                sigs_out.append(sig.view(np.int64))
+            yield pd.DataFrame(
+                {id_col: ids, "__grams": grams_out, "__sig": sigs_out}
+            )
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, text_col)
+        .repartition(par, F.col(id_col))
+        .mapInPandas(compute, out_schema)
+    )
+
+
 def near_dup_pairs_minhash(
     df: DataFrame,
     id_col: str,
@@ -183,6 +254,7 @@ def near_dup_pairs_minhash(
     num_hashes: int = 64,
     shingle: int = 5,
     bands: int = 8,
+    use_numpy: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle Jaccard.
 
@@ -205,44 +277,44 @@ def near_dup_pairs_minhash(
       intersection runs.
     """
     rows_per_band = max(1, num_hashes // bands)
-    # The repartition is load-bearing twice over: (1) it is an Exchange
-    # barrier, so the shingle arrays are materialized once instead of
-    # being re-inlined into all 64 signature lambdas by CollapseProject;
-    # (2) it spreads signature hashing across cores even when the source
-    # is a single parquet split, and AQE's ReuseExchange shares the
-    # shuffled shingles across the candidate/verify branches below.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    with_grams = df.select(
-        F.col(id_col), char_ngrams(text_col, shingle).alias("__grams")
-    ).repartition(par, F.col(id_col))
-    with_sig = with_grams.withColumn(
-        "__sig", minhash_signature(F.col("__grams"), num_hashes)
-    )
-    pairs = lsh_candidate_pairs(with_sig, id_col, "__sig", bands, rows_per_band)
-    a = with_sig.select(
-        F.col(id_col).alias("id_a"),
-        F.col("__grams").alias("__ga"),
-        F.col("__sig").alias("__sa"),
-    )
-    b = with_sig.select(
-        F.col(id_col).alias("id_b"),
-        F.col("__grams").alias("__gb"),
-        F.col("__sig").alias("__sb"),
-    )
-    est = (
-        F.aggregate(
-            F.zip_with(
-                F.col("__sa"), F.col("__sb"), lambda x, y: F.when(x == y, 1).otherwise(0)
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
+    if use_numpy:
+        with_sig = _shingle_minhash_numpy(df, id_col, text_col, num_hashes, shingle)
+        with_grams = with_sig.select(id_col, "__grams")
+    else:
+        # Pure-expression path (JVM-side, no Python workers). The
+        # repartition is load-bearing twice over: (1) it is an Exchange
+        # barrier, so the shingle arrays are materialized once instead of
+        # being re-inlined into all 64 signature lambdas by
+        # CollapseProject; (2) it spreads signature hashing across cores
+        # even when the source is a single parquet split, and AQE's
+        # ReuseExchange shares the shuffled shingles across the
+        # candidate/verify branches below. Still ~10x slower than the
+        # numpy path: higher-order lambdas are interpreted, not codegen'd.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        with_grams = df.select(
+            F.col(id_col), char_ngrams(text_col, shingle).alias("__grams")
+        ).repartition(par, F.col(id_col))
+        with_sig = with_grams.withColumn(
+            "__sig", minhash_signature(F.col("__grams"), num_hashes)
         )
-        / F.lit(float(num_hashes))
+    pairs = lsh_candidate_pairs(with_sig, id_col, "__sig", bands, rows_per_band)
+    # Verification joins back to with_grams, NOT with_sig: the a/b
+    # branches then cost only a read of the reused grams Exchange,
+    # instead of re-running the 64-pass signature per branch (~5s/branch
+    # at sf0.1). The banding S-curve already did the approximate
+    # filtering; before the exact O(|set|) intersection we only keep the
+    # free size prefilter J <= min/max.
+    a = with_grams.select(
+        F.col(id_col).alias("id_a"), F.col("__grams").alias("__ga")
     )
+    b = with_grams.select(
+        F.col(id_col).alias("id_b"), F.col("__grams").alias("__gb")
+    )
+    na, nb = F.size(F.col("__ga")), F.size(F.col("__gb"))
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .filter(est >= F.lit(threshold - 0.2))
+        .filter(F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb))
         .withColumn("jaccard_sim", jaccard(F.col("__ga"), F.col("__gb")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")

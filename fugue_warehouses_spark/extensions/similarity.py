@@ -128,7 +128,7 @@ def _topk_numpy(
             if len(pdf) == 0:
                 continue
             ids = pdf[corpus_id].to_numpy(dtype="int64")
-            mat = np.array([list(v) for v in pdf[corpus_vec]], dtype="float64")
+            mat = np.stack(pdf[corpus_vec].to_numpy()).astype("float64")
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             sims = (mat / norms) @ qmat.T  # (batch, n_q)
@@ -222,7 +222,7 @@ def _pairs_numpy(
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy(dtype="int64")
-            mat = np.array([list(v) for v in pdf[vec_col]], dtype="float64")
+            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             sims = (mat / norms) @ mat_full.T  # (batch, n_corpus)
