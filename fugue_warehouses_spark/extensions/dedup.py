@@ -358,6 +358,70 @@ def hamming(a: Column, b: Column) -> Column:
     )
 
 
+def _simhash_bits_numpy(
+    df: DataFrame, id_col: str, text_col: str, bits: int
+) -> DataFrame:
+    """(id, __bits array<int>) via one vectorized Arrow batch pass.
+
+    Token hashes: base-257 polynomial over the token bytes, then a
+    splitmix64-style finalizer so every output bit is decorrelated
+    (polynomial hashes of similar tokens would otherwise share high
+    bits and collapse the SimHash). Sign bits: one (n_tokens x bits)
+    broadcasted popcount-style sum. Same ~10x win over interpreted
+    per-bit aggregate lambdas as the MinHash numpy path.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C1 = np.uint64(0xBF58476D1CE4E5B9)
+    C2 = np.uint64(0x94D049BB133111EB)
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def mix(h):
+        h = (h ^ (h >> np.uint64(30))) * C1
+        h = (h ^ (h >> np.uint64(27))) * C2
+        return h ^ (h >> np.uint64(31))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("__bits", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            ids, bits_out = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").split()
+                if not toks:
+                    hs = np.zeros(1, dtype=np.uint64)
+                else:
+                    hs = np.array(
+                        [
+                            np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                            .astype(np.uint64)
+                            .dot(np.uint64(257) ** np.arange(len(t.encode("utf-8")) - 1, -1, -1, dtype=np.uint64))
+                            for t in toks
+                        ],
+                        dtype=np.uint64,
+                    )
+                hs = mix(hs)
+                bitmat = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+                sig = ((2 * bitmat.astype(np.int64) - 1).sum(axis=0) >= 0)
+                ids.append(i)
+                bits_out.append(sig.astype(np.int32))
+            yield pd.DataFrame({id_col: ids, "__bits": bits_out})
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, text_col)
+        .repartition(par, F.col(id_col))
+        .mapInPandas(compute, out_schema)
+    )
+
+
 def near_dup_pairs_simhash(
     df: DataFrame,
     id_col: str,
@@ -365,6 +429,7 @@ def near_dup_pairs_simhash(
     max_hamming: int = 3,
     bits: int = 64,
     bands: int = 4,
+    use_numpy: bool = True,
 ) -> DataFrame:
     """SimHash near-dup: band the bit vector (pigeonhole — any pair with
     hamming <= bands-1 collides on >= one band); verify exact Hamming.
@@ -372,15 +437,19 @@ def near_dup_pairs_simhash(
     Returns (id_a, id_b, hamming_dist <= max_hamming).
     """
     per = bits // bands
-    # Exchange barrier before the 64 per-bit aggregates — same
-    # CollapseProject hazard as near_dup_pairs_minhash: without it the
-    # tokenize+hash expression is re-inlined into every bit_score.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    with_sig = (
-        df.select(F.col(id_col), token_hashes(text_col).alias("__th"))
-        .repartition(par, F.col(id_col))
-        .select(F.col(id_col), simhash_bits(F.col("__th"), bits).alias("__bits"))
-    )
+    if use_numpy:
+        with_sig = _simhash_bits_numpy(df, id_col, text_col, bits)
+    else:
+        # Exchange barrier before the 64 per-bit aggregates — same
+        # CollapseProject hazard as near_dup_pairs_minhash: without it
+        # the tokenize+hash expression is re-inlined into every
+        # bit_score.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        with_sig = (
+            df.select(F.col(id_col), token_hashes(text_col).alias("__th"))
+            .repartition(par, F.col(id_col))
+            .select(F.col(id_col), simhash_bits(F.col("__th"), bits).alias("__bits"))
+        )
     banded = with_sig.select(
         F.col(id_col).alias("__id"),
         F.col("__bits"),
