@@ -900,6 +900,156 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Sampling (A12/A13): exact-n is limit-based (reference asserts
+# count()==90, tests/fugue_bigquery/test_execution_engine.py:52-58);
+# fraction sampling is seeded-random — oracle checks the invariants
+# that ARE deterministic (cardinality for n, subset-ness for fraction)
+# =====================================================================
+
+
+@_q(
+    "orders_sample_n_exact",
+    "SELECT count(*) AS n FROM (SELECT * FROM orders LIMIT 90)",
+)
+def orders_sample_n_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = SparkWarehouseEngine(spark)
+    sampled = eng.sample(_t(spark, sf_dir, "orders"), n=90)
+    return sampled.native.agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q("orders_sample_fraction")  # no oracle: seeded-random row subset
+def orders_sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = SparkWarehouseEngine(spark)
+    return eng.sample(_t(spark, sf_dir, "orders"), frac=0.2, seed=42).native
+
+
+# =====================================================================
+# Python-transform surface (B12/B13) and SQL-on-frames (B1) as
+# oracle-checked queries — the UDF results must agree with pure SQL
+# =====================================================================
+
+
+@_q(
+    "sql_on_frames_revenue",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(o.o_totalprice), 2) AS total_revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def sql_on_frames_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 fragment-splicing: frames interleaved with SQL text, one
+    spark.sql plan (SURVEY.md §3.3 — the reference uploads temp tables
+    per frame; here it's temp views, zero movement)."""
+    from fugue_warehouses_spark.sql import select_sql
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return select_sql(
+        spark,
+        "SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS total_revenue,",
+        "count(*) AS n_orders FROM",
+        o,
+        "AS o JOIN",
+        c,
+        "AS c ON o.o_custkey = c.c_custkey JOIN",
+        n,
+        "AS n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name",
+    ).native
+
+
+@_q(
+    "transform_charge_stats",
+    """
+    SELECT o_orderpriority,
+           round(sum(charge), 2) AS total_charge,
+           count(*) AS n
+    FROM (
+      SELECT o.o_orderpriority,
+             l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax) AS charge
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ) GROUP BY o_orderpriority
+    """,
+)
+def transform_charge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: per-batch pandas computation (charge column) feeding a
+    relational aggregate — Arrow-batched, no engine hop."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    )
+
+    def add_charge(pdf):
+        pdf = pdf.assign(
+            charge=pdf.l_extendedprice * (1 - pdf.l_discount) * (1 + pdf.l_tax)
+        )
+        return pdf[["l_orderkey", "charge"]]
+
+    charged = transform(li, add_charge, schema="l_orderkey:long,charge:double").native
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        charged.join(o, charged.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("charge"), 2).alias("total_charge"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_q(
+    "cotransform_customer_orders",
+    """
+    SELECT c.c_custkey AS c_custkey,
+           max(c.c_acctbal) AS acctbal,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey < 100
+    GROUP BY c.c_custkey
+    """,
+)
+def cotransform_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 cotransform (disabled in the reference on both backends,
+    tests/fugue_bigquery/test_execution_engine.py:27-37) — cogrouped
+    pandas over customer x orders per key."""
+    from fugue_warehouses_spark.transform import cotransform
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+
+    def summarize(left, right):
+        import pandas as pd
+
+        if len(left) == 0:
+            return pd.DataFrame(
+                columns=["c_custkey", "acctbal", "n_orders", "total_spend"]
+            )
+        return pd.DataFrame(
+            {
+                "c_custkey": [left.c_custkey.iloc[0]],
+                "acctbal": [left.c_acctbal.max()],
+                "n_orders": [len(right)],
+                "total_spend": [round(float(right.o_totalprice.sum()), 2)],
+            }
+        )
+
+    return cotransform(
+        c,
+        o,
+        summarize,
+        on=["c_custkey"],
+        schema="c_custkey:long,acctbal:double,n_orders:long,total_spend:double",
+    ).native
+
+
+# =====================================================================
 # Event-time windows (batch twins of streaming/windows.py — same code
 # path runs unbounded under Structured Streaming; tests/test_streaming.py
 # asserts stream==batch, the oracle here asserts batch==SQL)
