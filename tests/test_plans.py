@@ -1,0 +1,101 @@
+"""Physical-plan assertions — the 100 TB design contract.
+
+Correct results are necessary but not sufficient: these tests pin the
+*plan shapes* that make the engine scale — filters and column pruning
+pushed into the parquet scan, small dimensions broadcast instead of
+shuffled, global top-k via TakeOrderedAndProject (no full sort), and
+whole-stage codegen on the hot relational path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fugue_warehouses_spark.queries import QUERIES
+from fugue_warehouses_spark.sources import load_star_table
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _simple(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_star_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity,40" in plan.replace(" ", "")
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_star_table(spark, sf_dir, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    # ReadSchema must include only the projected columns (lineitem has 16)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_comment" not in read and "l_extendedprice" not in read
+
+
+def test_q3_broadcasts_filtered_dimension(spark, sf_dir):
+    """customer (filtered, small) must broadcast into orders/lineitem —
+    a shuffle join here would move the fact table at 100 TB."""
+    plan = _simple(QUERIES["q3_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_top10_avoids_global_sort(spark, sf_dir):
+    plan = _simple(QUERIES["q3_shipping_priority"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hot_path_stays_in_codegen(spark, sf_dir):
+    """q1 (scan -> filter -> project -> hash agg) must compile into
+    WholeStageCodegen spans with no Python evaluation nodes, and do
+    map-side partial aggregation before the single shuffle."""
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    codegen = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen" in codegen
+    simple = _simple(df)
+    assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
+    assert "partial_sum" in simple  # map-side combine
+    assert simple.count("Exchange") == 1
+
+
+def test_semi_anti_are_native_join_types(spark, sf_dir):
+    plan_semi = _simple(QUERIES["semi_customers_with_orders"](spark, sf_dir))
+    plan_anti = _simple(QUERIES["anti_customers_without_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan_semi
+    assert "LeftAnti" in plan_anti
+
+
+def test_aqe_enabled_in_session(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_exact_dedup_is_single_shuffle_with_group_limit(spark, sf_dir):
+    """Fingerprint dedup: one shuffle on the fingerprint, and Spark's
+    WindowGroupLimit applies rank<=1 partially BEFORE the exchange, so
+    the shuffle moves at most one row per (partition, fingerprint) —
+    the property that keeps this viable at 100 TB."""
+    plan = _simple(QUERIES["doc_exact_dedup"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_limit_pushdown_for_head(spark, sf_dir):
+    li = load_star_table(spark, sf_dir, "lineitem")
+    plan = _simple(li.select("l_orderkey").limit(5))
+    assert "CollectLimit" in plan or "GlobalLimit" in plan
