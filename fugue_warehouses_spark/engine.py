@@ -88,9 +88,28 @@ class SparkWarehouseEngine:
 
     # ---- sinks (A6, A7) ------------------------------------------
     def save_table(
-        self, df: WarehouseFrame | DataFrame, table: str, mode: str = "overwrite"
+        self,
+        df: WarehouseFrame | DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        bucket_by: list[str] | None = None,
+        num_buckets: int = 32,
+        sort_by: list[str] | None = None,
     ) -> None:
-        _n(df).write.mode(mode).saveAsTable(table)
+        """Persist as a managed table (A6).
+
+        ``bucket_by`` hash-buckets the table on the given keys at write
+        time — the co-located-join lever at scale: two tables bucketed
+        on the same keys with the same bucket count join with ZERO
+        shuffle (asserted in tests/test_plans.py), because each task
+        reads matching bucket files from both sides. Pay one shuffle at
+        write, save it on every subsequent join/aggregation on the key.
+        """
+        writer = _n(df).write.mode(mode)
+        if bucket_by:
+            writer = writer.bucketBy(num_buckets, *bucket_by)
+            writer = writer.sortBy(*(sort_by or bucket_by))
+        writer.saveAsTable(table)
 
     def save_df(
         self,

@@ -820,6 +820,16 @@ def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=6)
 
 
+@_q("doc_near_dedup_resolved")  # no oracle: iterative connected components
+def doc_near_dedup_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH pair graph -> connected
+    components (shuffle-only label propagation) -> keep the min-id
+    representative per component plus all unpaired docs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.near_dup_pairs_minhash(docs, "doc_id", "text", threshold=0.6)
+    return DD.dedup_near(docs, pairs, "doc_id").select("doc_id", "source")
+
+
 # =====================================================================
 # Embeddings: similarity search
 # =====================================================================

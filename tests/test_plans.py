@@ -99,3 +99,32 @@ def test_limit_pushdown_for_head(spark, sf_dir):
     li = load_star_table(spark, sf_dir, "lineitem")
     plan = _simple(li.select("l_orderkey").limit(5))
     assert "CollectLimit" in plan or "GlobalLimit" in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key with equal bucket counts
+    must sort-merge join with no Exchange on either side — the
+    co-located join that saves the dominant shuffle at 100 TB."""
+    from fugue_warehouses_spark.engine import SparkWarehouseEngine
+
+    eng = SparkWarehouseEngine(spark)
+    o = load_star_table(spark, sf_dir, "orders")
+    c = load_star_table(spark, sf_dir, "customer")
+    eng.save_table(o, "b_orders", bucket_by=["o_custkey"], num_buckets=8)
+    eng.save_table(c, "b_customer", bucket_by=["c_custkey"], num_buckets=8)
+    try:
+        joined = (
+            spark.table("b_orders")
+            .hint("merge")  # force SMJ so broadcast doesn't mask bucketing
+            .join(
+                spark.table("b_customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+        )
+        plan = _simple(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
