@@ -910,6 +910,48 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# As-of join (custom operator Spark lacks natively; DuckDB's native
+# ASOF JOIN is the oracle)
+# =====================================================================
+
+
+@_q(
+    "events_asof_last_signup",
+    """
+    SELECT l.user_id AS user_id,
+           l.event_id AS event_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           round(r.value, 2) AS signup_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of: each purchase joined to the user's most recent
+    at-or-before signup (operators/asof.py union-carry-forward plan)."""
+    from fugue_warehouses_spark.operators.asof import asof_join_backward
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts"), "value"
+    )
+    out = asof_join_backward(
+        purchases, signups, by=["user_id"], left_time="ts",
+        right_time="signup_ts", right_payload=["value"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.round("value", 2).alias("signup_value"),
+    )
+
+
+# =====================================================================
 # Sampling (A12/A13): exact-n is limit-based (reference asserts
 # count()==90, tests/fugue_bigquery/test_execution_engine.py:52-58);
 # fraction sampling is seeded-random — oracle checks the invariants
