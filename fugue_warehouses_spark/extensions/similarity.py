@@ -243,6 +243,120 @@ def _pairs_numpy(
     return corpus.select(id_col, vec_col).mapInPandas(score, schema)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    kmeans_iters: int = 5,
+    train_sample: int = 4096,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index.
+
+    The other classic ANN scale path next to SRP-LSH (lsh_topk):
+
+    1. train: k-means centroids on a bounded sample (driver-side numpy,
+       deterministic seed — centroids are tiny and ship in closures);
+    2. assign: each corpus vector goes to its nearest centroid — one
+       mapInPandas pass, partitioned by centroid (the 'inverted lists');
+    3. probe: each query searches only its ``n_probe`` nearest
+       centroids' lists — the corpus fraction scanned is ~n_probe/
+       n_centroids, the recall/cost dial;
+    4. exact cosine re-rank of probed candidates, deterministic ties.
+
+    Returns <=k rows per query (approximate; rows-only correctness).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # --- 1. train centroids on a sample (spherical k-means) ---------
+    n_corpus = corpus.count()
+    frac = min(1.0, train_sample / max(1, n_corpus))
+    sample = corpus.select(corpus_vec).sample(fraction=frac, seed=seed).collect()
+    mat = np.array([list(r[0]) for r in sample], dtype="float64")
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    rng = np.random.default_rng(seed)
+    n_c = min(n_centroids, len(mat))
+    cents = mat[rng.choice(len(mat), size=n_c, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (mat @ cents.T).argmax(axis=1)
+        for c in range(n_c):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    qids, qmat = _collect_query_matrix(queries, query_id, query_vec)
+
+    # --- 2./3. assign corpus to lists, probe lists per query --------
+    probe = {}  # centroid -> query row indices probing it
+    qprobe = np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probe]
+    for qi, cs in enumerate(qprobe):
+        for c in cs:
+            probe.setdefault(int(c), []).append(qi)
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("match_id", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+    kk = k
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[corpus_id].to_numpy(dtype="int64")
+            m = np.stack(pdf[corpus_vec].to_numpy()).astype("float64")
+            nr = np.linalg.norm(m, axis=1, keepdims=True)
+            nr[nr == 0] = 1.0
+            m = m / nr
+            cass = (m @ cents.T).argmax(axis=1)  # corpus list assignment
+            out_q, out_m, out_s = [], [], []
+            for c in np.unique(cass):
+                qidx = probe.get(int(c))
+                if not qidx:
+                    continue
+                rows = np.nonzero(cass == c)[0]
+                sims = np.round(m[rows] @ qmat[qidx].T, 6)  # (rows, probes)
+                for j, qi in enumerate(qidx):
+                    col = sims[:, j]
+                    mask = ids[rows] != qids[qi]
+                    cand = np.nonzero(mask)[0]
+                    if len(cand) == 0:
+                        continue
+                    order = np.lexsort((ids[rows][cand], -col[cand]))[:kk]
+                    sel = cand[order]
+                    out_q.extend([qids[qi]] * len(sel))
+                    out_m.extend(ids[rows][sel].tolist())
+                    out_s.extend(col[sel].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "match_id": out_m, "cosine_sim": out_s}
+            )
+
+    scored = corpus.select(corpus_id, corpus_vec).mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= kk)
+        .select("query_id", "match_id", "cosine_sim")
+    )
+
+
 def _srp_signature(vec_col: str, dim: int, n_planes: int, seed: int, table):
     """Sign-bit signature under pseudo-random hyperplanes.
 

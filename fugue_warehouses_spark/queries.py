@@ -898,6 +898,13 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.lsh_topk(emb, queries, k=10, dim=64, n_planes=4, n_tables=16)
 
 
+@_q("embedding_ivf_topk")  # no oracle: approximate by design
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SS.ivf_topk(emb, queries, k=10, n_centroids=32, n_probe=8)
+
+
 @_q("multimodal_features")  # no oracle: sha256-derived stub features
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing on a binary column fabricated from text

@@ -56,3 +56,20 @@ def test_lsh_topk_caps_k(spark, vecs):
     out = S.lsh_topk(vecs, vecs, k=2, dim=3, n_planes=4, n_tables=8)
     counts = out.groupBy("query_id").count().collect()
     assert all(r["count"] <= 2 for r in counts)
+
+
+def test_ivf_topk_recall_on_real_embeddings(spark, tables):
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = S.brute_force_topk(emb, queries, k=5)
+    approx = S.ivf_topk(emb, queries, k=5, n_centroids=32, n_probe=8)
+    e = {(r["query_id"], r["match_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["match_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # determinism: same call twice, same rows
+    b = {(r["query_id"], r["match_id"]) for r in S.ivf_topk(
+        emb, queries, k=5, n_centroids=32, n_probe=8).collect()}
+    assert a == b
