@@ -917,6 +917,51 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Range join (point-in-interval; binned equi-join plan vs DuckDB's
+# inequality join as oracle)
+# =====================================================================
+
+
+@_q(
+    "events_in_error_hours",
+    """
+    WITH w AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS ws,
+             date_trunc('hour', ts) + INTERVAL 1 HOUR AS we
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT strftime(w.ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN w ON w.ws <= e.ts AND e.ts < w.we
+    GROUP BY w.ws
+    """,
+)
+def events_in_error_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All events falling inside any hour that saw an error — binned
+    range join (operators/ranges.py) instead of the O(n*m) inequality
+    join the SQL formulation implies."""
+    from fugue_warehouses_spark.operators.ranges import range_join_binned
+
+    ev = _t(spark, sf_dir, "events")
+    windows = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.date_trunc("hour", "ts").alias("ws"))
+        .distinct()
+        .withColumn("we", F.col("ws") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = range_join_binned(
+        ev.select("ts", "value"), windows, "ts", "ws", "we", bin_width_sec=3600
+    )
+    return joined.groupBy(
+        F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# =====================================================================
 # As-of join (custom operator Spark lacks natively; DuckDB's native
 # ASOF JOIN is the oracle)
 # =====================================================================
