@@ -154,3 +154,39 @@ def test_running_totals_stateful(spark, events_path):
     tot_b = {r[0]: r[1] for r in expected.select("user_id", "total_value").collect()}
     assert set(tot_s) == set(tot_b)
     assert all(abs(tot_s[k] - tot_b[k]) < 1e-6 for k in tot_s)
+
+
+def test_parquet_sink_with_checkpoint_resume(spark, events_path, tmp_path):
+    """Production sink path: parquet sink + checkpointLocation. A second
+    run over an extended source must process ONLY the new file
+    (exactly-once file-source tracking via the checkpoint)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch = _batch(spark, events_path)
+    half1 = batch.filter(F.col("event_id") % 2 == 0)
+    half2 = batch.filter(F.col("event_id") % 2 == 1)
+    half1.write.parquet(src, mode="overwrite")
+
+    def run_once():
+        stream = normalize_event_time(read_parquet_stream(spark, src))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == half1.count()
+
+    half2.write.mode("append").parquet(src)
+    run_once()
+    sunk = spark.read.parquet(out)
+    assert sunk.count() == batch.count()  # no re-processing of file 1
+    assert sunk.select("event_id").distinct().count() == batch.count()
