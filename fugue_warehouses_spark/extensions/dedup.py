@@ -498,15 +498,19 @@ def connected_components(
     dedup graphs are near-cliques so a few rounds suffice. Iteration
     stops early when a round changes nothing.
     """
+    # localCheckpoint (not just persist) on every iteration frame: the
+    # loop otherwise doubles the logical plan per round (labels feeds
+    # both the join and the neighbor aggregate), and a ~10-round run
+    # OOMs the driver on plan construction alone. Checkpointing
+    # truncates lineage so round N's plan is O(1), not O(2^N).
     sym = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
     nodes = sym.select(F.col("src").alias("id")).distinct()
-    labels = nodes.withColumn("component", F.col("id"))
-    labels.persist()
-    labels.count()
+    labels = nodes.withColumn("component", F.col("id")).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id, "inner")
@@ -521,15 +525,14 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
+            .localCheckpoint()
         )
-        new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -110,6 +110,20 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def bpe_token_estimate(col: Column | str, chars_per_token: int = 4) -> Column:
+    """BPE-ish token-count estimate: whitespace words, each contributing
+    ceil(len/chars_per_token) subword tokens — the standard cheap
+    approximation of BPE tokenizer counts (~4 chars/token for English)
+    used for corpus budgeting. Expression-only; exact SQL twin exists."""
+    toks = tokens(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.ceil(F.length(t) / F.lit(float(chars_per_token))).cast("long"),
+    )
+
+
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams (shingles) -> array<string>.
 

@@ -685,6 +685,27 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "doc_bpe_token_budget",
+    f"""
+    SELECT source,
+           CAST(sum(list_sum(list_transform({_TOKS},
+                 t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))) AS BIGINT)
+             AS est_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def doc_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token budgeting: BPE-ish subword estimate per source
+    (ceil(len/4) per whitespace word, ~4 chars/token heuristic)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(TX.bpe_token_estimate("text")).cast("long").alias("est_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 _QUALITY_SQL = f"""
     WITH t AS (
       SELECT source, text,
@@ -867,6 +888,16 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SS.similarity_pairs(emb, threshold=0.35, round_digits=6)
+
+
+@_q("embedding_near_dedup")  # no oracle: iterative connected components
+def embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup: cosine>=0.35 pair graph -> connected
+    components -> keep min-id representative per component + singletons
+    (the semantic-dedup counterpart of the MinHash text pipeline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = SS.similarity_pairs(emb, threshold=0.35, round_digits=6)
+    return DD.dedup_near(emb, pairs, "vec_id").select("vec_id", "label")
 
 
 @_q(

@@ -181,3 +181,14 @@ def test_save_table_and_exists(eng):
     assert_eq(loaded2, [["a"]])
     eng.drop_temp("ttmp1")
     assert not eng.table_exists("ttmp1")
+
+
+def test_approx_count_distinct_within_tolerance(eng):
+    """§2.C approximate aggregates: HLL++ estimate within 5% of exact."""
+    from pyspark.sql import functions as F
+
+    df = eng.spark.range(0, 20000).selectExpr("id % 5000 AS k")
+    exact = df.select(F.count_distinct("k")).collect()[0][0]
+    approx = df.select(F.approx_count_distinct("k", rsd=0.02)).collect()[0][0]
+    assert exact == 5000
+    assert abs(approx - exact) / exact < 0.05
