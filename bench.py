@@ -42,7 +42,10 @@ BENCH_QUERIES = [
     "events_tumbling_15m",
     "events_sliding_30m_15m",
     "events_session_windows",
+    "events_asof_last_signup",
+    "events_in_error_hours",
     "doc_token_stats",
+    "doc_bpe_token_budget",
     "doc_quality_by_source",
     "doc_exact_dedup",
     "doc_ngram_jaccard_pairs",
