@@ -33,11 +33,13 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
+    "q9_profit_by_nation",
     "q10_returned_items",
     "top_customer_per_nation",
     "rollup_order_stats",
     "take_top2_per_order",
     "events_hourly_stats",
+    "events_json_props",
     "events_sessionization",
     "events_tumbling_15m",
     "events_sliding_30m_15m",

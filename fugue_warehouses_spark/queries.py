@@ -947,6 +947,73 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(media, "payload", "id", n_features=8)
 
 
+@_q(
+    "q9_profit_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.5 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%green%'
+    GROUP BY n.n_name, o_year
+    """,
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (5-way join over the full star incl. part and
+    supplier): filtered part dim broadcasts; lineitem never shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                2,
+            ).alias("profit")
+        )
+    )
+
+
+@_q(
+    "events_json_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY k_bucket
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column functions (§2.C): parse the props JSON payload
+    JVM-side (get_json_object), aggregate on an extracted field."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
 # =====================================================================
 # Range join (point-in-interval; binned equi-join plan vs DuckDB's
 # inequality join as oracle)
