@@ -46,10 +46,24 @@ def normalize_event_time(df: DataFrame, time_col: str = "ts") -> DataFrame:
     return df
 
 
+# (app-id, sf_dir, table) -> DataFrame. A DataFrame is just a lazy
+# plan, so caching the handle skips the per-call file listing + footer
+# schema read (~50-100 ms per table per query — the dominant slice of
+# Spark's per-query floor on small inputs) without caching any data.
+# Sound because the driver fixture tables are immutable; keyed by
+# applicationId so frames never outlive their session.
+_FRAME_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _FRAME_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_time(df)
+    _FRAME_CACHE[key] = df
     return df
 
 

@@ -128,3 +128,11 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_q9_fact_table_never_pre_shuffles(spark, sf_dir):
+    """5-way star join: every dimension must broadcast; the only
+    exchanges allowed are the orders-side join and the final aggregate
+    — lineitem must not hash-partition before its joins."""
+    plan = _simple(QUERIES["q9_profit_by_nation"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
