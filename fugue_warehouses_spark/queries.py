@@ -556,6 +556,69 @@ def orders_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).native
 
 
+@_q(
+    "orders_priority_pivot",
+    """
+    SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS o_year,
+           round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice END), 2) AS urgent,
+           round(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                          THEN o_totalprice END), 2) AS high,
+           round(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                          THEN o_totalprice END), 2) AS medium,
+           round(sum(CASE WHEN o_orderpriority NOT IN
+                          ('1-URGENT','2-HIGH','3-MEDIUM')
+                          THEN o_totalprice END), 2) AS other
+    FROM orders GROUP BY o_year
+    """,
+)
+def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (§2.C): priorities to columns per year via groupBy.pivot —
+    map-side partial aggregation applies per pivot bucket."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent")
+        .when(F.col("o_orderpriority") == "2-HIGH", "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .otherwise("other")
+    )
+    return (
+        o.withColumn("__p", bucket)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .pivot("__p", ["urgent", "high", "medium", "other"])
+        .sum("o_totalprice")
+        .select(
+            "o_year",
+            *[F.round(c, 2).alias(c) for c in ("urgent", "high", "medium", "other")],
+        )
+    )
+
+
+@_q(
+    "orders_moving_avg",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS ma4
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def orders_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame spec (§2.C): 4-row trailing moving average."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("ma4"),
+    )
+
+
 # =====================================================================
 # Events: time-series / sessionization / windowed stats
 # =====================================================================
