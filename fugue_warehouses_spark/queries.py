@@ -557,6 +557,57 @@ def orders_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "lineitem_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS rf,
+           coalesce(l_linestatus, '<all>') AS ls,
+           CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS BIGINT)
+             AS gid,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (§2.C) via SQL-on-frames — one Expand node, single
+    shuffle for all three grouping combinations."""
+    eng = SparkWarehouseEngine(spark)
+    eng.register_temp(_t(spark, sf_dir, "lineitem"), "li_gs")
+    return eng.sql(
+        """
+        SELECT coalesce(l_returnflag, '<all>') AS rf,
+               coalesce(l_linestatus, '<all>') AS ls,
+               CAST(grouping(l_returnflag) + 2 * grouping(l_linestatus) AS BIGINT)
+                 AS gid,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    ).native
+
+
+@_q(
+    "orders_interval_arithmetic",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate + INTERVAL 90 DAY),
+                    '%Y-%m-%d') AS due_month,
+           count(*) AS n
+    FROM orders GROUP BY due_month
+    """,
+)
+def orders_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic (§2.C; the reference emits TIMESTAMP_ADD in
+    generated SQL, fugue_bigquery/client.py:191-193)."""
+    o = _t(spark, sf_dir, "orders")
+    due = F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", due), "yyyy-MM-dd").alias("due_month")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
     "orders_priority_pivot",
     """
     SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS o_year,
