@@ -1053,12 +1053,24 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q("multimodal_features")  # no oracle: sha256-derived stub features
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing on a binary column fabricated from text
-    payloads (the fixture set has no media table)."""
+    payloads (the fixture set has no media table).
+
+    The harness hashes collected rows, so the projection must be all
+    hashable scalars — the raw ``features array<double>`` is reduced to
+    its size plus first/last elements (round-tripped deterministically
+    from the sha256 stub kernel)."""
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("payload")
     )
-    return MM.extract_features(media, "payload", "id", n_features=8)
+    feats = MM.extract_features(media, "payload", "id", n_features=8)
+    return feats.select(
+        "id",
+        "n_bytes",
+        F.size("features").alias("n_features"),
+        F.round(F.col("features")[0], 6).alias("f_first"),
+        F.round(F.col("features")[7], 6).alias("f_last"),
+    ).orderBy("id")
 
 
 @_q(

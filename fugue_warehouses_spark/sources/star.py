@@ -37,11 +37,19 @@ def normalize_event_time(df: DataFrame, time_col: str = "ts") -> DataFrame:
 
     Works on batch and streaming frames (stateless projection).
     Integer division: double division loses ulps at ~1.7e18 ns.
+
+    The conversion is pure epoch arithmetic on TIMESTAMP_NTZ — unlike
+    ``timestamp_micros(..).cast("timestamp_ntz")`` it does NOT depend on
+    ``spark.sql.session.timeZone``, so the result is the UTC wall clock
+    under any session (the harness builds a vanilla one).
     """
     if dict(df.dtypes).get(time_col) == "bigint":
         df = df.withColumn(
             time_col,
-            F.timestamp_micros(F.expr(f"{time_col} div 1000")).cast("timestamp_ntz"),
+            F.expr(
+                f"timestampadd(MICROSECOND, {time_col} div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
         )
     return df
 
@@ -60,6 +68,13 @@ def load_star_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _FRAME_CACHE.get(key)
     if cached is not None:
         return cached
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark 4 refuses to
+        # read unless nanos are surfaced as raw longs. This is a runtime
+        # SQL conf, so set it here rather than relying on the session
+        # factory — the loader must work under ANY SparkSession (the
+        # correctness harness builds a vanilla one).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_time(df)
