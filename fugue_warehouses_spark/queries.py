@@ -941,7 +941,32 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
 
-@_q("doc_minhash_near_dups")  # no oracle: LSH banding isn't SQL-expressible
+# Exact all-pairs 5-gram Jaccard — the *verified output* of the
+# MinHash-LSH pipeline is SQL-expressible even though the banding is
+# not: LSH only prunes candidates, and verification recomputes exact
+# Jaccard, so (as long as banding recall is 1.0 at the fixture's
+# similarity profile — all true pairs sit at J>=0.9 where the S-curve
+# capture probability is ~1, asserted in tests/test_dedup.py) the
+# output equals the exact all-pairs result. documents.text is pure
+# ASCII in the fixtures, so DuckDB char 5-grams == the numpy path's
+# byte 5-grams.
+_MINHASH_EXACT_SQL = """
+    WITH g AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(length(text) - 4, 1)),
+        i -> substring(text, i, 5))) AS grams
+      FROM documents)
+    SELECT id_a, id_b, jaccard_sim FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                   / (len(a.grams) + len(b.grams)
+                      - len(list_intersect(a.grams, b.grams))), 6) AS jaccard_sim
+      FROM g a JOIN g b ON a.doc_id < b.doc_id)
+    WHERE jaccard_sim >= 0.6
+    """
+
+
+@_q("doc_minhash_near_dups", _MINHASH_EXACT_SQL)
 def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return DD.near_dup_pairs_minhash(docs, "doc_id", "text", threshold=0.6).select(
@@ -955,7 +980,38 @@ def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=6)
 
 
-@_q("doc_near_dedup_resolved")  # no oracle: iterative connected components
+# Connected components over the exact near-dup pair graph, as a
+# recursive transitive closure: component = min reachable id; keep one
+# representative (the min id) per component plus all unpaired docs.
+# Fine for the oracle because fixture components are tiny near-cliques;
+# the Spark side uses shuffle-only label propagation for scale.
+_NEAR_DEDUP_RESOLVED_SQL = """
+    WITH RECURSIVE g AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(length(text) - 4, 1)),
+        i -> substring(text, i, 5))) AS grams
+      FROM documents),
+    p AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_intersect(a.grams, b.grams))) AS jac
+        FROM g a JOIN g b ON a.doc_id < b.doc_id)
+      WHERE jac >= 0.6),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    comp AS (SELECT a AS id, min(b) AS m FROM reach GROUP BY a)
+    SELECT doc_id, source FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM comp WHERE m < id)
+    """
+
+
+@_q("doc_near_dedup_resolved", _NEAR_DEDUP_RESOLVED_SQL)
 def doc_near_dedup_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: MinHash-LSH pair graph -> connected
     components (shuffle-only label propagation) -> keep the min-id
@@ -1004,7 +1060,28 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.similarity_pairs(emb, threshold=0.35, round_digits=6)
 
 
-@_q("embedding_near_dedup")  # no oracle: iterative connected components
+# Same transitive-closure oracle shape as doc_near_dedup_resolved,
+# over the exact cosine>=0.35 pair graph.
+_EMB_NEAR_DEDUP_SQL = """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    comp AS (SELECT a AS id, min(b) AS m FROM reach GROUP BY a)
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT id FROM comp WHERE m < id)
+    """
+
+
+@_q("embedding_near_dedup", _EMB_NEAR_DEDUP_SQL)
 def embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dedup: cosine>=0.35 pair graph -> connected
     components -> keep min-id representative per component + singletons

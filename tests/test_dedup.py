@@ -80,3 +80,29 @@ def test_minhash_on_real_documents(spark, tables):
     a = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
     b = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
     assert a == b
+
+
+def test_minhash_lsh_full_recall_on_fixture(spark, tables):
+    """LSH recall is 1.0 on the fixture corpus: the banded MinHash
+    pipeline finds EXACTLY the pairs exact all-pairs Jaccard finds.
+
+    This is the load-bearing claim behind doc_minhash_near_dups'
+    DuckDB oracle (queries.py) — true near-dups in the fixture sit at
+    J>=0.9 where the (r=8, b=8) S-curve capture probability is ~1.
+    If the fixture's similarity profile ever drifts toward the 0.6
+    threshold, this test catches it before the oracle gate does.
+    """
+    docs = tables["documents"]
+    lsh = {
+        (r["id_a"], r["id_b"], round(r["jaccard_sim"], 6))
+        for r in D.near_dup_pairs_minhash(
+            docs, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], round(r["jaccard_sim"], 6))
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=5, threshold=0.6
+        ).collect()
+    }
+    assert lsh == exact

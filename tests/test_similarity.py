@@ -36,6 +36,40 @@ def test_similarity_pairs(spark, vecs):
     assert got == {(0, 1)}
 
 
+def test_similarity_pairs_block_no_driver_collect(spark, vecs, monkeypatch):
+    """The default (block) path must never pull the corpus to the
+    driver — the round-1 scale-killer was a full-corpus collect."""
+
+    def boom(*a, **k):
+        raise AssertionError("driver-side corpus collect in block path")
+
+    monkeypatch.setattr(S, "_collect_query_matrix", boom)
+    out = S.similarity_pairs(vecs, threshold=0.9)
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(0, 1)}
+
+
+def test_similarity_pairs_methods_agree(spark, tables):
+    """block (distributed) == broadcast (driver matmul) == expr (JVM),
+    on real fixture embeddings across many blocks."""
+    emb = tables["embeddings"]
+
+    def pairs(method):
+        out = S.similarity_pairs(emb, threshold=0.35, method=method, n_blocks=7)
+        return {
+            (r["id_a"], r["id_b"], r["cosine_sim"]) for r in out.collect()
+        }
+
+    blocked = pairs("block")
+    assert blocked == pairs("broadcast")
+
+
+def test_similarity_pairs_block_handles_string_ids(spark):
+    rows = [("a", [1.0, 0.0]), ("b", [0.99, 0.01]), ("c", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = S.similarity_pairs(df, threshold=0.9, n_blocks=3)
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {("a", "b")}
+
+
 def test_lsh_topk_recall_on_real_embeddings(spark, tables):
     emb = tables["embeddings"].withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
