@@ -209,9 +209,11 @@ def _shingle_minhash_numpy(
     B = rng.integers(0, 2**62, size=num_hashes, dtype=np.uint64)
     POW = (np.uint64(257) ** np.arange(shingle - 1, -1, -1, dtype=np.uint64))
 
+    # id dtype propagated from the input, not assumed int64 — string
+    # or decimal doc ids must survive the Arrow round-trip
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            T.StructField(id_col, df.schema[id_col].dataType),
             T.StructField("__grams", T.ArrayType(T.LongType())),
             T.StructField("__sig", T.ArrayType(T.LongType())),
         ]
@@ -391,7 +393,7 @@ def _simhash_bits_numpy(
 
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            T.StructField(id_col, df.schema[id_col].dataType),
             T.StructField("__bits", T.ArrayType(T.IntegerType())),
         ]
     )

@@ -33,7 +33,8 @@ def _collect_query_matrix(queries: DataFrame, query_id: str, query_vec: str):
     import numpy as np
 
     rows = queries.select(query_id, query_vec).collect()
-    ids = np.array([r[0] for r in rows], dtype="int64")
+    # no dtype coercion on ids: string/decimal id columns must survive
+    ids = np.asarray([r[0] for r in rows])
     mat = np.array([list(r[1]) for r in rows], dtype="float64")
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -116,8 +117,8 @@ def _topk_numpy(
     qids, qmat = _collect_query_matrix(queries, query_id, query_vec)
     schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("match_id", T.LongType()),
+            T.StructField("query_id", queries.schema[query_id].dataType),
+            T.StructField("match_id", corpus.schema[corpus_id].dataType),
             T.StructField("cosine_sim", T.DoubleType()),
         ]
     )
@@ -127,7 +128,7 @@ def _topk_numpy(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids = pdf[corpus_id].to_numpy(dtype="int64")
+            ids = pdf[corpus_id].to_numpy()
             mat = np.stack(pdf[corpus_vec].to_numpy()).astype("float64")
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
@@ -324,10 +325,11 @@ def _pairs_numpy(
     spark = corpus.sparkSession
     all_ids, all_mat = _collect_query_matrix(corpus, id_col, vec_col)
     bc = spark.sparkContext.broadcast((all_ids, all_mat))
+    id_type = corpus.schema[id_col].dataType
     schema = T.StructType(
         [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
             T.StructField("cosine_sim", T.DoubleType()),
         ]
     )
@@ -337,7 +339,7 @@ def _pairs_numpy(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids = pdf[id_col].to_numpy(dtype="int64")
+            ids = pdf[id_col].to_numpy()
             mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
@@ -393,9 +395,11 @@ def ivf_topk(
     from pyspark.sql import types as T
 
     # --- 1. train centroids on a sample (spherical k-means) ---------
-    n_corpus = corpus.count()
-    frac = min(1.0, train_sample / max(1, n_corpus))
-    sample = corpus.select(corpus_vec).sample(fraction=frac, seed=seed).collect()
+    # limit() instead of count()+sample(): sizing the fraction cost a
+    # full corpus scan just to train on <=train_sample rows. limit
+    # short-circuits the scan (CollectLimitExec reads only the splits
+    # it needs) and is deterministic for a fixed source.
+    sample = corpus.select(corpus_vec).limit(train_sample).collect()
     mat = np.array([list(r[0]) for r in sample], dtype="float64")
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -423,8 +427,8 @@ def ivf_topk(
 
     schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("match_id", T.LongType()),
+            T.StructField("query_id", queries.schema[query_id].dataType),
+            T.StructField("match_id", corpus.schema[corpus_id].dataType),
             T.StructField("cosine_sim", T.DoubleType()),
         ]
     )
@@ -434,7 +438,7 @@ def ivf_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids = pdf[corpus_id].to_numpy(dtype="int64")
+            ids = pdf[corpus_id].to_numpy()
             m = np.stack(pdf[corpus_vec].to_numpy()).astype("float64")
             nr = np.linalg.norm(m, axis=1, keepdims=True)
             nr[nr == 0] = 1.0
@@ -480,12 +484,26 @@ def _srp_signature(vec_col: str, dim: int, n_planes: int, seed: int, table):
     xxhash64(seed, table, p, d) scaled to [-1, 1) — each LSH table gets
     an independent plane family, identical on every executor (no RNG
     state to ship). bit_p = (v . plane_p) >= 0.
+
+    A vector whose length differs from ``dim`` raises per-row instead
+    of silently zip-padding nulls (null sign bits would quietly degrade
+    buckets, in the worst case collapsing everything into one bucket —
+    a hidden quadratic re-rank).
     """
     def component(p, d):
         h = F.xxhash64(F.lit(seed), table, p, d)
         return (h.cast("double") / F.lit(float(2**63))).cast("double")
 
     vec = F.col(vec_col)
+    dim_guard = F.when(F.size(vec) == dim, F.lit(0.0)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("srp_signature: embedding length "),
+                F.size(vec).cast("string"),
+                F.lit(f" != dim {dim}"),
+            )
+        ).cast("double")
+    )
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_planes - 1)),
         lambda p: (
@@ -495,7 +513,7 @@ def _srp_signature(vec_col: str, dim: int, n_planes: int, seed: int, table):
                     F.sequence(F.lit(0), F.lit(dim - 1)),
                     lambda x, d: x.cast("double") * component(p, d),
                 ),
-                F.lit(0.0),
+                dim_guard,
                 lambda acc, x: acc + x,
             )
             >= 0

@@ -38,8 +38,24 @@ def asof_join_backward(
 ) -> DataFrame:
     """Backward as-of join. Output = all left columns + right_payload
     (null where no right row at-or-before the left time exists).
+
+    ``right_payload`` names must not collide with left columns (other
+    than the ``by`` keys) — a collision would silently produce
+    ambiguous output, so it raises instead.
     """
     lcols = left.columns
+    left_non_key = {c for c in lcols if c not in by}
+    clash = left_non_key.intersection(right_payload)
+    if clash:
+        raise ValueError(
+            f"right_payload columns collide with left columns: {sorted(clash)}; "
+            "rename them on the right frame before the as-of join"
+        )
+    reserved = {"__t", "__side"}.intersection(lcols) | {
+        c for c in right_payload if c in ("__t", "__side")
+    }
+    if reserved:
+        raise ValueError(f"column names {sorted(reserved)} are reserved here")
     tagged_l = left.select(
         *by,
         F.col(left_time).alias("__t"),

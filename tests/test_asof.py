@@ -57,3 +57,16 @@ def test_asof_preserves_left_columns(spark):
     assert set(out.columns) == {"k", "t", "s", "extra", "v"}
     row = out.collect()[0]
     assert row["extra"] == 5 and row["v"] == 1.5
+
+
+def test_asof_rejects_payload_collision(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 1.0)], "k long, t timestamp_ntz, v double"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), 2.0)], "k long, rt timestamp_ntz, v double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join_backward(left, right, ["k"], "t", "rt", ["v"])

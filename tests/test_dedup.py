@@ -106,3 +106,12 @@ def test_minhash_lsh_full_recall_on_fixture(spark, tables):
         ).collect()
     }
     assert lsh == exact
+
+
+def test_minhash_string_ids(spark):
+    rows = [("da", "the quick brown fox jumps over the lazy dog " * 4),
+            ("db", "the quick brown fox jumps over the lazy dog " * 4),
+            ("dc", "a completely different document about spark engines")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = D.near_dup_pairs_minhash(df, "doc_id", "text", threshold=0.6)
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {("da", "db")}

@@ -107,3 +107,20 @@ def test_ivf_topk_recall_on_real_embeddings(spark, tables):
     b = {(r["query_id"], r["match_id"]) for r in S.ivf_topk(
         emb, queries, k=5, n_centroids=32, n_probe=8).collect()}
     assert a == b
+
+
+def test_lsh_topk_dim_mismatch_raises(spark, vecs):
+    import pytest
+
+    # vecs are 3-dim; dim=5 must raise, not silently degrade buckets
+    with pytest.raises(Exception, match="!= dim 5"):
+        S.lsh_topk(vecs, vecs, k=2, dim=5, n_planes=4, n_tables=2).collect()
+
+
+def test_brute_force_topk_string_ids(spark):
+    rows = [("q", [1.0, 0.0]), ("m1", [0.9, 0.1]), ("m2", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = S.brute_force_topk(
+        df, df.filter(F.col("vec_id") == "q"), k=1
+    ).collect()
+    assert [(r["query_id"], r["match_id"]) for r in out] == [("q", "m1")]
