@@ -86,6 +86,63 @@ class SparkWarehouseEngine:
             df = df.select(*columns)
         return WarehouseFrame(df)
 
+    def load_jdbc(
+        self,
+        url: str,
+        table: str,
+        partition_column: str | None = None,
+        lower_bound: int | str | None = None,
+        upper_bound: int | str | None = None,
+        num_partitions: int | None = None,
+        predicates: list[str] | None = None,
+        columns: list[str] | None = None,
+        **properties: str,
+    ) -> WarehouseFrame:
+        """Federated parallel read of a remote database (the Spark analog
+        of the reference's partitioned Storage-API reader,
+        fugue_bigquery/client.py:227-296: driver plans N shards, workers
+        each open their own connection and read one shard).
+
+        Two sharding modes, mutually exclusive:
+
+        - **range**: ``partition_column`` + ``lower_bound`` /
+          ``upper_bound`` + ``num_partitions`` — Spark issues N
+          concurrent range-predicate queries (the stream-count knob of
+          the reference, ``max_stream_count``).
+        - **predicates**: one partition per WHERE fragment — the analog
+          of the reference's explicit ``row_restriction`` sharding.
+
+        With neither, the read is single-partition (correct but serial
+        — fine for small dimension tables only). ``table`` may be a
+        table name or a ``(SELECT ...) t`` derived-table alias;
+        connection settings (driver, user, password, fetchsize...) pass
+        through ``properties``.
+        """
+        if predicates is not None and partition_column is not None:
+            raise ValueError(
+                "pass either partition_column (range mode) or predicates, not both"
+            )
+        if partition_column is not None and (
+            lower_bound is None or upper_bound is None or num_partitions is None
+        ):
+            raise ValueError(
+                "range mode needs lower_bound, upper_bound and num_partitions"
+            )
+        kwargs: dict[str, Any] = {"properties": dict(properties) or None}
+        if partition_column is not None:
+            kwargs.update(
+                column=partition_column,
+                lowerBound=lower_bound,
+                upperBound=upper_bound,
+                numPartitions=num_partitions,
+            )
+        elif predicates is not None:
+            kwargs.update(predicates=list(predicates))
+        df = self.spark.read.jdbc(url, table, **kwargs)
+        if columns:
+            df = df.select(*columns)
+        return WarehouseFrame(df)
+
     # ---- sinks (A6, A7) ------------------------------------------
     def save_table(
         self,

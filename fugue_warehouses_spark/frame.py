@@ -131,7 +131,19 @@ class WarehouseFrame:
         return [list(r) for r in df.limit(n).collect()]
 
     def count(self) -> int:
-        return self._df.count()
+        """Row count, served from parquet footer metadata when possible.
+
+        Mirrors the reference's metadata count shortcut
+        (fugue_bigquery/dataframe.py:53-56): when the frame is a raw
+        file scan (no filter/limit/join/aggregate — projections can't
+        change cardinality), the count is the sum of per-file
+        ``num_rows`` from the parquet footers, read driver-side with no
+        Spark job at all. On a 100 TB table that's a handful of footer
+        reads instead of a cluster-wide scan job. Any other plan shape
+        falls back to ``df.count()``.
+        """
+        fast = _metadata_count(self._df)
+        return fast if fast is not None else self._df.count()
 
     def show(self, n: int = 20) -> None:
         self._df.show(n)
@@ -141,6 +153,53 @@ class WarehouseFrame:
         if not rows:
             raise ValueError("frame is empty")
         return rows[0].asDict(recursive=True)
+
+
+# Plan nodes that cannot change row cardinality. Anything else
+# (Filter, GlobalLimit, Join, Aggregate, Generate/explode, Sample...)
+# disqualifies the metadata shortcut.
+_COUNT_SAFE_NODES = {"LogicalRelation", "Project", "SubqueryAlias", "View"}
+
+
+def _metadata_count(df: DataFrame) -> int | None:
+    """Footer-stats count for bare parquet scans; None when ineligible.
+
+    Eligible = every node in the analyzed plan is cardinality-
+    preserving (scan/projection/alias) and every input file is a local
+    parquet file (object-store paths fall back to the Spark job, which
+    is itself footer-cheap for count)."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            name = n.getClass().getSimpleName()
+            if name not in _COUNT_SAFE_NODES:
+                return None
+            kids = n.children()
+            for i in range(kids.size()):
+                stack.append(kids.apply(i))
+        files = df.inputFiles()
+        if not files:
+            return None
+        paths = []
+        for uri in files:
+            if uri.startswith("file:"):
+                from urllib.parse import unquote, urlparse
+
+                path = unquote(urlparse(uri).path)
+            elif uri.startswith("/"):
+                path = uri
+            else:
+                return None  # remote scheme: let Spark do it
+            if not path.endswith(".parquet"):
+                return None
+            paths.append(path)
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    except Exception:
+        return None
 
 
 def _cast_column(col, from_type: T.DataType, to_type: T.DataType):

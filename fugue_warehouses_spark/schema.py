@@ -49,6 +49,13 @@ _SIMPLE_TO_SPARK: dict[str, T.DataType] = {
     "null": T.NullType(),
 }
 
+# Geospatial policy (SURVEY.md §1.3, mirroring the reference's lossy
+# downcast at fugue_bigquery/_utils.py:41-43,67-68): Spark has no
+# geography type, so geo columns are declared as WKT strings. Parsing a
+# geo type name warns once per call site and yields StringType — the
+# same "as_text + warning" behavior the reference applies on read.
+_GEO_TYPE_NAMES = {"geography", "geometry", "geo"}
+
 _SPARK_TO_SIMPLE: dict[type, str] = {
     T.BooleanType: "bool",
     T.ByteType: "byte",
@@ -150,6 +157,15 @@ class _Parser:
             self.skip_ws()
             self.eat(")")
             return T.DecimalType(p, s)
+        if name in _GEO_TYPE_NAMES:
+            import warnings
+
+            warnings.warn(
+                f"geospatial type {name!r} is stored as a WKT string "
+                "(lossy downcast, same policy as the reference)",
+                stacklevel=4,
+            )
+            return T.StringType()
         if name not in _SIMPLE_TO_SPARK:
             raise self.error(f"unknown type {name!r}")
         return _SIMPLE_TO_SPARK[name]

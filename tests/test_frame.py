@@ -117,3 +117,35 @@ def test_rename_and_select(spark):
 def test_head_with_columns(spark):
     wf = _wf(spark, [["a", 1], ["b", 2], ["c", 3]], "a:str,b:int")
     assert wf.head(2, columns=["b"]) == [[1], [2]]
+
+
+def test_count_served_from_parquet_footers(spark, sf_dir, monkeypatch):
+    """Raw-scan count must come from footer metadata — no Spark job."""
+    from pyspark.sql import DataFrame
+
+    from fugue_warehouses_spark.frame import WarehouseFrame
+
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    expected = raw.count()
+
+    def no_job(self):
+        raise AssertionError("count() ran a Spark job on a raw scan")
+
+    monkeypatch.setattr(DataFrame, "count", no_job)
+    assert WarehouseFrame(raw).count() == expected
+    # projection can't change cardinality: still metadata-served
+    assert WarehouseFrame(raw.select("o_orderkey")).count() == expected
+
+
+def test_count_falls_back_for_filtered_plans(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.frame import WarehouseFrame, _metadata_count
+
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    filtered = raw.filter(F.col("o_orderkey") < 100)
+    assert _metadata_count(filtered) is None  # must NOT trust footers
+    assert WarehouseFrame(filtered).count() == filtered.count()
+    limited = raw.limit(3)
+    assert _metadata_count(limited) is None
+    assert WarehouseFrame(limited).count() == 3

@@ -48,3 +48,31 @@ def test_errors():
         parse_schema("a:")
     with pytest.raises(SchemaParseError):
         parse_schema("a:[int")
+
+
+def test_geo_types_downcast_to_wkt_string():
+    """SURVEY §1.3 geospatial policy: declared geo columns become WKT
+    strings, with a warning (reference: _utils.py:41-43,67-68)."""
+    import warnings
+
+    from pyspark.sql import types as T
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        s = parse_schema("id:long,shape:geography,g2:geometry")
+    assert s["shape"].dataType == T.StringType()
+    assert s["g2"].dataType == T.StringType()
+    assert sum("WKT" in str(x.message) for x in w) == 2
+
+
+def test_geo_cast_matrix_row(spark):
+    """A WKT column round-trips through alter_columns to a geo target
+    as a plain string (no-op cast)."""
+    from fugue_warehouses_spark.frame import WarehouseFrame
+
+    df = spark.createDataFrame(
+        [(1, "POINT (30 10)")], "id long, shape string"
+    )
+    out = WarehouseFrame(df).alter_columns("shape:geography")
+    assert out.schema["shape"].dataType.simpleString() == "string"
+    assert out.native.collect()[0]["shape"] == "POINT (30 10)"
