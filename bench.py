@@ -88,6 +88,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_first_run_sec": cold,
+                "timing": "1 untimed warmup + best of N timed runs",
+                "runs_per_query": 2,
                 "sf": sf,
             }
         )

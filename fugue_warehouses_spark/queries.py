@@ -1560,6 +1560,162 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# SQL-surface widening (SURVEY §2.C): correlated subqueries, lateral
+# explode, exact percentiles, range-frame windows, ordered string_agg,
+# approximate aggregates
+# =====================================================================
+
+
+_SCALAR_SUBQ_SQL = """
+    SELECT o_orderkey, o_totalprice,
+           (SELECT count(*) FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey) AS n_items
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1995-01-01'
+      AND o.o_orderdate <  DATE '1995-02-01'
+    """
+
+
+@_q("orders_scalar_subquery", _SCALAR_SUBQ_SQL)
+def orders_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into a
+    left outer aggregate join; the SQL text runs verbatim on both
+    engines (§2.C pass-through surface)."""
+    register_star_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+@_q(
+    "doc_top_tokens",
+    """
+    SELECT token, count(*) AS n FROM (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+      FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+)
+def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode (unnest) + top-k with total order."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@_q(
+    "lineitem_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+_RANGE_WINDOW_SQL = """
+    SELECT o_orderkey,
+           ((sum(price_cents) OVER w) * 2 + (count(*) OVER w))
+             // ((count(*) OVER w) * 2) / 100.0 AS avg_90d
+    FROM (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             date_diff('day', DATE '1992-01-01', o_orderdate) AS day_num
+      FROM orders)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day_num
+                 RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+    """
+
+
+@_q("orders_trailing_90d_avg", _RANGE_WINDOW_SQL)
+def orders_trailing_90d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): trailing-90-day average
+    order value per customer. Day offsets computed as ints so both
+    engines use the same integer range-frame semantics; the average is
+    computed and rounded to cents entirely in BIGINT arithmetic
+    (floor((2*sum + n) / 2n) = half-up), because (a) double summation
+    order over RANGE peers is engine-dependent and (b) Spark's round()
+    goes through BigDecimal.valueOf's shortest-decimal repr while
+    DuckDB rounds the raw double — .235-boundary values flip."""
+    orders = _t(spark, sf_dir, "orders")
+    day_num = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_num)
+        .rangeBetween(-90, Window.currentRow)
+    )
+    s, n = F.sum(cents).over(w), F.count(F.lit(1)).over(w)
+    t = s * 2 + n
+    # t - t%(2n) is exactly divisible, so the long/long division yields
+    # an integer-valued double exactly (quotient < 2^53) == floor(t/2n)
+    avg = (t - (t % (n * 2))) / (n * 2) / F.lit(100.0)
+    return orders.select(
+        "o_orderkey",
+        avg.alias("avg_90d"),
+    )
+
+
+@_q(
+    "nation_customer_roster",
+    """
+    SELECT n.n_name AS nation,
+           string_agg(c.c_name, ',' ORDER BY c.c_name) AS roster,
+           count(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY n.n_name
+    """,
+)
+def nation_customer_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg): the hashable
+    scalar encoding of a per-group list result."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias(
+                "roster"
+            ),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@_q("orders_approx_distinct")  # no oracle: HLL++ estimate, engine-specific
+def orders_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (§2.C APPROX_COUNT_DISTINCT analog).
+    Estimate quality vs the exact count is pytest-asserted (<2% rsd)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# =====================================================================
 # entry points used by __spark_entry__.py
 # =====================================================================
 

@@ -55,3 +55,16 @@ def test_tumbling_agg_empty_batch(spark):
     out = tumbling_agg(ev, "ts", "15 minutes", {"n": "count(1)"})
     assert out.count() == 0
     assert set(out.columns) == {"window_start", "window_end", "n"}
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    from fugue_warehouses_spark.queries import QUERIES
+
+    row = QUERIES["orders_approx_distinct"](spark, sf_dir).collect()[0]
+    exact = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert abs(row["approx_custkeys"] - exact) / exact < 0.05
