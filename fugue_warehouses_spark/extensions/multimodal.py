@@ -142,18 +142,20 @@ def frame_sample(
         for pdf in batches:
             if not decode_stub:
                 raise NotImplementedError("video demux requires ffmpeg")
+            # column-wise zip, not iterrows (row-at-a-time Series
+            # construction dominates on wide batches); the per-frame
+            # sha256 is the stub "decode kernel" and stays per-item
             ids, idxs, tss, frames = [], [], [], []
-            for _, row in pdf.iterrows():
-                payload = row[payload_col] or b""
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
                 n_frames = max(1, len(payload) // 10240)
                 for i in range(n_frames):
-                    ids.append(int(row[id_col]))
+                    ids.append(int(rid))
                     idxs.append(i)
                     tss.append(i * every_ms)
-                    digest = hashlib.sha256(
-                        bytes(payload) + i.to_bytes(4, "big")
-                    ).digest()
-                    frames.append(digest)
+                    frames.append(
+                        hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
+                    )
             yield pd.DataFrame(
                 {"id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
             )

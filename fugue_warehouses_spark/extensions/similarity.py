@@ -241,7 +241,12 @@ def _pairs_blocked(
     from pyspark.sql import types as T
 
     spark = corpus.sparkSession
-    B = n_blocks or max(2, min(32, spark.sparkContext.defaultParallelism))
+    # default B: small enough that group-scheduling overhead doesn't
+    # dominate (B*(B+1)/2 tasks, xB replication), large enough to
+    # spread the quadratic work; measured sweet spot at local[32] on
+    # the fixture. At real scale pass n_blocks ~ sqrt(2 x cores) so
+    # every core gets ~one block pair.
+    B = n_blocks or max(2, min(8, spark.sparkContext.defaultParallelism))
     id_type = corpus.schema[id_col].dataType
 
     base = corpus.select(
