@@ -1127,26 +1127,49 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.ivf_topk(emb, queries, k=10, n_centroids=32, n_probe=8)
 
 
-@_q("multimodal_features")  # no oracle: sha256-derived stub features
+# The stub decode kernel is sha256-derived (multimodal.py:_fake_features:
+# feature j of the first digest = uint32 at hex offset 8j of
+# sha256(payload || uint32_be(0)), scaled by 2^-32), so DuckDB can
+# reproduce it exactly: re-scale the doubles back to their uint32 words
+# (exact — power-of-two division round-trips losslessly) and compare
+# integers, no float rounding in the compare at all.
+# (DuckDB's sha256 takes VARCHAR only; documents.text is ASCII in the
+# fixtures, so text bytes == utf-8 payload bytes and the 4-byte BE
+# counter 0 appends as four chr(0)s.)
+_MULTIMODAL_SQL = """
+    WITH h AS (
+      SELECT doc_id AS id,
+             octet_length(encode(text))::BIGINT AS n_bytes,
+             sha256(text || chr(0) || chr(0) || chr(0) || chr(0)) AS hx
+      FROM documents)
+    SELECT id, n_bytes, 8 AS n_features,
+           ('0x' || substr(hx, 1, 8))::UBIGINT::BIGINT AS f_first_u32,
+           ('0x' || substr(hx, 57, 8))::UBIGINT::BIGINT AS f_last_u32
+    FROM h
+    """
+
+
+@_q("multimodal_features", _MULTIMODAL_SQL)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing on a binary column fabricated from text
     payloads (the fixture set has no media table).
 
     The harness hashes collected rows, so the projection must be all
-    hashable scalars — the raw ``features array<double>`` is reduced to
-    its size plus first/last elements (round-tripped deterministically
-    from the sha256 stub kernel)."""
+    hashable scalars — the ``features array<double>`` is reduced to its
+    size plus the first/last feature words recovered as exact uint32
+    integers."""
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("id"), F.encode("text", "utf-8").alias("payload")
     )
     feats = MM.extract_features(media, "payload", "id", n_features=8)
+    u32 = F.lit(4294967296.0)
     return feats.select(
         "id",
         "n_bytes",
         F.size("features").alias("n_features"),
-        F.round(F.col("features")[0], 6).alias("f_first"),
-        F.round(F.col("features")[7], 6).alias("f_last"),
+        (F.col("features")[0] * u32).cast("long").alias("f_first_u32"),
+        (F.col("features")[7] * u32).cast("long").alias("f_last_u32"),
     ).orderBy("id")
 
 
