@@ -974,10 +974,17 @@ def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("doc_simhash_near_dups")  # no oracle: banded Hamming join
+@_q("doc_simhash_near_dups")  # no oracle: simhash mixing isn't SQL-expressible
 def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT result despite the banding: with 4 bands over 64 bits, any
+    pair with Hamming distance <= 3 must agree on >= 1 whole band
+    (pigeonhole), so candidate generation has recall 1 by construction
+    and the output is exactly {pairs : hamming(simhash) <= 3} — only
+    the simhash mixing itself keeps this off the SQL oracle
+    (splitmix64 needs wrapping u64 multiply). Completeness vs
+    brute-force Hamming is pytest-asserted (test_dedup.py)."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=6)
+    return DD.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=3, bands=4)
 
 
 # Connected components over the exact near-dup pair graph, as a
@@ -1724,6 +1731,37 @@ def nation_customer_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n_customers"),
         )
+    )
+
+
+@_q(
+    "lineitem_unpivot_charges",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             round(sum(l_extendedprice), 2) AS base,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS discounted,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS charged
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, measure, amount FROM (
+      SELECT l_returnflag, 'base' AS measure, base AS amount FROM s
+      UNION ALL SELECT l_returnflag, 'discounted', discounted FROM s
+      UNION ALL SELECT l_returnflag, 'charged', charged FROM s)
+    """,
+)
+def lineitem_unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (§2.C): wide aggregate -> long (measure, amount)
+    rows. Spark's native unpivot == SQL stack == the UNION ALL oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    s = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("base"),
+        F.round(F.sum(disc), 2).alias("discounted"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("charged"),
+    )
+    return s.unpivot(
+        ["l_returnflag"], ["base", "discounted", "charged"], "measure", "amount"
     )
 
 

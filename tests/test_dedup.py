@@ -115,3 +115,33 @@ def test_minhash_string_ids(spark):
     df = spark.createDataFrame(rows, "doc_id string, text string")
     out = D.near_dup_pairs_minhash(df, "doc_id", "text", threshold=0.6)
     assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {("da", "db")}
+
+
+def test_simhash_banding_complete_vs_bruteforce(spark, tables):
+    """Pigeonhole completeness: banded SimHash (4 bands, hamming<=3)
+    equals brute-force exact Hamming over all pairs — the claim that
+    makes doc_simhash_near_dups exact rather than approximate."""
+    from fugue_warehouses_spark.extensions.dedup import (
+        _simhash_bits_numpy,
+        hamming,
+    )
+
+    docs = tables["documents"]
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming_dist"])
+        for r in D.near_dup_pairs_simhash(
+            docs, "doc_id", "text", max_hamming=3, bands=4
+        ).collect()
+    }
+    bits = _simhash_bits_numpy(docs, "doc_id", "text", 64)
+    a = bits.select(F.col("doc_id").alias("id_a"), F.col("__bits").alias("__ba"))
+    b = bits.select(F.col("doc_id").alias("id_b"), F.col("__bits").alias("__bb"))
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming_dist"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming_dist", hamming(F.col("__ba"), F.col("__bb")))
+        .filter(F.col("hamming_dist") <= 3)
+        .collect()
+    }
+    assert banded == brute

@@ -136,3 +136,38 @@ def test_q9_fact_table_never_pre_shuffles(spark, sf_dir):
     — lineitem must not hash-partition before its joins."""
     plan = _simple(QUERIES["q9_profit_by_nation"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_scalar_subquery_decorrelates_to_aggregate_join(spark, sf_dir):
+    """Catalyst must rewrite the correlated scalar subquery into an
+    aggregate + join — no per-row re-execution of the inner query."""
+    plan = _simple(QUERIES["orders_scalar_subquery"](spark, sf_dir))
+    assert "Join" in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_similarity_block_path_is_one_grouping_shuffle(spark, sf_dir):
+    """The block all-pairs plan: one explode + one hash exchange on the
+    group key feeding FlatMapGroupsInPandas — and NO broadcast of the
+    corpus, no cartesian product."""
+    from fugue_warehouses_spark.extensions import similarity as S
+
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    plan = _plan(S.similarity_pairs(emb, threshold=0.35))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" not in plan
+    assert plan.count("Exchange") <= 2  # group-key hash exchange (+AQE read)
+
+
+def test_metadata_count_runs_no_job(spark, sf_dir):
+    """Raw-scan count must not schedule any Spark job."""
+    from fugue_warehouses_spark.frame import WarehouseFrame
+
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    n = WarehouseFrame(raw).count()
+    after = tracker.getJobIdsForGroup(None)
+    assert n > 0
+    assert before == after
