@@ -127,6 +127,15 @@ class WarehouseFrame:
             yield row.asDict(recursive=True)
 
     def head(self, n: int, columns: list[str] | None = None) -> list[list[Any]]:
+        """First n rows, via a driver-side parquet read when the frame
+        is a bare scan (the reference's ``list_rows`` fast path,
+        fugue_bigquery/dataframe.py:88-108) — no Spark job, only the
+        first file(s') leading row groups are touched. Falls back to
+        ``limit(n).collect()`` (itself a short-circuit scan) whenever
+        the plan or the file types make the shortcut unsafe."""
+        fast = _metadata_head(self._df, n, columns)
+        if fast is not None:
+            return fast
         df = self._df.select(*columns) if columns else self._df
         return [list(r) for r in df.limit(n).collect()]
 
@@ -169,35 +178,90 @@ def _metadata_count(df: DataFrame) -> int | None:
     parquet file (object-store paths fall back to the Spark job, which
     is itself footer-cheap for count)."""
     try:
-        node = df._jdf.queryExecution().analyzed()
-        stack = [node]
-        while stack:
-            n = stack.pop()
-            name = n.getClass().getSimpleName()
-            if name not in _COUNT_SAFE_NODES:
-                return None
-            kids = n.children()
-            for i in range(kids.size()):
-                stack.append(kids.apply(i))
-        files = df.inputFiles()
-        if not files:
+        paths = _local_scan_files(df, _COUNT_SAFE_NODES)
+        if paths is None:
             return None
-        paths = []
-        for uri in files:
-            if uri.startswith("file:"):
-                from urllib.parse import unquote, urlparse
-
-                path = unquote(urlparse(uri).path)
-            elif uri.startswith("/"):
-                path = uri
-            else:
-                return None  # remote scheme: let Spark do it
-            if not path.endswith(".parquet"):
-                return None
-            paths.append(path)
         import pyarrow.parquet as pq
 
         return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    except Exception:
+        return None
+
+
+def _local_scan_files(df: DataFrame, allowed_nodes: set[str]) -> list[str] | None:
+    """Local parquet paths backing ``df`` iff every plan node is in
+    ``allowed_nodes``; None otherwise."""
+    node = df._jdf.queryExecution().analyzed()
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n.getClass().getSimpleName() not in allowed_nodes:
+            return None
+        kids = n.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    files = df.inputFiles()
+    if not files:
+        return None
+    paths = []
+    for uri in files:
+        if uri.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            path = unquote(urlparse(uri).path)
+        elif uri.startswith("/"):
+            path = uri
+        else:
+            return None
+        if not path.endswith(".parquet"):
+            return None
+        paths.append(path)
+    return paths
+
+
+# Arrow types whose to_pylist() values match Spark's collect() values
+# exactly. Anything else (ns/tz timestamps, decimals, nested) falls
+# back to the Spark path rather than risking a conversion delta.
+def _arrow_type_safe(t) -> bool:
+    import pyarrow as _pa
+
+    if t in (
+        _pa.bool_(), _pa.int8(), _pa.int16(), _pa.int32(), _pa.int64(),
+        _pa.float32(), _pa.float64(), _pa.string(), _pa.large_string(),
+        _pa.binary(), _pa.date32(),
+    ):
+        return True
+    return _pa.types.is_timestamp(t) and t.unit == "us" and t.tz is None
+
+
+def _metadata_head(
+    df: DataFrame, n: int, columns: list[str] | None
+) -> list[list[Any]] | None:
+    """First-n rows straight from the leading parquet row groups;
+    None when the plan isn't a bare local scan or types are unsafe."""
+    try:
+        # scan only — a Project would reorder/derive columns; the
+        # ``columns`` argument is applied here instead
+        paths = _local_scan_files(df, {"LogicalRelation"})
+        if paths is None:
+            return None
+        import pyarrow.parquet as pq
+
+        cols = list(columns) if columns else list(df.columns)
+        out: list[list[Any]] = []
+        for path in paths:
+            pf = pq.ParquetFile(path)
+            if not all(
+                _arrow_type_safe(pf.schema_arrow.field(c).type) for c in cols
+            ):
+                return None
+            for batch in pf.iter_batches(batch_size=n, columns=cols):
+                tbl = batch.to_pylist()
+                for row in tbl:
+                    out.append([row[c] for c in cols])
+                    if len(out) == n:
+                        return out
+        return out
     except Exception:
         return None
 

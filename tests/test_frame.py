@@ -149,3 +149,42 @@ def test_count_falls_back_for_filtered_plans(spark, sf_dir):
     limited = raw.limit(3)
     assert _metadata_count(limited) is None
     assert WarehouseFrame(limited).count() == 3
+
+
+def test_head_served_from_parquet_no_job(spark, sf_dir, monkeypatch):
+    from pyspark.sql import DataFrame
+
+    from fugue_warehouses_spark.frame import WarehouseFrame
+
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    expected = [list(r) for r in raw.limit(3).collect()]
+
+    def no_job(self, *a, **k):
+        raise AssertionError("head() ran a Spark job on a raw scan")
+
+    monkeypatch.setattr(DataFrame, "collect", no_job)
+    got = WarehouseFrame(raw).head(3)
+    assert got == expected
+    # column slice honored, still no job
+    got2 = WarehouseFrame(raw).head(2, columns=["o_custkey", "o_orderkey"])
+    assert [len(r) for r in got2] == [2, 2]
+    assert got2[0] == [expected[0][1], expected[0][0]]
+
+
+def test_head_falls_back_on_derived_plans(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.frame import WarehouseFrame, _metadata_head
+
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    proj = raw.select((F.col("o_orderkey") * 2).alias("x"))
+    assert _metadata_head(proj, 2, None) is None
+    assert WarehouseFrame(proj).head(2) == [
+        list(r) for r in proj.limit(2).collect()
+    ]
+    # events has nanosecond timestamps -> arrow type unsafe or long;
+    # whatever the session state, head must agree with Spark collect
+    from fugue_warehouses_spark.sources import load_star_table
+
+    ev = load_star_table(spark, sf_dir, "events")
+    assert WarehouseFrame(ev).head(2) == [list(r) for r in ev.limit(2).collect()]
