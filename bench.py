@@ -46,6 +46,17 @@ BENCH_QUERIES = [
     "events_session_windows",
     "events_asof_last_signup",
     "events_in_error_hours",
+    "q4_priority_late_ships",
+    "q12_priority_class_by_status",
+    "q14_promo_revenue_ratio",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "orders_scalar_subquery",
+    "orders_trailing_90d_avg",
+    "lineitem_percentiles",
+    "lineitem_unpivot_charges",
+    "doc_top_tokens",
+    "multimodal_features",
     "doc_token_stats",
     "doc_bpe_token_budget",
     "doc_quality_by_source",

@@ -133,3 +133,32 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: c.substr(i, F.lit(n)))
     return F.array_distinct(grams)
+
+
+def chunk_text(
+    col: Column | str, chunk_tokens: int = 64, overlap: int = 16
+) -> Column:
+    """Sliding-window token chunks -> array<string> of chunk texts.
+
+    The standard training-data chunking op: whitespace tokens, windows
+    of ``chunk_tokens`` advancing by ``chunk_tokens - overlap``; the
+    final window may be shorter, and a document always yields >= 1
+    chunk. Pure expressions (sequence + slice + concat_ws), so the
+    explode that usually follows stays JVM-side and the whole thing is
+    SQL-oracle-expressible.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(col)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        ((n - F.lit(overlap) + F.lit(step - 1)) / F.lit(step)).cast("long"),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * step + 1, chunk_tokens)
+        ),
+    )

@@ -1913,6 +1913,48 @@ def lineitem_unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             greatest(1, (len(toks) - 16 + 47) // 48) AS n_chunks
+      FROM t),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      FROM c)
+    SELECT doc_id, chunk_idx,
+           md5(array_to_string(
+             toks[chunk_idx*48+1 : chunk_idx*48+64], ' ')) AS chunk_md5,
+           len(toks[chunk_idx*48+1 : chunk_idx*48+64])::BIGINT AS n_tokens
+    FROM e
+    """
+
+
+@_q("doc_chunks", _CHUNK_SQL)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, 16 overlap) — the
+    training-data prep op between cleaning and tokenization. Chunk
+    payloads are md5'd so the output stays hashable scalars."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(TX.chunk_text("text", chunk_tokens=64, overlap=16)).alias(
+            "chunk_idx", "chunk"
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.md5("chunk").alias("chunk_md5"),
+        F.size(TX.tokens(F.col("chunk"))).cast("long").alias("n_tokens"),
+    )
+
+
 @_q("orders_approx_distinct")  # no oracle: HLL++ estimate, engine-specific
 def orders_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (§2.C APPROX_COUNT_DISTINCT analog).

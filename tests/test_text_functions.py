@@ -52,3 +52,30 @@ def test_char_ngrams(spark):
     # shorter than n -> single truncated gram
     grams2 = _one(spark, "ab", X.char_ngrams("t", 3))
     assert grams2 == ["ab"]
+
+
+def test_chunk_text_window_arithmetic(spark):
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.functions.text import chunk_text
+
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(text,), ("",), ("one",)], "text string")
+    out = df.select(chunk_text("text", chunk_tokens=10, overlap=4).alias("c"))
+    rows = [r["c"] for r in out.collect()]
+    # 100 tokens, step 6: ceil((100-4)/6) = 16 chunks; first covers w0..w9
+    assert len(rows[0]) == 16
+    assert rows[0][0] == " ".join(f"w{i}" for i in range(10))
+    assert rows[0][1].startswith("w6 ")
+    assert rows[0][-1].split()[-1] == "w99"  # tail covered
+    assert rows[1] == [""]  # empty doc -> one empty chunk
+    assert rows[2] == ["one"]
+
+
+def test_chunk_text_rejects_bad_overlap(spark):
+    import pytest
+
+    from fugue_warehouses_spark.functions.text import chunk_text
+
+    with pytest.raises(ValueError):
+        chunk_text("text", chunk_tokens=8, overlap=8)
