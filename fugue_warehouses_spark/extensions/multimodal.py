@@ -161,3 +161,62 @@ def frame_sample(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def resize_images(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    width: int = 64,
+    height: int = 64,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """binary image -> resized thumbnail binary + typed dims.
+
+    Output: (id, thumb binary, width int, height int, n_bytes long).
+    A real kernel would decode -> resample -> re-encode (PIL/libvips —
+    not in this container); the stub emits a deterministic
+    width*height/256-byte pseudo-thumbnail stretched from the payload
+    digest, so partitioning/batch plumbing and output sizing are real
+    and testable. Thumbnails are bounded (*not* payload-sized), which
+    is the property that matters at scale: the shuffle after a resize
+    moves thumbnails, never source payloads.
+    """
+    import hashlib as _hl
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("thumb", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    thumb_len = max(1, width * height // 256)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "image decode/resample requires PIL/libvips, absent here"
+                )
+            ids, thumbs, nbytes = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                seed = _hl.sha256(payload).digest()
+                reps = (thumb_len + len(seed) - 1) // len(seed)
+                thumbs.append((seed * reps)[:thumb_len])
+                ids.append(int(rid))
+                nbytes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "thumb": thumbs,
+                    "width": [width] * len(ids),
+                    "height": [height] * len(ids),
+                    "n_bytes": nbytes,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)

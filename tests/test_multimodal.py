@@ -48,3 +48,36 @@ def test_frame_sample_counts(spark, media):
     assert len(by_id[1]) == 2  # 25000 bytes -> 2 frames
     assert by_id[1][1]["ts_ms"] == 1000
     assert all(len(r["frame"]) == 32 for r in out)
+
+
+def test_resize_images_bounded_output(spark):
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.extensions.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 100_000), (2, b""), (3, None)],
+        "id long, payload binary",
+    )
+    out = resize_images(df, "payload", "id", width=64, height=64).collect()
+    rows = {r["id"]: r for r in out}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert len(r["thumb"]) == 64 * 64 // 256  # bounded, not payload-sized
+        assert (r["width"], r["height"]) == (64, 64)
+    assert rows[1]["n_bytes"] == 100_000
+    assert rows[2]["thumb"] == rows[3]["thumb"]  # empty == null payload
+    # deterministic
+    again = {r["id"]: r["thumb"] for r in resize_images(
+        df, "payload", "id", width=64, height=64).collect()}
+    assert {k: v["thumb"] for k, v in rows.items()} == again
+
+
+def test_resize_images_stub_gate(spark):
+    import pytest
+
+    from fugue_warehouses_spark.extensions.multimodal import resize_images
+
+    df = spark.createDataFrame([(1, b"abc")], "id long, payload binary")
+    with pytest.raises(Exception, match="PIL|libvips|NotImplemented"):
+        resize_images(df, "payload", "id", decode_stub=False).collect()
