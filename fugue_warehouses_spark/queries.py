@@ -1955,6 +1955,82 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "events_props_map",
+    """
+    WITH kv AS (
+      SELECT unnest(json_keys(props)) AS key, props
+      FROM events WHERE props IS NOT NULL)
+    SELECT key, count(*)::BIGINT AS n,
+           sum(json_extract_string(props, '$.' || key)::BIGINT)::BIGINT
+             AS total
+    FROM kv GROUP BY key
+    """,
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (§2.C / SURVEY §1.3 — the reference declared map
+    but skipped it): JSON -> map<string,string> -> explode(map) ->
+    per-key aggregate."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,string>")).alias(
+            "key", "value"
+        )
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("long")).alias("total"),
+    )
+
+
+@_q(
+    "events_running_totals",
+    """
+    SELECT user_id, count(value)::BIGINT AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful-streaming operator's batch collapse (streaming/
+    stateful.py running_totals): per-key totals, identical semantics in
+    both modes — the registry-visible face of §2.D's custom state op."""
+    from fugue_warehouses_spark.streaming.stateful import running_totals
+
+    ev = _t(spark, sf_dir, "events")
+    out = running_totals(ev, "user_id", "value")
+    return out.select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+    )
+
+
+@_q(
+    "salted_join_revenue",
+    """
+    SELECT o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (operators/skew.py): result must equal the
+    plain join row-for-row — the oracle IS the unsalted join, so the
+    hash check proves salting changes only physical distribution."""
+    from fugue_warehouses_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "orderkey"
+    )
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "orderkey")
+    joined = salted_join(li, o.select("orderkey", "o_orderpriority"), ["orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
 @_q("orders_approx_distinct")  # no oracle: HLL++ estimate, engine-specific
 def orders_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (§2.C APPROX_COUNT_DISTINCT analog).

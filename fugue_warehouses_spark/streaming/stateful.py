@@ -50,8 +50,10 @@ def running_totals(
         ]
     )
     if not df.isStreaming:
+        # count(value) not count(*): the streaming update drops nulls
+        # before counting, so the batch collapse must too
         return df.groupBy(key_col).agg(
-            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.col(value_col)).alias("n_events"),
             F.sum(F.col(value_col).cast("double")).alias("total_value"),
         )
 
