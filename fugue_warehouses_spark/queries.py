@@ -725,12 +725,18 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming session_window operator in streaming/windows.py."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
-        F.lag(F.col("ts")).over(w).cast("timestamp")
-    )
-    flagged = ev.withColumn(
+    # timestampdiff on the NTZ columns directly: the previous
+    # cast-to-LTZ + unix_micros detour shifted both operands by the
+    # session tz — equal shifts cancel, EXCEPT across a DST boundary
+    # under a non-UTC session, where a gap could silently gain/lose an
+    # hour. Pure NTZ arithmetic has no such edge.
+    flagged = ev.withColumn("__prev", F.lag("ts").over(w)).withColumn(
         "new_sess",
-        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800000000), 1).otherwise(0),
+        F.when(
+            F.col("__prev").isNull()
+            | (F.expr("timestampdiff(MICROSECOND, __prev, ts)") > 1800000000),
+            1,
+        ).otherwise(0),
     )
     return flagged.groupBy("user_id").agg(
         F.sum("new_sess").cast("long").alias("n_sessions"),
@@ -1611,9 +1617,14 @@ _Q4_SQL = """
 @_q("q4_priority_late_ships", _Q4_SQL)
 def q4_priority_late_ships(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: correlated EXISTS -> left-semi join; the late-
-    commit predicate adapted to shipdate lag (no commitdate column)."""
+    commit predicate adapted to shipdate lag (no commitdate column).
+
+    Spark executes the same text with TIMESTAMP_NTZ literals: a bare
+    ``TIMESTAMP`` literal is LTZ in Spark SQL, and comparing it to the
+    NTZ o_orderdate column would shift by the (unknown, vanilla)
+    session timezone; DuckDB's TIMESTAMP is already naive."""
     register_star_views(spark, sf_dir)
-    return spark.sql(_Q4_SQL)
+    return spark.sql(_Q4_SQL.replace("TIMESTAMP '", "TIMESTAMP_NTZ '"))
 
 
 @_q(

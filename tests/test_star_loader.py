@@ -78,3 +78,29 @@ def test_normalize_event_time_epoch_arithmetic(spark):
     df = spark.createDataFrame([(1_700_000_000_123_456_789,)], "ts bigint")
     out = normalize_event_time(df).collect()[0]["ts"]
     assert out.strftime("%Y-%m-%d %H:%M:%S.%f") == "2023-11-14 22:13:20.123456"
+
+
+def test_queries_timezone_independent(spark, sf_dir):
+    """Representative queries must return identical rows under a
+    non-UTC session timezone (the harness session's tz is unknown):
+    NTZ arithmetic end-to-end, no LTZ literals or casts."""
+    from fugue_warehouses_spark.queries import QUERIES
+
+    names = [
+        "events_sessionization",
+        "q4_priority_late_ships",
+        "events_hourly_stats",
+        "orders_trailing_90d_avg",
+        "events_asof_last_signup",
+    ]
+
+    def run_all():
+        return {
+            n: sorted([tuple(r) for r in QUERIES[n](spark, sf_dir).collect()], key=repr)
+            for n in names
+        }
+
+    utc = run_all()
+    with _vanilla_confs(spark, {"spark.sql.session.timeZone": "America/New_York"}):
+        ny = run_all()
+    assert utc == ny
