@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fugue_warehouses_spark.frame import WarehouseFrame, frame_from_local
+from fugue_warehouses_spark.naming import TableName
 from fugue_warehouses_spark.operators.take import take as _take
 from fugue_warehouses_spark.plans.checkpoint import (
     deterministic_checkpoint,
@@ -56,9 +57,14 @@ class SparkWarehouseEngine:
         return frame_from_local(self.spark, data, schema)
 
     # ---- scans (A1, A2, A5) --------------------------------------
-    def load_table(self, table: str, columns: list[str] | None = None) -> WarehouseFrame:
-        """Table name or SELECT text -> lazy frame (A1+A2 unified)."""
-        if is_select_query(table):
+    def load_table(
+        self, table: "str | TableName", columns: list[str] | None = None
+    ) -> WarehouseFrame:
+        """Table name (str or parsed TableName) or SELECT text -> lazy
+        frame (A1+A2 unified)."""
+        if isinstance(table, TableName):
+            df = self.spark.table(table.full_name)
+        elif is_select_query(table):
             df = self.spark.sql(table)
         else:
             df = self.spark.table(table)
@@ -147,7 +153,7 @@ class SparkWarehouseEngine:
     def save_table(
         self,
         df: WarehouseFrame | DataFrame,
-        table: str,
+        table: "str | TableName",
         mode: str = "overwrite",
         bucket_by: list[str] | None = None,
         num_buckets: int = 32,
@@ -166,7 +172,9 @@ class SparkWarehouseEngine:
         if bucket_by:
             writer = writer.bucketBy(num_buckets, *bucket_by)
             writer = writer.sortBy(*(sort_by or bucket_by))
-        writer.saveAsTable(table)
+        writer.saveAsTable(
+            table.full_name if isinstance(table, TableName) else table
+        )
 
     def save_df(
         self,
@@ -187,7 +195,9 @@ class SparkWarehouseEngine:
         writer.format(fmt or _infer_format(path)).save(path)
 
     # ---- catalog (A22, A23) --------------------------------------
-    def table_exists(self, name: str) -> bool:
+    def table_exists(self, name: "str | TableName") -> bool:
+        if isinstance(name, TableName):
+            name = name.full_name
         return self.spark.catalog.tableExists(name)
 
     def register_temp(self, df: WarehouseFrame | DataFrame, name: str) -> None:

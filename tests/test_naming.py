@@ -73,3 +73,19 @@ def test_temp_view_lifecycle_with_spark(spark):
     assert spark.catalog.tableExists(name)
     spark.catalog.dropTempView(name)
     assert not spark.catalog.tableExists(name)
+
+
+def test_engine_accepts_tablename(spark, tmp_path):
+    from fugue_warehouses_spark.engine import SparkWarehouseEngine
+    from fugue_warehouses_spark.naming import TableName
+
+    eng = SparkWarehouseEngine(spark)
+    t = TableName("spark_catalog", "default", "tn_roundtrip")
+    d = eng.to_df([[1, "a"], [2, "b"]], "x:long,s:str")
+    try:
+        eng.save_table(d, t)
+        assert eng.table_exists(t)
+        back = eng.load_table(t)
+        assert back.count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tn_roundtrip")
