@@ -1703,15 +1703,23 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: aggregate + HAVING over the fact join.
-    Quantities are integer-valued doubles, so the sums are exact and
-    engine-order-independent."""
+
+    Aggregate-before-join: the group keys contain the join key, so
+    lineitem collapses to one row per orderkey (and the HAVING prunes
+    to the handful of large orders) BEFORE touching orders — at scale
+    the join input shrinks ~|lineitem|/|orders|-fold and the join
+    reuses the aggregation's hash partitioning instead of shuffling
+    the full fact table. Quantities are integer-valued doubles, so the
+    sums are exact and engine-order-independent."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderkey", "o_totalprice")
+    per_order = (
+        li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("total_qty"))
         .filter(F.col("total_qty") > 150)
+    )
+    return per_order.join(o, per_order.l_orderkey == o.o_orderkey).select(
+        "o_orderkey", "o_totalprice", "total_qty"
     )
 
 

@@ -190,3 +190,33 @@ def test_parquet_sink_with_checkpoint_resume(spark, events_path, tmp_path):
     sunk = spark.read.parquet(out)
     assert sunk.count() == batch.count()  # no re-processing of file 1
     assert sunk.select("event_id").distinct().count() == batch.count()
+
+
+def test_stream_static_join_matches_batch(spark, events_path):
+    """Stream-static join (standard enrichment pattern): the streaming
+    events join a static dimension built in-session; result must equal
+    the batch join. Static side broadcasts per micro-batch — no
+    watermark or state needed for stream-static equi-joins."""
+    weights = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+
+    def enrich(df):
+        return (
+            df.join(weights, "event_type")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("value") * F.col("weight")), 2).alias(
+                    "weighted"
+                ),
+            )
+        )
+
+    b = enrich(_batch(spark, events_path))
+    s = run_available_now(
+        enrich(_stream(spark, events_path)), output_mode="complete"
+    )
+    cols = ["event_type", "n", "weighted"]
+    assert _sorted_rows(s, cols) == _sorted_rows(b, cols)
