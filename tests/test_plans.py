@@ -171,3 +171,18 @@ def test_metadata_count_runs_no_job(spark, sf_dir):
     after = tracker.getJobIdsForGroup(None)
     assert n > 0
     assert before == after
+
+
+def test_q18_aggregates_and_prunes_before_join(spark, sf_dir):
+    """Aggregate-before-join: lineitem must collapse per orderkey (with
+    map-side partial_sum) and the HAVING filter must apply BEFORE the
+    join — the join input is the pruned aggregate, not the fact table."""
+    plan = _simple(QUERIES["q18_large_volume_orders"](spark, sf_dir))
+    assert "partial_sum" in plan  # map-side combine
+    join_pos = max(plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
+    agg_pos = plan.find("HashAggregate")
+    filt_pos = plan.find("Filter (isnotnull(total_qty")
+    assert 0 <= join_pos < filt_pos < agg_pos  # filter+agg are join children
+    # scan reads only the two needed lineitem columns
+    read = [ln for ln in plan.splitlines() if "lineitem" in ln][0]
+    assert "l_orderkey" in read and "l_quantity" in read and "l_tax" not in read
