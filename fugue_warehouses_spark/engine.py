@@ -189,10 +189,15 @@ class SparkWarehouseEngine:
         native = _n(df)
         if force_single:
             native = native.coalesce(1)
+        fmt = fmt or _infer_format(path)
+        if fmt == "csv":
+            # symmetric with load_df's csv defaults: write the header
+            # row so a header=true read round-trips
+            options = {"header": "true", **options}
         writer = native.write.mode(mode).options(**options)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.format(fmt or _infer_format(path)).save(path)
+        writer.format(fmt).save(path)
 
     # ---- catalog (A22, A23) --------------------------------------
     def table_exists(self, name: "str | TableName") -> bool:

@@ -192,3 +192,31 @@ def test_approx_count_distinct_within_tolerance(eng):
     approx = df.select(F.approx_count_distinct("k", rsd=0.02)).collect()[0][0]
     assert exact == 5000
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_save_load_csv_json_roundtrip(eng, tmp_path):
+    """A5/A7 format matrix: csv (header+inferSchema) and json line
+    format round-trip through save_df/load_df."""
+    d = eng.to_df([["a", 1, 1.5], ["b", 2, 2.5]], "s:str,x:long,v:double")
+    for fmt in ("csv", "json"):
+        path = str(tmp_path / f"out_{fmt}")
+        eng.save_df(d, path, fmt=fmt)
+        back = eng.load_df(path, fmt=fmt)
+        # json infers columns alphabetically; select to fix order
+        rows = sorted(tuple(r) for r in back.native.select("s", "x", "v").collect())
+        assert rows == [("a", 1, 1.5), ("b", 2, 2.5)]
+
+
+def test_save_df_partition_by_and_force_single(eng, tmp_path):
+    import os
+
+    d = eng.to_df([["a", 1], ["a", 2], ["b", 3]], "k:str,x:long")
+    path = str(tmp_path / "parts")
+    eng.save_df(d, path, partition_by=["k"])
+    assert sorted(
+        n for n in os.listdir(path) if n.startswith("k=")
+    ) == ["k=a", "k=b"]
+    single = str(tmp_path / "single")
+    eng.save_df(d, single, force_single=True)
+    files = [n for n in os.listdir(single) if n.endswith(".parquet")]
+    assert len(files) == 1
