@@ -2050,6 +2050,70 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_sql() -> str:
+    counts = []
+    for lang, markers in TX.LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        counts.append(
+            f"len(list_filter(toks, t -> lower(t) IN ({lst}))) AS c_{lang}"
+        )
+    cases = " ".join(
+        f"WHEN c_{lang} = best THEN '{lang}'" for lang in TX.LANG_MARKERS
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_TOKS} AS toks, len({_TOKS}) AS ntok
+      FROM documents),
+    s AS (
+      SELECT doc_id, source, text, toks, {', '.join(counts)},
+             ((CASE WHEN ntok >= 20 THEN 1.0 ELSE ntok / 20.0 END)
+              + (CASE WHEN coalesce(list_sum(list_transform(toks,
+                     t -> length(t))), 0) / greatest(ntok, 1)
+                     BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN len(list_filter(toks, t ->
+                     t IN ('the','a','an','and','of','to','in','is')))::DOUBLE
+                     / greatest(ntok, 1) >= 0.05 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+             ) / 4.0 AS q
+      FROM t),
+    l AS (
+      SELECT *, greatest(c_en, c_de, c_fr, c_es, c_zh) AS best FROM s),
+    f AS (
+      SELECT doc_id, source, text, toks FROM l
+      WHERE q >= 0.75
+        AND (CASE WHEN best = 0 THEN 'und' {cases} END) = 'en'),
+    d AS (
+      SELECT * FROM f
+      QUALIFY row_number() OVER (
+        PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        ORDER BY doc_id ASC) = 1)
+    SELECT source, count(*)::BIGINT AS n_docs,
+           CAST(sum(list_sum(list_transform(toks,
+                t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))) AS BIGINT)
+             AS est_tokens
+    FROM d GROUP BY source
+    """
+
+
+@_q("doc_training_pipeline", _pipeline_sql())
+def doc_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data prep pipeline as ONE composed lazy
+    plan: quality filter -> language filter (en) -> fingerprint dedup
+    -> per-source token budget. Every stage is the same operator the
+    standalone queries use; Catalyst fuses the whole thing into a scan
+    + two shuffles (dedup window, final aggregate)."""
+    docs = _t(spark, sf_dir, "documents")
+    filtered = docs.filter(
+        (TX.quality_score("text") >= 0.75) & (TX.lang_id("text") == "en")
+    )
+    deduped = DD.fingerprint_dedup(filtered, "text", "doc_id")
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.bpe_token_estimate("text")).cast("long").alias("est_tokens"),
+    )
+
+
 @_q("orders_approx_distinct")  # no oracle: HLL++ estimate, engine-specific
 def orders_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (§2.C APPROX_COUNT_DISTINCT analog).
