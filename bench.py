@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "lineitem_unpivot_charges",
     "doc_top_tokens",
     "multimodal_features",
+    "doc_chunks",
+    "doc_training_pipeline",
+    "events_props_map",
+    "events_running_totals",
+    "salted_join_revenue",
     "doc_token_stats",
     "doc_bpe_token_budget",
     "doc_quality_by_source",

@@ -2042,7 +2042,12 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "orderkey"
     )
     o = _t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "orderkey")
-    joined = salted_join(li, o.select("orderkey", "o_orderpriority"), ["orderkey"])
+    # salt=4 here: the dial trades replication of the dim side (x salt)
+    # against per-task hot-key width; a real skew case sizes it to the
+    # hottest key's row count / target partition size
+    joined = salted_join(
+        li, o.select("orderkey", "o_orderpriority"), ["orderkey"], salt=4
+    )
     return joined.groupBy("o_orderpriority").agg(
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
