@@ -306,7 +306,12 @@ def frame_from_local(
         wf = WarehouseFrame(data)
         return wf if struct is None else wf.alter_columns(struct)
     if isinstance(data, pa.Table):
-        df = spark.createDataFrame(data.to_pandas(), schema=struct)
+        try:
+            # Spark 4 ingests Arrow tables directly (zero-copy batches,
+            # no pandas detour)
+            df = spark.createDataFrame(data, schema=struct)
+        except Exception:
+            df = spark.createDataFrame(data.to_pandas(), schema=struct)
         return WarehouseFrame(df)
     import pandas as pd
 
