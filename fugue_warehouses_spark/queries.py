@@ -2055,6 +2055,38 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "lineitem_bag_setops",
+    """
+    WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45),
+         b AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+    SELECT 'intersect_all' AS op, count(*)::BIGINT AS n
+    FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'except_all', count(*)::BIGINT
+    FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    """,
+)
+def lineitem_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set ops — INTERSECT ALL / EXCEPT ALL preserve
+    duplicate multiplicity, unlike the distinct variants (B6)."""
+    eng = SparkWarehouseEngine(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    ia = (
+        eng.intersect(a, b, distinct=False)
+        .native.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "n")
+    )
+    ea = (
+        eng.subtract(a, b, distinct=False)
+        .native.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "n")
+    )
+    return ia.unionByName(ea)
+
+
 def _pipeline_sql() -> str:
     counts = []
     for lang, markers in TX.LANG_MARKERS.items():
