@@ -2056,6 +2056,30 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "take_nulls_first_events",
+    """
+    SELECT event_type, event_id, value FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value DESC NULLS FIRST, event_id ASC) AS rn
+      FROM events) WHERE rn <= 3
+    """,
+)
+def take_nulls_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """take() with explicit NULL positioning (B10): events.value has
+    real nulls, so nulls-first per-partition take is observable — the
+    null rows must win the top slots."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return take(
+        ev,
+        3,
+        presort="value desc, event_id asc",
+        na_position="first",
+        partition_by=["event_type"],
+    )
+
+
+@_q(
     "lineitem_bag_setops",
     """
     WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45),

@@ -186,3 +186,14 @@ def test_q18_aggregates_and_prunes_before_join(spark, sf_dir):
     # scan reads only the two needed lineitem columns
     read = [ln for ln in plan.splitlines() if "lineitem" in ln][0]
     assert "l_orderkey" in read and "l_quantity" in read and "l_tax" not in read
+
+
+def test_events_filter_pushes_through_ts_normalization(spark, sf_dir):
+    """The events loader wraps the scan in a timestampadd projection;
+    filters on OTHER columns must still push through it into the
+    parquet scan (Catalyst pushes predicates past deterministic
+    projects)."""
+    ev = load_star_table(spark, sf_dir, "events")
+    plan = _plan(ev.filter(F.col("event_type") == "error").select("event_id"))
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,error)" in plan.replace(" ", "")
