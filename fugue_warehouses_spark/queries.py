@@ -980,15 +980,69 @@ def doc_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("doc_simhash_near_dups")  # no oracle: simhash mixing isn't SQL-expressible
+def _simhash_sql() -> str:
+    """DuckDB twin of the full SimHash pipeline — including the
+    splitmix64-style mixing, which needs wrapping u64 arithmetic:
+    multiplication mod 2^64 is done in 32-bit limbs over HUGEINT
+    (each partial product < 2^96 fits int128), xorshift via UBIGINT
+    xor + integer division. Bits pack into one UBIGINT so pair
+    Hamming distance is bit_count(xor(a, b))."""
+    m = "18446744073709551616::HUGEINT"  # 2^64
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    poly = (
+        "CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),"
+        " list_transform(generate_series(1, length(t)),"
+        " i -> CAST(ascii(t[i]) AS HUGEINT))),"
+        f" (acc, c) -> (acc * 257 + c) % {m}) AS HUGEINT)"
+    )
+
+    def mul64(h: str, c: int) -> str:
+        return (
+            f"((({h}) % 4294967296) * {c}"
+            f" + ((((({h}) // 4294967296) * {c}) % 4294967296)"
+            f" * 4294967296)) % {m}"
+        )
+
+    def xorshift(h: str, s: int) -> str:
+        return (
+            f"(CAST(xor(CAST(({h}) AS UBIGINT),"
+            f" CAST(({h}) // {2**s} AS UBIGINT)) AS HUGEINT))"
+        )
+
+    mix = xorshift(mul64(xorshift(mul64(xorshift(poly, 30), c1), 27), c2), 31)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN [CAST(0 AS UBIGINT)]
+                  ELSE list_transform(toks, t -> CAST(({mix}) AS UBIGINT))
+             END AS hashes
+      FROM t),
+    s AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(0, 63), b ->
+               CASE WHEN list_sum(list_transform(hashes, x ->
+                      CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                    THEN (CAST(1 AS UBIGINT) << b)
+                    ELSE CAST(0 AS UBIGINT) END)) AS UBIGINT) AS packed
+      FROM h)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.packed, b.packed)) AS INTEGER) AS hamming_dist
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.packed, b.packed)) <= 3
+    """
+
+
+@_q("doc_simhash_near_dups", _simhash_sql())
 def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT result despite the banding: with 4 bands over 64 bits, any
     pair with Hamming distance <= 3 must agree on >= 1 whole band
     (pigeonhole), so candidate generation has recall 1 by construction
-    and the output is exactly {pairs : hamming(simhash) <= 3} — only
-    the simhash mixing itself keeps this off the SQL oracle
-    (splitmix64 needs wrapping u64 multiply). Completeness vs
-    brute-force Hamming is pytest-asserted (test_dedup.py)."""
+    and the output is exactly {pairs : hamming(simhash) <= 3} —
+    reproduced bit-for-bit by the DuckDB oracle (_simhash_sql).
+    Completeness vs brute-force Hamming is also pytest-asserted
+    (test_dedup.py)."""
     docs = _t(spark, sf_dir, "documents")
     return DD.near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=3, bands=4)
 
