@@ -141,15 +141,23 @@ def lsh_candidate_pairs(
     sig_col: str = "__sig",
     bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH banding: split the signature into ``bands`` slices of
     ``rows_per_band``; docs colliding on any band slice become a pair.
 
     One explode (xN bands) + one shuffle on (band, bucket-hash). Bucket
     join is self-join grouped by bucket; output pairs are distinct.
-    At scale, skewed mega-buckets (boilerplate docs) are the hazard —
-    the groupBy path lets AQE split skewed partitions, and a bucket-size
-    cap can be added by filtering count() over a bucket window.
+
+    ``max_bucket_size`` is the mega-bucket guard for real corpora: a
+    bucket of k docs yields k^2/2 candidate pairs, so one boilerplate
+    bucket of 10^6 near-identical docs would explode into 5*10^11
+    pairs. Capping drops buckets above the limit BEFORE the self-join
+    (one extra aggregation on the already-shuffled key, no extra
+    shuffle). Trade-off: pairs that only collide in a dropped bucket
+    are missed — with multi-band signatures near-dups keep many other
+    chances, and degenerate boilerplate is usually better handled by
+    exact dedup first. Default off (exact recall preserved).
     """
     banded = df.select(
         F.col(id_col).alias("__id"),
@@ -165,6 +173,13 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("__id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -257,6 +272,7 @@ def near_dup_pairs_minhash(
     shingle: int = 5,
     bands: int = 8,
     use_numpy: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle Jaccard.
 
@@ -305,7 +321,9 @@ def near_dup_pairs_minhash(
         with_sig = with_grams.withColumn(
             "__sig", minhash_signature(F.col("__grams"), num_hashes)
         )
-    pairs = lsh_candidate_pairs(with_sig, id_col, "__sig", bands, rows_per_band)
+    pairs = lsh_candidate_pairs(
+        with_sig, id_col, "__sig", bands, rows_per_band, max_bucket_size
+    )
     # Verification joins back to with_grams, NOT with_sig: the a/b
     # branches then cost only a read of the reused grams Exchange,
     # instead of re-running the 64-pass signature per branch (~5s/branch

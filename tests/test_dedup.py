@@ -145,3 +145,19 @@ def test_simhash_banding_complete_vs_bruteforce(spark, tables):
         .collect()
     }
     assert banded == brute
+
+
+def test_lsh_mega_bucket_cap(spark):
+    """max_bucket_size drops degenerate buckets before the self-join:
+    a clique of identical docs produces zero candidates under a cap
+    smaller than the clique, and the full pair set without it."""
+    rows = [(i, "identical boilerplate text repeated " * 5) for i in range(5)]
+    rows += [(10, "a unique document about engines"),
+             (11, "another unique document entirely different")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.near_dup_pairs_minhash(df, "doc_id", "text", threshold=0.9)
+    assert len(uncapped.collect()) == 10  # 5-clique = C(5,2)
+    capped = D.near_dup_pairs_minhash(
+        df, "doc_id", "text", threshold=0.9, max_bucket_size=2
+    )
+    assert capped.collect() == []
