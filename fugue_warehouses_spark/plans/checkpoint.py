@@ -117,18 +117,30 @@ def deterministic_checkpoint(
         fresh = age_s <= ttl_seconds
 
     if not fresh:
-        tmp = f"{root}/.tmp_{fid}_{uuid.uuid4().hex[:8]}"
+        tmp_name = f".tmp_{fid}_{uuid.uuid4().hex[:8]}"
+        tmp = f"{root}/{tmp_name}"
         df.write.mode("overwrite").parquet(tmp)
         fs, dest = _fs_and_path(spark, path)
         _, tmp_path = _fs_and_path(spark, tmp)
         if fs.exists(dest):
-            # expired (or a racer's stale dir): replace atomically-ish —
-            # delete then rename; a concurrent reader re-reading between
-            # the two sees a missing dir, never a partial one
-            fs.delete(dest, True)
-        if not fs.rename(tmp_path, dest):
-            # another session renamed first; keep theirs, drop ours
+            # expired (or a racer already won): replace / defer. If we
+            # hold a stale-but-complete dir under TTL rewrite, delete
+            # then rename; if a racer just created it, keep theirs.
+            if ttl_seconds is not None and _is_complete(spark, path):
+                fs.delete(dest, True)
+                if not fs.rename(tmp_path, dest):
+                    fs.delete(tmp_path, True)
+            else:
+                fs.delete(tmp_path, True)
+        elif not fs.rename(tmp_path, dest):
             fs.delete(tmp_path, True)
+        # Hadoop rename(src, dst) with dst an EXISTING directory moves
+        # src INSIDE it and returns true — if a racer created dest
+        # between our exists() check and the rename, our payload is now
+        # nested at dest/<tmp_name>; sweep it so the race never leaks.
+        _, nested = _fs_and_path(spark, f"{path}/{tmp_name}")
+        if fs.exists(nested):
+            fs.delete(nested, True)
     return spark.read.parquet(path)
 
 
