@@ -1810,6 +1810,343 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_3', 'NATION_8')
+        AND n2.n_name IN ('NATION_3', 'NATION_8')
+        AND n1.n_name <> n2.n_name
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (cross-nation trade volume): the nation dim joins
+    lineitem TWICE under different roles (via supplier and via
+    customer). Both nation sides are pre-filtered to the 2-nation set
+    and broadcast, so the fact table is pruned by two implied semi
+    filters before the one orders join."""
+    ns = ("NATION_3", "NATION_8")
+    n1 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*ns))
+    n2 = n1.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    supp = s.join(F.broadcast(n1), s.s_nationkey == n1.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cust = c.join(F.broadcast(n2), c.c_nationkey == F.col("c_nkey")).select(
+        "c_custkey", "cust_nation"
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): 8-way star join, conditional
+    share-of-total aggregate. All dims (part filtered to one type,
+    supplier+nation, customer+nation+region filtered to one region)
+    broadcast; the fact shuffles once, for the final year grouping."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_region = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_region), o.o_custkey == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0.0)))
+                / F.sum(volume),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "q11_important_parts",
+    """
+    SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * (1 - l_discount)) >
+           (SELECT sum(l_extendedprice * (1 - l_discount)) * 0.006 FROM lineitem)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: group values compared against a fraction of the
+    GLOBAL total (uncorrelated scalar subquery in HAVING). The total is
+    a one-row aggregate cross-joined (broadcast) onto the grouped frame
+    — no second pass over the fact and no driver collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    val = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    grouped = li.groupBy("l_partkey").agg(val.alias("_v"))
+    total = li.agg((val * F.lit(0.006)).alias("_threshold"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(F.col("_v") > F.col("_threshold"))
+        .select("l_partkey", F.round("_v", 2).alias("part_value"))
+    )
+
+
+@_q(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: double aggregation — per-customer order count
+    (LEFT join with the filter in the JOIN condition, so order-less
+    customers survive as count 0) then a histogram of counts. The
+    second groupBy's input is |customer|-sized, already tiny."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_q(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: CTE reused twice — once as the join input, once
+    inside the scalar-max subquery. The revenue frame is computed once
+    and the max is a broadcast one-row cross join against it (Spark
+    reuses the shuffle output for both branches). Equality on the
+    ROUNDED revenue so float summation order can't split the max."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("_best"))
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("_best"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_q(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated AVG subquery — decorrelated into a
+    per-part aggregate joined back onto the fact. The per-part avg
+    frame is |part|-sized and broadcasts; quantities are integer-valued
+    doubles so the avg (exact sum / exact count) is engine-order
+    independent and the strict < is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_cap")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@_q(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (the sole-blamed-supplier EXISTS / NOT EXISTS
+    pair), rewritten as ONE aggregation over the fact: per order,
+    count distinct suppliers and distinct suppliers with returnflag R.
+    EXISTS(other supplier) == nsupp >= 2; NOT EXISTS(other R supplier)
+    for an R row of supplier X == exactly one distinct R supplier
+    (necessarily X). One lineitem shuffle replaces the reference
+    pattern's two correlated semi/anti probes of the same fact —
+    the rewrite is what survives at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    ostats = li.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.countDistinct("l_suppkey").alias("_nsupp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_nsupp_r"),
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+        .join(ostats, li.l_orderkey == F.col("_ok"))
+        .filter((F.col("_nsupp") >= 2) & (F.col("_nsupp_r") == 1))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@_q(
+    "q22_lapsed_customers",
+    """
+    SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM (
+      SELECT c_custkey % 10 AS cntrycode, c_acctbal
+      FROM customer c
+      WHERE c_acctbal > (SELECT floor(avg(c_acctbal) * 100) / 100
+                         FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    ) custsale
+    GROUP BY cntrycode
+    """,
+)
+def q22_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global-average scalar subquery + NOT EXISTS,
+    adapted to "high-balance customers with no order since 2000"
+    (every fixture customer has SOME order, so the original no-orders
+    predicate is vacuous). NOT EXISTS is a left-anti join against the
+    date-pruned orders scan; the average is a broadcast one-row frame.
+    The threshold is floored to cents on both engines so the strict >
+    can't flip on last-bit float summation differences."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.floor(F.avg("c_acctbal") * 100) / 100).alias("_cap")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_cap"))
+        .groupBy((F.col("c_custkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 # =====================================================================
 # SQL-surface widening (SURVEY §2.C): correlated subqueries, lateral
 # explode, exact percentiles, range-frame windows, ordered string_agg,
