@@ -51,6 +51,14 @@ BENCH_QUERIES = [
     "q14_promo_revenue_ratio",
     "q18_large_volume_orders",
     "q19_disjunctive_predicates",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "q22_lapsed_customers",
     "orders_scalar_subquery",
     "orders_trailing_90d_avg",
     "lineitem_percentiles",
