@@ -249,6 +249,73 @@ class SparkWarehouseEngine:
             raise ValueError("no join keys: no same-named columns and no `on`")
         return WarehouseFrame(a.join(b, on=keys, how=how_norm))
 
+    def merge_into(
+        self,
+        target: WarehouseFrame | DataFrame,
+        source: WarehouseFrame | DataFrame,
+        on: list[str],
+        update_cols: list[str] | None = None,
+        insert_unmatched: bool = True,
+        action_col: str | None = None,
+    ) -> WarehouseFrame:
+        """Warehouse-style MERGE (SCD1 upsert) as a pure relational op.
+
+        ``WHEN MATCHED THEN UPDATE SET update_cols``, ``WHEN NOT
+        MATCHED THEN INSERT`` — the DML every reference warehouse runs
+        natively (BigQuery/Trino/Snowflake MERGE); here it's a full
+        (or left, if ``insert_unmatched=False``) outer join producing
+        the post-merge table, which the caller persists via save_table.
+
+        ``source`` must carry the key columns plus the update columns;
+        ``update_cols`` defaults to every non-key source column that
+        exists in the target. Inserted rows leave target-only columns
+        null. ``action_col`` optionally adds 'update'/'insert'/'keep'
+        provenance.
+
+        Scale: one shuffle on the merge keys for both sides (or none
+        for the target if it is bucketed by the keys, engine.save_table
+        bucket_by); a small source broadcasts under AQE as usual.
+        """
+        t, s = _n(target), _n(source)
+        if not on:
+            raise ValueError("merge_into requires join keys")
+        missing = [k for k in on if k not in s.columns]
+        if missing:
+            raise ValueError(f"source lacks key columns {missing}")
+        if update_cols is None:
+            update_cols = [
+                c for c in s.columns if c not in on and c in t.columns
+            ]
+        bad = [c for c in update_cols if c not in s.columns or c not in t.columns]
+        if bad:
+            raise ValueError(f"update columns {bad} must exist in both frames")
+        s = s.select(*on, *update_cols)
+        ta, sa = t.alias("_t"), s.alias("_s")
+        cond = None
+        for k in on:
+            eq = ta[k] == sa[k]
+            cond = eq if cond is None else (cond & eq)
+        how = "full_outer" if insert_unmatched else "left_outer"
+        joined = ta.join(sa, cond, how)
+        matched = sa[on[0]].isNotNull()
+        in_target = ta[on[0]].isNotNull()
+        cols = []
+        for c in t.columns:
+            if c in on:
+                cols.append(F.coalesce(ta[c], sa[c]).alias(c))
+            elif c in update_cols:
+                cols.append(F.when(matched, sa[c]).otherwise(ta[c]).alias(c))
+            else:
+                cols.append(ta[c].alias(c))
+        if action_col:
+            cols.append(
+                F.when(matched & in_target, F.lit("update"))
+                .when(matched, F.lit("insert"))
+                .otherwise(F.lit("keep"))
+                .alias(action_col)
+            )
+        return WarehouseFrame(joined.select(*cols))
+
     # ---- set ops (B5, B6, B7) ------------------------------------
     def union(
         self,

@@ -1,3 +1,9 @@
-from fugue_warehouses_spark.extensions import dedup, similarity, multimodal
+from fugue_warehouses_spark.extensions import (
+    dedup,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+)
 
-__all__ = ["dedup", "similarity", "multimodal"]
+__all__ = ["dedup", "multimodal", "packing", "sampling", "similarity"]

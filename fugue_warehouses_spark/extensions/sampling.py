@@ -1,0 +1,55 @@
+"""Deterministic sampling for reproducible training-data pipelines.
+
+``DataFrame.sample`` (engine.sample, SURVEY §2.A12) is seeded but
+partition-layout dependent: the same seed over a repartitioned input
+selects different rows, which is poison for dataset reproducibility.
+The samplers here derive inclusion from a cryptographic hash of the
+ROW KEY alone, so the sample is a pure function of the data — stable
+across partitioning, cluster size, and engine (the DuckDB oracle
+reproduces it bit-for-bit).
+
+Scale design: stratified quota = one window rank per stratum (single
+shuffle on the strata key); hash-threshold sampling is a narrow filter
+(no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _key_hash(key_col: str) -> F.Column:
+    """Lowercase md5 hex of the key's string form — identical in Spark
+    (md5 over utf-8 bytes) and DuckDB (md5(varchar))."""
+    return F.md5(F.col(key_col).cast("string").cast("binary"))
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    key_col: str,
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum
+    is smaller), chosen by ascending key-hash — a deterministic uniform
+    draw without replacement, reproducible from the data alone."""
+    if n_per_stratum <= 0:
+        raise ValueError("n_per_stratum must be positive")
+    w = Window.partitionBy(*strata_cols).orderBy(_key_hash(key_col), F.col(key_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def hash_threshold_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep rows whose key-hash falls below ``fraction`` of the hash
+    space — a shuffle-free deterministic Bernoulli sample. The first 8
+    hex chars of md5 give a uniform 32-bit draw."""
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError("fraction must be in (0, 1]")
+    draw = F.conv(F.substring(_key_hash(key_col), 1, 8), 16, 10).cast("long")
+    return df.filter(draw < F.lit(int(fraction * 2**32)))

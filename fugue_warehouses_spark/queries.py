@@ -2577,6 +2577,161 @@ def orders_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "doc_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id, len({_TOKS}) AS ntok FROM documents
+    ), c AS (
+      SELECT source, doc_id, ntok,
+             coalesce(sum(ntok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tok_offset
+      FROM t
+    )
+    SELECT source, CAST(floor(tok_offset / 512.0) AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS seq_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM c GROUP BY source, seq_id
+    """,
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (extensions/packing.py): lay
+    each source's documents on a token tape, cut 512-token sequences,
+    report per-sequence document counts. One shuffle on the shard key
+    (source) + in-partition sort — the layout step of a pretraining
+    dataloader."""
+    from fugue_warehouses_spark.extensions.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", TX.token_count("text").alias("ntok")
+    )
+    packed = pack_sequences(
+        docs, order_col="doc_id", token_count_col="ntok",
+        seq_len=512, partition_cols=["source"],
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("long").alias("seq_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
+
+
+@_q(
+    "doc_stratified_sample",
+    """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents) ranked
+    WHERE rk <= 20
+    """,
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (extensions/sampling.py): 20
+    docs per language chosen by ascending md5(key) — a seedless,
+    partition-layout-independent uniform draw that DuckDB reproduces
+    bit-for-bit (engine.sample's seeded Sample node cannot; it is
+    layout-dependent, hence the separate rows-only query)."""
+    from fugue_warehouses_spark.extensions.sampling import stratified_sample_exact
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    return stratified_sample_exact(docs, ["lang"], 20, "doc_id")
+
+
+@_q(
+    "doc_clean_normalize",
+    """
+    WITH c AS (
+      SELECT source,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS cleaned
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(cleaned)) AS BIGINT) AS clean_chars,
+           CAST(count(DISTINCT md5(cleaned)) AS BIGINT) AS distinct_cleaned
+    FROM c GROUP BY source
+    """,
+)
+def doc_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization pass (lowercase, whitespace-run collapse,
+    trim) + per-source dedup accounting on the NORMALIZED text — the
+    canonicalization step that runs before exact dedup in a training
+    pipeline. Pure JVM expressions (regexp_replace/md5), zero Python.
+    Note DuckDB's regexp_replace needs the 'g' flag; Spark's replaces
+    all matches by default."""
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.select("source", cleaned.alias("cleaned"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("cleaned")).cast("long").alias("clean_chars"),
+            F.countDistinct(F.md5(F.col("cleaned").cast("binary")))
+            .cast("long")
+            .alias("distinct_cleaned"),
+        )
+    )
+
+
+@_q(
+    "customer_balance_upsert",
+    """
+    WITH upd AS (
+      SELECT CASE WHEN o_custkey % 2 = 1 THEN o_custkey + 1000000
+                  ELSE o_custkey END AS c_custkey,
+             round(sum(o_totalprice) / 1000, 2) AS c_acctbal
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      GROUP BY 1
+    ), merged AS (
+      SELECT CASE WHEN u.c_custkey IS NOT NULL AND c.c_custkey IS NOT NULL
+                    THEN 'update'
+                  WHEN u.c_custkey IS NOT NULL THEN 'insert'
+                  ELSE 'keep' END AS action,
+             CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+                  ELSE c.c_acctbal END AS bal
+      FROM customer c FULL JOIN upd u ON c.c_custkey = u.c_custkey
+    )
+    SELECT action, CAST(count(*) AS BIGINT) AS n, round(sum(bal), 2) AS total_bal
+    FROM merged GROUP BY action
+    """,
+)
+def customer_balance_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse MERGE (engine.merge_into): upsert recomputed balances
+    into customer — even custkeys update in place, odd ones are
+    key-shifted to exercise the INSERT branch. The oracle spells out
+    the same semantics as a FULL JOIN. Output is the post-merge action
+    census, not the merged table (driver hash needs scalars)."""
+    eng = SparkWarehouseEngine(spark)
+    cust = _t(spark, sf_dir, "customer")
+    upd = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy(
+            F.when(
+                F.col("o_custkey") % 2 == 1, F.col("o_custkey") + 1000000
+            )
+            .otherwise(F.col("o_custkey"))
+            .alias("c_custkey")
+        )
+        .agg(F.round(F.sum("o_totalprice") / 1000, 2).alias("c_acctbal"))
+    )
+    merged = eng.merge_into(
+        cust, upd, on=["c_custkey"], update_cols=["c_acctbal"], action_col="action"
+    )
+    return merged.native.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
 # =====================================================================
 # entry points used by __spark_entry__.py
 # =====================================================================

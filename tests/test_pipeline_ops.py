@@ -1,0 +1,127 @@
+"""Unit tests: sequence packing, deterministic sampling, MERGE upsert."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fugue_warehouses_spark.engine import SparkWarehouseEngine
+from fugue_warehouses_spark.extensions.packing import pack_sequences
+from fugue_warehouses_spark.extensions.sampling import (
+    hash_threshold_sample,
+    stratified_sample_exact,
+)
+
+
+# ---- pack_sequences -------------------------------------------------
+
+
+def test_pack_sequences_tape_layout(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 300), ("a", 2, 300), ("a", 3, 100), ("b", 1, 600)],
+        "src string, doc_id int, ntok int",
+    )
+    out = pack_sequences(
+        df, "doc_id", "ntok", seq_len=512, partition_cols=["src"]
+    )
+    rows = {(r.src, r.doc_id): (r._tok_offset, r.seq_id) for r in out.collect()}
+    # a: offsets 0, 300, 600 -> seqs 0, 0, 1; b restarts its own tape
+    assert rows[("a", 1)] == (0, 0)
+    assert rows[("a", 2)] == (300, 0)
+    assert rows[("a", 3)] == (600, 1)
+    assert rows[("b", 1)] == (0, 0)
+
+
+def test_pack_sequences_rejects_global_sort(spark):
+    df = spark.createDataFrame([Row(doc_id=1, ntok=5)])
+    with pytest.raises(ValueError, match="shard key"):
+        pack_sequences(df, "doc_id", "ntok", seq_len=10)
+    assert (
+        pack_sequences(df, "doc_id", "ntok", seq_len=10, allow_global=True).count()
+        == 1
+    )
+
+
+def test_pack_sequences_oversized_doc_owns_multiple_seqs(spark):
+    # a doc longer than seq_len: the NEXT doc starts in a later sequence
+    df = spark.createDataFrame(
+        [("a", 1, 1200), ("a", 2, 10)], "src string, doc_id int, ntok int"
+    )
+    out = {r.doc_id: r.seq_id for r in pack_sequences(
+        df, "doc_id", "ntok", 512, ["src"]).collect()}
+    assert out == {1: 0, 2: 2}  # 1200 tokens span seqs 0-2; doc 2 starts at 1200
+
+
+# ---- deterministic sampling ----------------------------------------
+
+
+def test_stratified_sample_layout_independent(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 5).alias("stratum"), F.col("id").alias("k")
+    )
+    a = {(r.stratum, r.k) for r in stratified_sample_exact(df, ["stratum"], 7, "k").collect()}
+    b = {
+        (r.stratum, r.k)
+        for r in stratified_sample_exact(
+            df.repartition(17, "k"), ["stratum"], 7, "k"
+        ).collect()
+    }
+    assert a == b and len(a) == 35
+
+
+def test_stratified_sample_small_stratum_returns_all(spark):
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", 3)], "s string, k int"
+    )
+    out = stratified_sample_exact(df, ["s"], 10, "k")
+    assert out.count() == 3
+
+
+def test_hash_threshold_sample_deterministic_and_unbiased(spark):
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    s1 = {r.k for r in hash_threshold_sample(df, "k", 0.25).collect()}
+    s2 = {r.k for r in hash_threshold_sample(df.repartition(13), "k", 0.25).collect()}
+    assert s1 == s2
+    assert 0.2 < len(s1) / 10_000 < 0.3  # uniform draw near the target rate
+    # monotone: a smaller fraction is a subset of a larger one
+    s_small = {r.k for r in hash_threshold_sample(df, "k", 0.1).collect()}
+    assert s_small <= s1
+
+
+# ---- merge_into -----------------------------------------------------
+
+
+@pytest.fixture
+def target(spark):
+    return spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)],
+        "k int, name string, bal double",
+    )
+
+
+def test_merge_update_insert_keep(spark, target):
+    eng = SparkWarehouseEngine(spark)
+    src = spark.createDataFrame([(2, 99.0), (4, 44.0)], "k int, bal double")
+    out = eng.merge_into(target, src, on=["k"], action_col="act")
+    rows = {r.k: (r.name, r.bal, r.act) for r in out.native.collect()}
+    assert rows[1] == ("alice", 10.0, "keep")
+    assert rows[2] == ("bob", 99.0, "update")
+    assert rows[3] == ("carol", 30.0, "keep")
+    assert rows[4] == (None, 44.0, "insert")
+
+
+def test_merge_no_insert_is_left_join(spark, target):
+    eng = SparkWarehouseEngine(spark)
+    src = spark.createDataFrame([(2, 99.0), (4, 44.0)], "k int, bal double")
+    out = eng.merge_into(target, src, on=["k"], insert_unmatched=False)
+    rows = {r.k: r.bal for r in out.native.collect()}
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0}
+
+
+def test_merge_validates_columns(spark, target):
+    eng = SparkWarehouseEngine(spark)
+    src = spark.createDataFrame([(2, 99.0)], "wrong int, bal double")
+    with pytest.raises(ValueError, match="key columns"):
+        eng.merge_into(target, src, on=["k"])
+    src2 = spark.createDataFrame([(2, 99.0)], "k int, nosuch double")
+    with pytest.raises(ValueError, match="update columns"):
+        eng.merge_into(target, src2, on=["k"], update_cols=["nosuch"])
