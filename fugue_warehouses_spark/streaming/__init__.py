@@ -11,7 +11,8 @@ Spark Structured Streaming so every operator here is unbounded-safe:
 - dedup: exact dedup within a watermark (bounded state);
 - stateful: custom per-key running state via applyInPandasWithState;
 - io: file-stream sources over the testdata parquet and memory-sink
-  drain helpers for availableNow (run-to-completion) execution.
+  drain helpers for availableNow (run-to-completion) execution;
+- joins: stream-stream interval joins with watermark-bounded state.
 """
 
 from fugue_warehouses_spark.streaming.io import (
@@ -24,9 +25,11 @@ from fugue_warehouses_spark.streaming.windows import (
     tumbling_agg,
 )
 from fugue_warehouses_spark.streaming.dedup import dedup_within_watermark
+from fugue_warehouses_spark.streaming.joins import interval_join
 from fugue_warehouses_spark.streaming.stateful import running_totals
 
 __all__ = [
+    "interval_join",
     "read_parquet_stream",
     "run_available_now",
     "tumbling_agg",

@@ -220,3 +220,84 @@ def test_stream_static_join_matches_batch(spark, events_path):
     )
     cols = ["event_type", "n", "weighted"]
     assert _sorted_rows(s, cols) == _sorted_rows(b, cols)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_path):
+    from fugue_warehouses_spark.streaming import interval_join
+
+    def signups(df):
+        return df.filter(F.col("event_type") == "signup").select(
+            "user_id", F.col("ts").alias("s_ts")
+        )
+
+    def purchases(df):
+        return df.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("p_ts"), "value"
+        )
+
+    batch = _batch(spark, events_path)
+    b = interval_join(
+        signups(batch), purchases(batch), "user_id", "s_ts", "p_ts", "1 hour"
+    )
+    s = run_available_now(
+        interval_join(
+            signups(_stream(spark, events_path)),
+            purchases(_stream(spark, events_path)),
+            "user_id", "s_ts", "p_ts", "1 hour", watermark="2 hours",
+        )
+    )
+    cols = ["user_id", "s_ts", "p_ts", "value"]
+    rows_b, rows_s = _sorted_rows(b, cols), _sorted_rows(s, cols)
+    assert rows_b == rows_s
+    assert len(rows_b) > 0
+
+
+def test_tumbling_append_drops_late_data(spark, tmp_path):
+    """Watermark semantics under micro-batch replay: an event older
+    than the advanced watermark is excluded from its (already-closed)
+    window; on-time processing of the same rows includes it."""
+    import time as _time
+
+    d = tmp_path / "late_feed"
+    d.mkdir()
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(rows, "ts_s string, event_type string, value double")
+        df.select(
+            F.col("ts_s").cast("timestamp_ntz").alias("ts"), "event_type", "value"
+        ).coalesce(1).write.mode("overwrite").parquet(str(d / name))
+
+    # Four micro-batches: Spark's two-watermark scheme (SPARK-40925)
+    # filters late events with the watermark as of the PREVIOUS batch
+    # (eviction uses the current one), so the late row must arrive two
+    # full batches after the event that advanced the watermark past
+    # its window: b1 advances to 11:59, b2 makes 11:59 the *previous*
+    # watermark, b3's late row is then filtered.
+    write_batch(
+        [("2024-01-01 10:00:10", "click", 1.0), ("2024-01-01 10:14:00", "click", 2.0)],
+        "b0",
+    )
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    write_batch([("2024-01-01 12:00:00", "click", 9.0)], "b1")  # wm -> 11:59
+    _time.sleep(1.1)
+    write_batch([("2024-01-01 12:30:00", "click", 7.0)], "b2")
+    _time.sleep(1.1)
+    write_batch([("2024-01-01 10:05:00", "click", 5.0)], "b3")  # late -> dropped
+
+    stream = read_parquet_stream(
+        spark, f"{d}/*/", schema="ts timestamp_ntz, event_type string, value double",
+        max_files_per_trigger=1,
+    )
+    out = run_available_now(
+        tumbling_agg(stream, "ts", "15 minutes", AGG, watermark="1 minute"),
+        output_mode="append",
+    )
+    first_window = [r for r in out.collect() if r.window_start.minute == 0
+                    and r.window_start.hour == 10]
+    assert len(first_window) == 1
+    assert first_window[0].n == 2  # the late 10:05 row was dropped
+    # on-time (batch) processing of the identical rows keeps all three
+    allrows = spark.read.parquet(f"{d}/b0", f"{d}/b1", f"{d}/b2", f"{d}/b3")
+    b = tumbling_agg(allrows, "ts", "15 minutes", AGG)
+    bw = [r for r in b.collect() if r.window_start.hour == 10 and r.window_start.minute == 0]
+    assert bw[0].n == 3
