@@ -1,4 +1,5 @@
 from fugue_warehouses_spark.extensions import (
+    contamination,
     dedup,
     multimodal,
     packing,
@@ -6,4 +7,11 @@ from fugue_warehouses_spark.extensions import (
     similarity,
 )
 
-__all__ = ["dedup", "multimodal", "packing", "sampling", "similarity"]
+__all__ = [
+    "contamination",
+    "dedup",
+    "multimodal",
+    "packing",
+    "sampling",
+    "similarity",
+]

@@ -1,0 +1,97 @@
+"""Benchmark decontamination: n-gram overlap against a probe set.
+
+The standard pretraining hygiene step (GPT-3 appendix C / The Pile):
+a training document is *contaminated* if it shares at least one word
+n-gram with an evaluation/benchmark document. Semantically this is a
+set-intersection join between the corpus's n-gram multiset and the
+(much smaller) probe n-gram set.
+
+Scale design: the probe side is a benchmark — thousands of documents,
+millions of n-grams at most — so its DISTINCT gram set broadcasts;
+the 100 TB corpus side is a narrow explode (no shuffle) into a
+broadcast LEFT SEMI probe, followed by one doc-id distinct. With
+``hash_grams=True`` the broadcast carries 8-byte xxhash64 values
+instead of gram strings (~10× smaller; collision odds ~1e-19 per pair
+at 64 bits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fugue_warehouses_spark.functions.text import tokens
+
+
+def word_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Space-joined word n-grams of the lowercased text, as
+    array<string>; empty for documents shorter than n tokens."""
+    ts = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    # sequence(0, size-n) is empty-safe via the size >= n guard
+    return F.when(
+        F.size(ts) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ts) - n),
+            lambda i: F.array_join(F.slice(ts, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def probe_gram_set(
+    probes: DataFrame, text_col: str = "text", n: int = 5, hash_grams: bool = True
+) -> DataFrame:
+    """Distinct n-gram set of the probe corpus — one column ``g``."""
+    g = F.explode(word_ngrams(text_col, n)).alias("g")
+    out = probes.select(g)
+    if hash_grams:
+        out = out.select(F.xxhash64("g").alias("g"))
+    return out.distinct()
+
+
+def contaminated_doc_ids(
+    corpus: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Ids of corpus documents sharing >= 1 word n-gram with probes.
+
+    Plan: explode corpus grams (narrow) -> broadcast LEFT SEMI against
+    the probe gram set -> distinct ids (the only shuffle, on doc id).
+    """
+    g = F.explode(word_ngrams(text_col, n)).alias("g")
+    corpus_grams = corpus.select(F.col(id_col), g)
+    if hash_grams:
+        corpus_grams = corpus_grams.select(id_col, F.xxhash64("g").alias("g"))
+    probe = probe_gram_set(probes, text_col, n, hash_grams)
+    return (
+        corpus_grams.join(F.broadcast(probe), "g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    probes: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Per-group census: documents checked vs contaminated."""
+    hits = contaminated_doc_ids(corpus, probes, text_col, id_col, n).withColumn(
+        "_hit", F.lit(1)
+    )
+    return (
+        corpus.join(F.broadcast(hits), id_col, "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias(
+                "n_contaminated"
+            ),
+        )
+    )

@@ -2681,6 +2681,48 @@ def doc_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(ts) - 4),
+                    i -> array_to_string(ts[i:i+4], ' '))) AS g
+      FROM toks WHERE len(ts) >= 5
+    ), probe AS (
+      SELECT DISTINCT g FROM grams WHERE source = 'src0'
+    ), hits AS (
+      SELECT DISTINCT grams.doc_id FROM grams JOIN probe USING (g)
+      WHERE grams.source <> 'src0'
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.source <> 'src0'
+    GROUP BY d.source
+    """,
+)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (extensions/contamination.py): treat
+    source 'src0' as the held-out benchmark; flag every other document
+    sharing >= 1 word 5-gram with it. Probe gram set broadcasts
+    (xxhash64-packed); the corpus side is a narrow explode + broadcast
+    semi join — the GPT-3/Pile overlap-filter shape at corpus scale."""
+    from fugue_warehouses_spark.extensions.contamination import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return contamination_report(corpus, probes, group_col="source")
+
+
+@_q(
     "customer_balance_upsert",
     """
     WITH upd AS (

@@ -125,3 +125,37 @@ def test_merge_validates_columns(spark, target):
     src2 = spark.createDataFrame([(2, 99.0)], "k int, nosuch double")
     with pytest.raises(ValueError, match="update columns"):
         eng.merge_into(target, src2, on=["k"], update_cols=["nosuch"])
+
+
+# ---- contamination --------------------------------------------------
+
+
+def test_word_ngrams_and_contamination(spark):
+    from fugue_warehouses_spark.extensions.contamination import (
+        contaminated_doc_ids,
+        word_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a totally different sentence with no overlap here at all"),
+            (3, "short text"),
+        ],
+        "doc_id int, text string",
+    )
+    grams = docs.select("doc_id", F.size(word_ngrams("text", 5)).alias("k")).collect()
+    by_id = {r.doc_id: r.k for r in grams}
+    assert by_id == {1: 5, 2: 6, 3: 0}  # len-n+1 grams; short docs yield none
+
+    probes = spark.createDataFrame(
+        [(100, "he said the quick brown fox jumps indeed")], "doc_id int, text string"
+    )
+    hits = {r.doc_id for r in contaminated_doc_ids(docs, probes).collect()}
+    assert hits == {1}
+    # hashed and exact gram joins agree
+    hits_exact = {
+        r.doc_id
+        for r in contaminated_doc_ids(docs, probes, hash_grams=False).collect()
+    }
+    assert hits_exact == hits
