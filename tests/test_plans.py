@@ -197,3 +197,44 @@ def test_events_filter_pushes_through_ts_normalization(spark, sf_dir):
     plan = _plan(ev.filter(F.col("event_type") == "error").select("event_id"))
     assert "PushedFilters" in plan
     assert "EqualTo(event_type,error)" in plan.replace(" ", "")
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
+    """Hive-style partition layout (save_df partition_by) must turn a
+    filter on the partition column into directory pruning — the scan
+    lists ONLY the matching partition, it does not read-and-filter."""
+    from fugue_warehouses_spark.engine import SparkWarehouseEngine
+
+    eng = SparkWarehouseEngine(spark)
+    orders = load_star_table(spark, sf_dir, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    path = str(tmp_path / "orders_part")
+    eng.save_df(orders, path, fmt="parquet", partition_by=["status"])
+    scan = eng.load_df(path).native.filter(F.col("status") == "F")
+    plan = _plan(scan)
+    # the partition filter appears as PartitionFilters on the scan,
+    # not as a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "status" in pf_line
+    # and the pruned read returns exactly the one partition's rows
+    expected = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert scan.count() == expected
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Parquet schema evolution: files written before a column was
+    added merge with later files (mergeSchema), old rows null-filled."""
+    from fugue_warehouses_spark.engine import SparkWarehouseEngine
+
+    eng = SparkWarehouseEngine(spark)
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id int, name string")
+    v2 = spark.createDataFrame([(2, "b", 9.5)], "id int, name string, score double")
+    v1.write.mode("append").parquet(path)
+    v2.write.mode("append").parquet(path)
+    merged = eng.load_df(path, mergeSchema="true")
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in merged.native.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
