@@ -74,6 +74,11 @@ BENCH_QUERIES = [
     "doc_bpe_token_budget",
     "doc_quality_by_source",
     "doc_exact_dedup",
+    "doc_pack_sequences",
+    "doc_stratified_sample",
+    "doc_clean_normalize",
+    "doc_contamination",
+    "customer_balance_upsert",
     "doc_ngram_jaccard_pairs",
     "doc_minhash_near_dups",
     "doc_simhash_near_dups",
