@@ -1,0 +1,132 @@
+"""Storage-layout operators: small-file compaction and Z-order
+clustering.
+
+Neither changes query SEMANTICS — they change the physical layout so
+that later scans read less. At 100 TB these are the difference between
+a table that prunes to a handful of files and one that lists millions
+of 1 MB fragments:
+
+- **compact**: streaming sinks, incremental upserts and over-parallel
+  writes leave many small files; each costs a listing round-trip, a
+  footer read and a task. Rewriting to ~target-sized files keeps scan
+  task count proportional to data, not to write history.
+- **z-order**: parquet scans prune row groups / files via min-max
+  stats, which only helps when values are clustered. Sorting clusters
+  ONE column; interleaving the bits of several columns' bucket ranks
+  (a space-filling Z-curve) gives every interleaved column locality,
+  so filters on ANY of them prune files.
+"""
+
+from __future__ import annotations
+
+import math
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(p).getLength()
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite ``path`` into ~``target_file_mb``-sized files; returns
+    the new file count.
+
+    The rewrite goes to a temp dir first and swaps in via rename, so a
+    concurrent reader sees either the old layout or the new one, never
+    a partial directory. Row order is not preserved (it never is under
+    distributed scans).
+    """
+    total = _dir_bytes(spark, path)
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(path)
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(tmp)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dest = jvm.org.apache.hadoop.fs.Path(path)
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = dest.getFileSystem(conf)
+    trash = jvm.org.apache.hadoop.fs.Path(f"{path}__old_{uuid.uuid4().hex[:8]}")
+    fs.rename(dest, trash)
+    fs.rename(src, dest)
+    fs.delete(trash, True)
+    return n_files
+
+
+def zvalue(cols: list[Column | str], mins: list[float], maxs: list[float],
+           bits: int = 16) -> Column:
+    """Z-curve key: interleave the bits of each column's bucket rank.
+
+    Ranks come from uniform ``2**bits`` bucketing over [min, max] —
+    cheap (no sort, no sampling pass at compute time; min/max are
+    driver-known or from a stats pass). For heavily skewed columns,
+    feed a rank-transformed column instead.
+    """
+    n = len(cols)
+    if not (n and n == len(mins) == len(maxs)):
+        raise ValueError("cols, mins, maxs must be same nonzero length")
+    buckets = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        col = F.col(c) if isinstance(c, str) else c
+        if hi <= lo:
+            raise ValueError("max must exceed min for every column")
+        scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
+        clamped = F.least(F.greatest(scaled, F.lit(0.0)), F.lit(1.0))
+        buckets.append(
+            F.least(
+                (clamped * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+            )
+        )
+    # interleave: output bit (i*n + j) takes bit i of column j
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int,
+    bits: int = 16,
+    fmt: str = "parquet",
+    stats: dict[str, tuple[float, float]] | None = None,
+) -> None:
+    """Write ``df`` clustered on the Z-curve of ``cols``.
+
+    ``stats`` supplies per-column (min, max); when omitted, one cheap
+    aggregate computes them. Rows are range-partitioned by z-value
+    (``num_files`` output files) and sorted within each file, so every
+    clustered column's min-max footer range is narrow — point/range
+    filters on any of them prune files instead of scanning all.
+    """
+    if stats is None:
+        row = df.agg(
+            *[F.min(c).cast("double").alias(f"_lo_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"_hi_{c}") for c in cols],
+        ).collect()[0]
+        stats = {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in cols}
+    z = zvalue(cols, [stats[c][0] for c in cols], [stats[c][1] for c in cols], bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

@@ -1,0 +1,83 @@
+"""Storage-layout operators: compaction and Z-order clustering."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from fugue_warehouses_spark.operators.layout import compact, zorder_write
+
+
+def _parquet_files(path):
+    return [f for f in glob.glob(os.path.join(path, "*.parquet")) if os.path.isfile(f)]
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    path = str(tmp_path / "fragmented")
+    spark.range(0, 10_000).repartition(50).write.parquet(path)
+    assert len(_parquet_files(path)) == 50
+    before = spark.read.parquet(path).agg(
+        F.count(F.lit(1)), F.sum("id")
+    ).collect()[0]
+    n = compact(spark, path, target_file_mb=512)
+    assert n == 1 and len(_parquet_files(path)) == 1
+    after = spark.read.parquet(path).agg(
+        F.count(F.lit(1)), F.sum("id")
+    ).collect()[0]
+    assert tuple(before) == tuple(after)
+
+
+def _per_file_ranges(path, col):
+    """(min, max) per parquet file from footer stats, no data read."""
+    out = []
+    for f in _parquet_files(path):
+        md = pq.ParquetFile(f).metadata
+        idx = _col_idx(md, col)
+        stats = [md.row_group(i).column(idx).statistics for i in range(md.num_row_groups)]
+        out.append((min(s.min for s in stats), max(s.max for s in stats)))
+    return out
+
+
+def _col_idx(md, name):
+    names = [md.schema.column(i).name for i in range(len(md.schema))]
+    return names.index(name)
+
+
+def test_zorder_clusters_both_columns(spark, tmp_path):
+    """Footer min-max ranges of BOTH z-ordered columns are narrow in
+    every file — the property min-max pruning needs. A plain sort
+    clusters only its leading column."""
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 141).cast("double").alias("x"),
+        ((F.col("id") * 7919) % 149).cast("double").alias("y"),
+    )
+    zpath = str(tmp_path / "zordered")
+    zorder_write(df, zpath, ["x", "y"], num_files=16)
+    assert spark.read.parquet(zpath).count() == 20_000
+
+    # contrast layout: sorted by x only
+    spath = str(tmp_path / "xsorted")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
+
+    def avg_range(path, col, span):
+        rs = [(hi - lo) / span for lo, hi in _per_file_ranges(path, col)]
+        return sum(rs) / len(rs)
+
+    # z-order: both dimensions clustered well below the full span
+    assert avg_range(zpath, "x", 141.0) < 0.5
+    assert avg_range(zpath, "y", 149.0) < 0.5
+    # x-sort clusters x tightly but leaves y unclustered (~full span)
+    assert avg_range(spath, "x", 141.0) < 0.2
+    assert avg_range(spath, "y", 149.0) > 0.8
+
+
+def test_zvalue_validates_inputs(spark):
+    import pytest
+
+    from fugue_warehouses_spark.operators.layout import zvalue
+
+    with pytest.raises(ValueError, match="same nonzero length"):
+        zvalue(["a"], [0.0], [1.0, 2.0])
+    with pytest.raises(ValueError, match="max must exceed min"):
+        zvalue(["a"], [1.0], [1.0])
