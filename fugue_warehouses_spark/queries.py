@@ -2076,30 +2076,40 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (the sole-blamed-supplier EXISTS / NOT EXISTS
-    pair), rewritten as ONE aggregation over the fact: per order,
-    count distinct suppliers and distinct suppliers with returnflag R.
-    EXISTS(other supplier) == nsupp >= 2; NOT EXISTS(other R supplier)
-    for an R row of supplier X == exactly one distinct R supplier
-    (necessarily X). One lineitem shuffle replaces the reference
-    pattern's two correlated semi/anti probes of the same fact —
-    the rewrite is what survives at 100 TB."""
+    pair), rewritten as ONE pass over the fact: aggregate lineitem to
+    (order, supplier) grain carrying the R-row count, then a window
+    over the order computes distinct-supplier and distinct-R-supplier
+    counts. EXISTS(other supplier) == nsupp >= 2; NOT EXISTS(other R
+    supplier) for an R-supplier X == exactly one R supplier
+    (necessarily X). One fact scan + one (order,supplier) shuffle +
+    a window on the already-collapsed frame replaces the reference
+    pattern's two correlated semi/anti probes — the variant that
+    survives at 100 TB (the pair-grain frame is ~|orders|-sized)."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    ostats = li.groupBy(F.col("l_orderkey").alias("_ok")).agg(
-        F.countDistinct("l_suppkey").alias("_nsupp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("_nsupp_r"),
+    per = (
+        li.groupBy(
+            F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("_n_r")
+        )
+        .join(o, F.col("_ok") == o.o_orderkey, "left_semi")
+    )
+    w = Window.partitionBy("_ok")
+    per = per.withColumn("_nsupp", F.count(F.lit(1)).over(w)).withColumn(
+        "_nsupp_r", F.sum((F.col("_n_r") > 0).cast("int")).over(w)
     )
     return (
-        li.filter(F.col("l_returnflag") == "R")
-        .join(o, li.l_orderkey == o.o_orderkey, "left_semi")
-        .join(ostats, li.l_orderkey == F.col("_ok"))
-        .filter((F.col("_nsupp") >= 2) & (F.col("_nsupp_r") == 1))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        per.filter(
+            (F.col("_n_r") > 0) & (F.col("_nsupp") >= 2) & (F.col("_nsupp_r") == 1)
+        )
+        .join(F.broadcast(s), F.col("_sk") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_n_r").cast("long").alias("numwait"))
     )
 
 
