@@ -3,6 +3,7 @@ from fugue_warehouses_spark.extensions import (
     dedup,
     multimodal,
     packing,
+    quantization,
     sampling,
     similarity,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "dedup",
     "multimodal",
     "packing",
+    "quantization",
     "sampling",
     "similarity",
 ]

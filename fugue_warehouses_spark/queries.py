@@ -1112,6 +1112,43 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "embedding_quantized_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             greatest(list_max(list_transform(embedding::DOUBLE[],
+                                              x -> abs(x))), 1e-30) / 127.0 AS s
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, s,
+             list_transform(v, x -> floor(x / s + 0.5)) AS qv
+      FROM e
+    )
+    SELECT query_id, match_id, q_dot FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+             round(list_dot_product(a.qv, b.qv) * a.s * b.s, 6) AS q_dot,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_dot_product(a.qv, b.qv) * a.s * b.s, 6) DESC,
+                        b.vec_id ASC) AS rk
+      FROM q a JOIN q b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 10
+    ) WHERE rk <= 10
+    """,
+)
+def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized top-k (extensions/quantization.py): 4x smaller
+    vectors, exact integer dot rescaled by per-vector scales. The
+    floor(x/s + 0.5) rounding and integer-domain scoring make the
+    result bit-identical in DuckDB — a quantization pipeline you can
+    regression-test exactly, not just within tolerance."""
+    from fugue_warehouses_spark.extensions.quantization import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+
+
+@_q(
     "embedding_similar_pairs",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

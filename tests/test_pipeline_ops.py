@@ -159,3 +159,49 @@ def test_word_ngrams_and_contamination(spark):
         for r in contaminated_doc_ids(docs, probes, hash_grams=False).collect()
     }
     assert hits_exact == hits
+
+
+# ---- quantization ---------------------------------------------------
+
+
+def test_quantize_int8_roundtrip_and_error_bound(spark, sf_dir):
+    from fugue_warehouses_spark.extensions.quantization import (
+        dequantize,
+        quantize_int8,
+        quantized_dot,
+    )
+    from fugue_warehouses_spark.functions.vectors import cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    q = quantize_int8(emb)
+    # storage type is tinyint (1 byte/dim = 4x smaller than float32)
+    assert dict(q.dtypes)["qv"] == "array<tinyint>"
+    # per-element reconstruction error <= scale/2 by construction
+    err = q.select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    "embedding",
+                    dequantize("qv", "q_scale"),
+                    lambda a, b: F.abs(a - b) / F.col("q_scale"),
+                )
+            )
+        ).alias("m")
+    ).collect()[0].m
+    assert err <= 0.5 + 1e-9
+
+    # quantized cosine tracks exact cosine within ~2% at 128 dims
+    a = q.alias("a")
+    b = q.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).limit(500)
+    qd = quantized_dot(
+        F.col("a.qv"), F.col("a.q_scale"), F.col("b.qv"), F.col("b.q_scale")
+    )
+    na = F.sqrt(F.aggregate(F.col("a.embedding"), F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(F.col("b.embedding"), F.lit(0.0), lambda s, x: s + x * x))
+    stats = pairs.select(
+        F.max(
+            F.abs(qd / (na * nb) - cosine(F.col("a.embedding"), F.col("b.embedding")))
+        ).alias("max_err")
+    ).collect()[0]
+    assert stats.max_err < 0.02
