@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "doc_minhash_near_dups",
     "doc_simhash_near_dups",
     "embedding_topk",
+    "embedding_quantized_topk",
     "embedding_similar_pairs",
 ]
 
