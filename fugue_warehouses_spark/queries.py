@@ -2625,6 +2625,69 @@ def orders_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_funnel_stages",
+    """
+    WITH s1 AS (
+      SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS s_ts
+      FROM events
+    ), s2 AS (
+      SELECT user_id, event_type, ts, s_ts,
+             min(CASE WHEN event_type = 'view' AND ts > s_ts THEN ts END)
+               OVER (PARTITION BY user_id) AS v_ts
+      FROM s1
+    ), s3 AS (
+      SELECT user_id, s_ts, v_ts,
+             min(CASE WHEN event_type = 'purchase' AND ts > v_ts THEN ts END)
+               OVER (PARTITION BY user_id) AS p_ts
+      FROM s2
+    ), per_user AS (
+      SELECT user_id, max(s_ts) AS s_ts, max(v_ts) AS v_ts, max(p_ts) AS p_ts
+      FROM s3 GROUP BY user_id
+    )
+    SELECT CASE WHEN p_ts IS NOT NULL THEN 3
+                WHEN v_ts IS NOT NULL THEN 2
+                WHEN s_ts IS NOT NULL THEN 1
+                ELSE 0 END AS stage,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY stage
+    """,
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (signup -> later view -> later purchase):
+    the sequential-pattern query behind conversion metrics. Three
+    chained window passes over the SAME user partitioning — Catalyst
+    plans one hash shuffle on user_id and reuses it for all three
+    windows and the final per-user collapse; nothing re-shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    s1 = ev.withColumn("s_ts", F.min(F.when(et == "signup", ts)).over(w))
+    s2 = s1.withColumn(
+        "v_ts", F.min(F.when((et == "view") & (ts > F.col("s_ts")), ts)).over(w)
+    )
+    s3 = s2.withColumn(
+        "p_ts",
+        F.min(F.when((et == "purchase") & (ts > F.col("v_ts")), ts)).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("s_ts").alias("s_ts"),
+        F.max("v_ts").alias("v_ts"),
+        F.max("p_ts").alias("p_ts"),
+    )
+    stage = (
+        F.when(F.col("p_ts").isNotNull(), 3)
+        .when(F.col("v_ts").isNotNull(), 2)
+        .when(F.col("s_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return per_user.groupBy(stage.alias("stage")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@_q(
     "doc_pack_sequences",
     f"""
     WITH t AS (

@@ -238,3 +238,16 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: (r.name, r.score) for r in merged.native.collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_funnel_reuses_one_user_shuffle(spark, sf_dir):
+    """Three chained windows + per-user collapse must share ONE
+    hash exchange on user_id; only the tiny stage histogram adds a
+    second (bounded-size) exchange."""
+    df = QUERIES["events_funnel_stages"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    user_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(user_id" in ln
+    ]
+    assert len(user_exchanges) == 1
