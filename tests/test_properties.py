@@ -89,3 +89,69 @@ def test_take_presort_matches_python_sort(spark, rows, n):
         key=lambda t: (-t[0], t[1], t[2]),
     )[:n]
     assert sorted(got) == sorted(expected)
+
+
+@given(
+    tgt=st.dictionaries(st.integers(0, 20), st.integers(-100, 100),
+                        min_size=1, max_size=8),
+    src=st.dictionaries(st.integers(0, 20), st.integers(-100, 100),
+                        min_size=1, max_size=8),
+)
+@settings(max_examples=10, deadline=None)
+def test_merge_into_matches_dict_semantics(spark, tgt, src):
+    """MERGE == dict.update: result key set is the union, source wins
+    on collisions, untouched target rows survive verbatim."""
+    from fugue_warehouses_spark.engine import SparkWarehouseEngine
+
+    eng = SparkWarehouseEngine(spark)
+    t = spark.createDataFrame(list(tgt.items()), "k int, v int")
+    s = spark.createDataFrame(list(src.items()), "k int, v int")
+    out = {r.k: r.v for r in eng.merge_into(t, s, on=["k"]).native.collect()}
+    expected = dict(tgt)
+    expected.update(src)
+    assert out == expected
+
+
+@given(
+    toks=st.lists(st.integers(0, 300), min_size=1, max_size=20),
+    seq_len=st.integers(1, 512),
+)
+@settings(max_examples=10, deadline=None)
+def test_pack_sequences_is_prefix_sum(spark, toks, seq_len):
+    """Offsets are the exact prefix sums in order; seq ids are the
+    floor-division of offsets and non-decreasing."""
+    from fugue_warehouses_spark.extensions.packing import pack_sequences
+
+    rows = [("s", i, n) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "src string, doc_id int, ntok int")
+    got = {
+        r.doc_id: (r._tok_offset, r.seq_id)
+        for r in pack_sequences(df, "doc_id", "ntok", seq_len, ["src"]).collect()
+    }
+    acc = 0
+    prev_seq = 0
+    for i, n in enumerate(toks):
+        assert got[i] == (acc, acc // seq_len)
+        assert got[i][1] >= prev_seq
+        prev_seq = got[i][1]
+        acc += n
+
+
+@given(
+    keys=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    quota=st.integers(1, 10),
+)
+@settings(max_examples=10, deadline=None)
+def test_stratified_sample_quota_and_subset(spark, keys, quota):
+    from fugue_warehouses_spark.extensions.sampling import stratified_sample_exact
+
+    rows = [(k % 3, k) for k in keys]
+    df = spark.createDataFrame(rows, "stratum int, k int")
+    out = [(r.stratum, r.k) for r in
+           stratified_sample_exact(df, ["stratum"], quota, "k").collect()]
+    assert set(out) <= set(rows)
+    from collections import Counter
+    per = Counter(s for s, _ in out)
+    full = Counter(s for s, _ in rows)
+    for s, n in full.items():
+        assert per[s] == min(quota, n)
