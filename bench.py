@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "doc_training_pipeline",
     "events_props_map",
     "events_running_totals",
+    "events_funnel_stages",
+    "events_cohort_retention",
     "salted_join_revenue",
     "doc_token_stats",
     "doc_bpe_token_budget",

@@ -2625,6 +2625,43 @@ def orders_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort,
+           CAST(datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS BIGINT)
+             AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (first-seen day x activity-day offset):
+    the standard product-analytics rollup. The first-seen aggregate
+    and the events-side join share the user_id hash partitioning, so
+    the fact shuffles once; the distinct-user count shuffles the
+    already-collapsed (cohort, offset, user) frame."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+    )
+
+
+@_q(
     "events_funnel_stages",
     """
     WITH s1 AS (
