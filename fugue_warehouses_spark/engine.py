@@ -289,7 +289,11 @@ class SparkWarehouseEngine:
         bad = [c for c in update_cols if c not in s.columns or c not in t.columns]
         if bad:
             raise ValueError(f"update columns {bad} must exist in both frames")
-        s = s.select(*on, *update_cols)
+        # presence flags (not key-null checks): a row whose KEY is null
+        # never joins, but it still exists on its own side — key-based
+        # matched/in_target tests would misclassify it
+        s = s.select(*on, *update_cols).withColumn("__s_present", F.lit(True))
+        t = t.withColumn("__t_present", F.lit(True))
         ta, sa = t.alias("_t"), s.alias("_s")
         cond = None
         for k in on:
@@ -297,10 +301,12 @@ class SparkWarehouseEngine:
             cond = eq if cond is None else (cond & eq)
         how = "full_outer" if insert_unmatched else "left_outer"
         joined = ta.join(sa, cond, how)
-        matched = sa[on[0]].isNotNull()
-        in_target = ta[on[0]].isNotNull()
+        matched = F.coalesce(sa["__s_present"], F.lit(False))
+        in_target = F.coalesce(ta["__t_present"], F.lit(False))
         cols = []
         for c in t.columns:
+            if c == "__t_present":
+                continue
             if c in on:
                 cols.append(F.coalesce(ta[c], sa[c]).alias(c))
             elif c in update_cols:

@@ -205,3 +205,20 @@ def test_quantize_int8_roundtrip_and_error_bound(spark, sf_dir):
         ).alias("max_err")
     ).collect()[0]
     assert stats.max_err < 0.02
+
+
+def test_merge_null_keys_never_match(spark, target):
+    """SQL MERGE semantics: a null key joins nothing — a null-key
+    source row inserts (not 'keep'-with-junk), a null-key target row
+    survives untouched."""
+    eng = SparkWarehouseEngine(spark)
+    t = target.union(
+        spark.createDataFrame([(None, "ghost", 7.0)], "k int, name string, bal double")
+    )
+    s = spark.createDataFrame([(None, 55.0), (1, 11.0)], "k int, bal double")
+    out = eng.merge_into(t, s, on=["k"], action_col="act")
+    rows = [(r.k, r.name, r.bal, r.act) for r in out.native.collect()]
+    assert (1, "alice", 11.0, "update") in rows
+    assert (None, "ghost", 7.0, "keep") in rows    # null-key target kept
+    assert (None, None, 55.0, "insert") in rows    # null-key source inserts
+    assert len(rows) == 5
