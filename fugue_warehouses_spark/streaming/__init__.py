@@ -18,6 +18,7 @@ Spark Structured Streaming so every operator here is unbounded-safe:
 from fugue_warehouses_spark.streaming.io import (
     read_parquet_stream,
     run_available_now,
+    run_merge_sink,
 )
 from fugue_warehouses_spark.streaming.windows import (
     session_agg,
@@ -32,6 +33,7 @@ __all__ = [
     "interval_join",
     "read_parquet_stream",
     "run_available_now",
+    "run_merge_sink",
     "tumbling_agg",
     "sliding_agg",
     "session_agg",

@@ -66,3 +66,62 @@ def run_available_now(
     finally:
         q.stop()
     return stream_df.sparkSession.table(sink)
+
+
+def run_merge_sink(
+    stream_df: DataFrame,
+    target_path: str,
+    on: list[str],
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Continuously upsert a stream into a parquet table: each
+    micro-batch MERGEs (engine.merge_into) into the current target and
+    atomically swaps the result in — the streaming CDC-apply pattern
+    (warehouse MERGE fed by a change stream).
+
+    Parquet has no transactional row-level merge, so the swap is a
+    rewrite (fine for dimension-sized targets; a table format with
+    upsert support replaces the swap at larger scale — the MERGE plan
+    itself is unchanged). The checkpoint gives at-least-once batch
+    delivery, and merging is idempotent per key, so replays converge.
+    Returns the final merged table as a batch frame.
+    """
+    import uuid as _uuid
+
+    from fugue_warehouses_spark.engine import SparkWarehouseEngine
+
+    spark = stream_df.sparkSession
+    eng = SparkWarehouseEngine(spark)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        dest = jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = dest.getFileSystem(conf)
+        # dedup within the batch (last write wins is arbitrary here;
+        # sources with a version column should pre-aggregate)
+        batch_df = batch_df.dropDuplicates(on)
+        if not fs.exists(dest):
+            batch_df.write.mode("overwrite").parquet(target_path)
+            return
+        target = spark.read.parquet(target_path)
+        merged = eng.merge_into(target, batch_df, on=on).native
+        tmp = f"{target_path}__m{_uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        trash = jvm.org.apache.hadoop.fs.Path(f"{tmp}.old")
+        fs.rename(dest, trash)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dest)
+        fs.delete(trash, True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return spark.read.parquet(target_path)

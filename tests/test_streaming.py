@@ -301,3 +301,36 @@ def test_tumbling_append_drops_late_data(spark, tmp_path):
     b = tumbling_agg(allrows, "ts", "15 minutes", AGG)
     bw = [r for r in b.collect() if r.window_start.hour == 10 and r.window_start.minute == 0]
     assert bw[0].n == 3
+
+
+def test_merge_sink_applies_cdc_stream(spark, tmp_path):
+    """foreachBatch MERGE sink: replaying a keyed change feed in two
+    micro-batches converges the target to last-write-wins state."""
+    import time as _time
+
+    from fugue_warehouses_spark.streaming import read_parquet_stream, run_merge_sink
+
+    feed = tmp_path / "cdc_feed"
+    feed.mkdir()
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, "k int, v string").coalesce(1).write.parquet(
+            str(feed / name)
+        )
+
+    write_batch([(1, "a0"), (2, "b0"), (3, "c0")], "b0")
+    _time.sleep(1.1)
+    write_batch([(2, "b1"), (4, "d0")], "b1")  # update k=2, insert k=4
+
+    stream = read_parquet_stream(
+        spark, f"{feed}/*/", schema="k int, v string", max_files_per_trigger=1
+    )
+    out = run_merge_sink(
+        stream,
+        str(tmp_path / "merged_target"),
+        on=["k"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert {(r.k, r.v) for r in out.collect()} == {
+        (1, "a0"), (2, "b1"), (3, "c0"), (4, "d0"),
+    }
