@@ -53,3 +53,28 @@ def hash_threshold_sample(df: DataFrame, key_col: str, fraction: float) -> DataF
         raise ValueError("fraction must be in (0, 1]")
     draw = F.conv(F.substring(_key_hash(key_col), 1, 8), 16, 10).cast("long")
     return df.filter(draw < F.lit(int(fraction * 2**32)))
+
+
+def weighted_mixture(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Domain-weighted corpus mixing: keep each domain's rows at its
+    own deterministic rate — the dataset-mixture step of a pretraining
+    pipeline (e.g. upweight wiki, downweight crawl), reproducible from
+    the data alone. Domains absent from ``weights`` keep
+    ``default_rate`` of their rows. Rates are capped at 1.0 (this
+    samples; it does not replicate)."""
+    for d, r in weights.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {d!r} must be in [0, 1], got {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError("default_rate must be in [0, 1]")
+    draw = F.conv(F.substring(_key_hash(key_col), 1, 8), 16, 10).cast("long")
+    rate = F.lit(int(default_rate * 2**32))
+    for d, r in weights.items():
+        rate = F.when(F.col(domain_col) == d, F.lit(int(r * 2**32))).otherwise(rate)
+    return df.filter(draw < rate)

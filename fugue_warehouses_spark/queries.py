@@ -2791,6 +2791,40 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_domain_mixture",
+    """
+    WITH drawn AS (
+      SELECT lang, doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS draw,
+             CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                       WHEN 'zh' THEN 0.25 ELSE 0.1 END AS rate
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM drawn WHERE draw < CAST(floor(rate * 4294967296) AS UBIGINT)
+    GROUP BY lang
+    """,
+)
+def doc_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted corpus mixing (extensions/sampling.py): keep
+    50% of en, all of de, 25% of zh, 10% of everything else — by
+    md5-hash threshold, so the mixture is a pure function of the data
+    (the oracle reproduces the exact row set, asserted via id_sum)."""
+    from fugue_warehouses_spark.extensions.sampling import weighted_mixture
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    mixed = weighted_mixture(
+        docs, "lang", {"en": 0.5, "de": 1.0, "zh": 0.25}, "doc_id",
+        default_rate=0.1,
+    )
+    return mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+@_q(
     "doc_clean_normalize",
     """
     WITH c AS (

@@ -222,3 +222,24 @@ def test_merge_null_keys_never_match(spark, target):
     assert (None, "ghost", 7.0, "keep") in rows    # null-key target kept
     assert (None, None, 55.0, "insert") in rows    # null-key source inserts
     assert len(rows) == 5
+
+
+def test_weighted_mixture_rates_and_determinism(spark):
+    from fugue_warehouses_spark.extensions.sampling import weighted_mixture
+
+    df = spark.range(0, 9_000).select(
+        (F.col("id") % 3).cast("string").alias("dom"), F.col("id").alias("k")
+    )
+    out = weighted_mixture(df, "dom", {"0": 0.5, "1": 1.0}, "k", default_rate=0.0)
+    per = {r.dom: r.n for r in out.groupBy("dom").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.4 < per["0"] / 3000 < 0.6     # ~half of domain 0
+    assert per["1"] == 3000                 # all of domain 1
+    assert "2" not in per                   # none of the default domain
+    # layout-independent
+    a = {r.k for r in out.collect()}
+    b = {r.k for r in weighted_mixture(
+        df.repartition(11), "dom", {"0": 0.5, "1": 1.0}, "k").collect()}
+    assert a == b
+    import pytest as _pt
+    with _pt.raises(ValueError, match="rate"):
+        weighted_mixture(df, "dom", {"0": 1.5}, "k")
