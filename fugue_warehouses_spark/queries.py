@@ -2791,6 +2791,84 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_bigram_lift",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    uni AS (SELECT unnest(ts) AS w FROM toks),
+    uni_counts AS (SELECT w, count(*) AS nw FROM uni GROUP BY w),
+    bi AS (
+      SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+             i -> ts[i] || ' ' || ts[i+1])) AS bg
+      FROM toks WHERE len(ts) >= 2
+    ),
+    bi_counts AS (SELECT bg, count(*) AS nb FROM bi GROUP BY bg),
+    tot AS (SELECT (SELECT count(*) FROM uni) AS t_uni,
+                   (SELECT count(*) FROM bi) AS t_bi)
+    SELECT bg AS bigram, CAST(nb AS BIGINT) AS n_pair,
+           round(CAST(nb AS DOUBLE) * t_uni * t_uni
+                 / (CAST(t_bi AS DOUBLE) * a.nw * c.nw), 6) AS lift
+    FROM bi_counts, tot
+    JOIN uni_counts a ON a.w = split_part(bg, ' ', 1)
+    JOIN uni_counts c ON c.w = split_part(bg, ' ', 2)
+    WHERE nb >= 5
+    ORDER BY lift DESC, bigram ASC LIMIT 20
+    """,
+)
+def doc_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: bigram lift (the PMI ratio without the log
+    — all-integer cross-multiplication, so the score is exact and
+    cross-engine deterministic where log() rounding is not). Unigram
+    counts broadcast into the bigram aggregate; top-k has a total
+    order on the rounded score."""
+    docs = _t(spark, sf_dir, "documents")
+    ts = TX.tokens(F.lower(F.col("text")))
+    toks = docs.select(ts.alias("ts"))
+    uni = toks.select(F.explode("ts").alias("w"))
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("nw"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - 1),
+        lambda i: F.struct(
+            F.element_at("ts", i).alias("w1"),
+            F.element_at("ts", i + 1).alias("w2"),
+        ),
+    )
+    bi = (
+        toks.filter(F.size("ts") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bi_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
+    tot = uni.agg(F.count(F.lit(1)).alias("t_uni")).crossJoin(
+        bi.agg(F.count(F.lit(1)).alias("t_bi"))
+    )
+    a = uni_counts.select(F.col("w").alias("_wa"), F.col("nw").alias("_nwa"))
+    c = uni_counts.select(F.col("w").alias("_wc"), F.col("nw").alias("_nwc"))
+    lift = F.round(
+        F.col("nb").cast("double") * F.col("t_uni") * F.col("t_uni")
+        / (F.col("t_bi").cast("double") * F.col("_nwa") * F.col("_nwc")),
+        6,
+    )
+    return (
+        bi_counts.filter(F.col("nb") >= 5)
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(a), F.col("w1") == F.col("_wa"))
+        .join(F.broadcast(c), F.col("w2") == F.col("_wc"))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("nb").cast("long").alias("n_pair"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@_q(
     "doc_domain_mixture",
     """
     WITH drawn AS (
