@@ -2829,7 +2829,15 @@ def doc_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = TX.tokens(F.lower(F.col("text")))
     toks = docs.select(ts.alias("ts"))
     uni = toks.select(F.explode("ts").alias("w"))
-    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("nw"))
+    # totals ride along as windows over the (small) count frames —
+    # a totals branch built from `uni`/`bi` directly would re-scan and
+    # re-tokenize the whole corpus once per total
+    w_all = Window.partitionBy()
+    uni_counts = (
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("nw"))
+        .withColumn("t_uni", F.sum("nw").over(w_all))
+    )
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("ts") - 1),
         lambda i: F.struct(
@@ -2842,11 +2850,14 @@ def doc_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(pairs).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    bi_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
-    tot = uni.agg(F.count(F.lit(1)).alias("t_uni")).crossJoin(
-        bi.agg(F.count(F.lit(1)).alias("t_bi"))
+    bi_counts = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .withColumn("t_bi", F.sum("nb").over(w_all))
     )
-    a = uni_counts.select(F.col("w").alias("_wa"), F.col("nw").alias("_nwa"))
+    a = uni_counts.select(
+        F.col("w").alias("_wa"), F.col("nw").alias("_nwa"), "t_uni"
+    )
     c = uni_counts.select(F.col("w").alias("_wc"), F.col("nw").alias("_nwc"))
     lift = F.round(
         F.col("nb").cast("double") * F.col("t_uni") * F.col("t_uni")
@@ -2855,7 +2866,6 @@ def doc_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         bi_counts.filter(F.col("nb") >= 5)
-        .crossJoin(F.broadcast(tot))
         .join(F.broadcast(a), F.col("w1") == F.col("_wa"))
         .join(F.broadcast(c), F.col("w2") == F.col("_wc"))
         .select(
