@@ -3043,6 +3043,151 @@ def customer_balance_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_partkey, p.p_name, s.s_name,
+           round(s.s_acctbal, 2) AS s_acctbal, n.n_name
+    FROM part p
+    JOIN ps ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 15 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
+      AND s.s_acctbal = (
+            SELECT min(s2.s_acctbal)
+            FROM ps ps2
+            JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+            JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+            JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+            WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated MIN subquery choosing the best
+    supplier per part), adapted to the slim schema: the part-supplier
+    relation is derived from distinct lineitem pairs and s_acctbal
+    stands in for ps_supplycost. The correlated subquery decorrelates
+    into a per-part window MIN over the already-filtered candidate
+    frame — one shuffle on p_partkey, no second scan of lineitem. The
+    equality is on the raw stored double (no arithmetic), so it is
+    engine-exact; rounding is display-only."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(
+            _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    cand = (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(sup), ps.l_suppkey == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_mb", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_mb"))
+        .select(
+            "p_partkey", "p_name", "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"), "n_name",
+        )
+    )
+
+
+@_q(
+    "q16_supplier_part_counts",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#4' AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    bucket with a NOT IN exclusion (negative-balance suppliers stand in
+    for the complaints predicate; the part-supplier relation derives
+    from distinct lineitem pairs). The exclusion list is tiny and
+    broadcast as a LEFT ANTI join; COUNT(DISTINCT) expands to a
+    two-phase aggregate Catalyst plans automatically."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q20_excess_supply_suppliers",
+    """
+    WITH qty AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                 GROUP BY l_partkey, l_suppkey)
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT qty.l_suppkey FROM qty
+        WHERE qty.l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND qty.q > 80)
+    """,
+)
+def q20_excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries (suppliers who moved >80
+    units of any red part in 1996; shipped quantity stands in for the
+    missing ps_availqty). Both INs become LEFT SEMI joins: red parts
+    broadcast into the year-filtered per-(part,supplier) aggregate,
+    whose surviving supplier keys semi-filter the supplier dim. The
+    quantity cut is exact (integer-valued doubles)."""
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    qty = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 80)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(qty, s.s_suppkey == qty.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
+
+
 # =====================================================================
 # entry points used by __spark_entry__.py
 # =====================================================================
