@@ -10,8 +10,9 @@ North-star extension (SURVEY.md §2.E). Two paths:
   bucket the corpus; only bucket collisions are re-ranked exactly.
   The scale path: candidate generation is one shuffle on
   (table, bucket), exact math only on collisions. Hyperplanes are
-  derived deterministically from a seed via xxhash64 — no RNG state,
-  reproducible across runs/executors.
+  derived deterministically from a seed via sha256 (``srp_planes``) —
+  no RNG state, reproducible across runs/executors AND replayable in
+  plain SQL, so the whole pipeline has an exact DuckDB oracle twin.
 
 All vector math is double-precision, fixed accumulation order
 (functions/vectors.py) so results are engine-comparable.
@@ -482,23 +483,58 @@ def ivf_topk(
     )
 
 
-def _srp_signature(vec_col: str, dim: int, n_planes: int, seed: int, table):
-    """Sign-bit signature under pseudo-random hyperplanes.
+def srp_planes(
+    dim: int, n_planes: int, n_tables: int, seed: int
+) -> list[list[list[float]]]:
+    """Deterministic hyperplane family ``[table][plane][dim]``.
 
-    Plane p's component d is a deterministic value derived from
-    xxhash64(seed, table, p, d) scaled to [-1, 1) — each LSH table gets
-    an independent plane family, identical on every executor (no RNG
-    state to ship). bit_p = (v . plane_p) >= 0.
+    Component (t, p, d) = the first 32 bits of
+    ``sha256(f"{seed}:{t}:{p}:{d}")`` recentred to [-1, 1). sha256 is
+    available and byte-identical in every engine (the same trick the
+    multimodal stub kernel uses), so an external oracle can regenerate
+    the exact planes in SQL — and the scaling is a power-of-two
+    division of a 32-bit integer, which is exact in float64 on both
+    sides. Computed once driver-side (n_tables * n_planes * dim
+    hashes, microseconds) and shipped to executors as a plan literal —
+    no RNG state, no broadcast variable.
+    """
+    import hashlib
+
+    return [
+        [
+            [
+                (
+                    int(
+                        hashlib.sha256(
+                            f"{seed}:{t}:{p}:{d}".encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    - 2**31
+                )
+                / 2**31
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def _srp_signature(vec_col: str, dim: int, n_planes: int, planes_lit, table):
+    """Sign-bit signature under the ``srp_planes`` hyperplane family.
+
+    ``planes_lit`` is the nested-array literal from ``srp_planes``;
+    ``table`` is a (possibly lambda-bound) 0-based table index column.
+    bit_p = (v . plane_p) >= 0, with the dot product accumulated
+    left-to-right in element order so the oracle's sequential fold
+    reproduces the sum bit-for-bit.
 
     A vector whose length differs from ``dim`` raises per-row instead
     of silently zip-padding nulls (null sign bits would quietly degrade
     buckets, in the worst case collapsing everything into one bucket —
     a hidden quadratic re-rank).
     """
-    def component(p, d):
-        h = F.xxhash64(F.lit(seed), table, p, d)
-        return (h.cast("double") / F.lit(float(2**63))).cast("double")
-
     vec = F.col(vec_col)
     dim_guard = F.when(F.size(vec) == dim, F.lit(0.0)).otherwise(
         F.raise_error(
@@ -509,14 +545,15 @@ def _srp_signature(vec_col: str, dim: int, n_planes: int, seed: int, table):
             )
         ).cast("double")
     )
+    tbl_planes = F.element_at(planes_lit, table.cast("int") + 1)
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_planes - 1)),
         lambda p: (
             F.aggregate(
                 F.zip_with(
                     vec,
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda x, d: x.cast("double") * component(p, d),
+                    F.element_at(tbl_planes, p + 1),
+                    lambda x, c: x.cast("double") * c,
                 ),
                 dim_guard,
                 lambda acc, x: acc + x,
@@ -545,9 +582,16 @@ def lsh_topk(
     ``n_planes`` hyperplanes); query/corpus pairs colliding in any
     table are re-ranked with exact cosine. Recall grows with
     ``n_tables``; cost is n_tables bucket shuffles of the corpus vs a
-    full scan per query for brute force. Returns <=k rows per query —
-    an *approximate* result (rows-only correctness check).
+    full scan per query for brute force. Returns <=k rows per query.
+
+    The result is approximate in recall terms but fully deterministic:
+    the ``srp_planes`` family is sha256-derived and the bucket id is
+    the big-endian fold of the sign bits, so an external SQL oracle
+    can replay the entire pipeline (planes -> bits -> buckets ->
+    collision join -> exact re-rank) and hash-match the output.
     """
+    planes_lit = F.lit(srp_planes(dim, n_planes, n_tables, seed))
+
     def with_buckets(df: DataFrame, idc: str, vecc: str, out_id: str, out_vec: str):
         return df.select(
             F.col(idc).alias(out_id),
@@ -557,8 +601,10 @@ def lsh_topk(
                     F.sequence(F.lit(0), F.lit(n_tables - 1)),
                     lambda t: F.struct(
                         t.alias("table_id"),
-                        F.xxhash64(
-                            _srp_signature(vecc, dim, n_planes, seed, t)
+                        F.aggregate(
+                            _srp_signature(vecc, dim, n_planes, planes_lit, t),
+                            F.lit(0).cast("long"),
+                            lambda acc, b: acc * 2 + b,
                         ).alias("bucket"),
                     ),
                 )

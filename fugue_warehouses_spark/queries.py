@@ -1217,8 +1217,72 @@ def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("embedding_lsh_topk")  # no oracle: approximate by design
+def _srp_lsh_sql(
+    k: int = 10, dim: int = 64, n_planes: int = 4, n_tables: int = 16,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of the FULL SRP-LSH pipeline (similarity.lsh_topk).
+
+    The hyperplane family is sha256-derived (similarity.srp_planes), so
+    the oracle regenerates the exact same planes in SQL: component
+    (t,p,d) = first 32 bits of sha256('seed:t:p:d') recentred to
+    [-1,1) — integer-to-double and the power-of-two scaling are exact.
+    Sign bits use the same left-to-right fold order as the Spark
+    expression (aggregate / list_reduce are both sequential left
+    folds over IEEE doubles -> bit-identical sums), buckets are the
+    same big-endian bit fold, and collisions re-rank with exact cosine
+    rounded to 6. The result is approximate in recall terms but fully
+    deterministic, hence hash-comparable.
+    """
+    return f"""
+    WITH planes AS (
+      SELECT tt.range AS t, pp.range AS p, dd.range AS d,
+             (CAST(('0x' || substring(sha256('{seed}:'
+                 || CAST(tt.range AS VARCHAR) || ':'
+                 || CAST(pp.range AS VARCHAR) || ':'
+                 || CAST(dd.range AS VARCHAR)), 1, 8)) AS UBIGINT)::DOUBLE
+              - 2147483648.0) / 2147483648.0 AS comp
+      FROM range({n_tables}) tt, range({n_planes}) pp, range({dim}) dd),
+    prow AS (
+      SELECT t, p, list(comp ORDER BY d) AS comps
+      FROM planes GROUP BY t, p),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bits AS (
+      SELECT e.vec_id, prow.t, prow.p,
+             CASE WHEN list_reduce(
+                    list_prepend(0.0::DOUBLE,
+                      list_transform(generate_series(1, {dim}),
+                                     i -> e.v[i] * prow.comps[i])),
+                    (acc, x) -> acc + x) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM e, prow),
+    buckets AS (
+      SELECT vec_id, t,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                      list(CAST(bit AS BIGINT) ORDER BY p)),
+                         (a, b) -> a * 2 + b) AS bucket
+      FROM bits GROUP BY vec_id, t),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS match_id
+      FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+      WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+    SELECT query_id, match_id, cosine_sim FROM (
+      SELECT cand.query_id, cand.match_id,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+      FROM cand
+      JOIN e a ON a.vec_id = cand.query_id
+      JOIN e b ON b.vec_id = cand.match_id)
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, match_id ASC) <= {k}
+    """
+
+
+@_q("embedding_lsh_topk", _srp_lsh_sql())
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k with an EXACT oracle: the sha256 plane
+    family makes bucket assignment engine-reproducible, so the DuckDB
+    twin replays candidate generation and re-rank verbatim (same trick
+    that upgraded MinHash/SimHash from rows-only to hash-checked)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return SS.lsh_topk(emb, queries, k=10, dim=64, n_planes=4, n_tables=16)

@@ -124,3 +124,30 @@ def test_brute_force_topk_string_ids(spark):
         df, df.filter(F.col("vec_id") == "q"), k=1
     ).collect()
     assert [(r["query_id"], r["match_id"]) for r in out] == [("q", "m1")]
+
+
+def test_srp_planes_duckdb_exact_parity():
+    """The sha256 hyperplane family must be regenerable in plain SQL
+    with EXACT float64 equality — this is what lets embedding_lsh_topk
+    carry a hash-checked oracle instead of a rows-only check."""
+    import duckdb
+
+    dim, n_planes, n_tables, seed = 7, 3, 2, 42
+    py = S.srp_planes(dim, n_planes, n_tables, seed)
+    rows = duckdb.sql(
+        f"""
+        SELECT tt.range AS t, pp.range AS p, dd.range AS d,
+               (CAST(('0x' || substring(sha256('{seed}:'
+                   || CAST(tt.range AS VARCHAR) || ':'
+                   || CAST(pp.range AS VARCHAR) || ':'
+                   || CAST(dd.range AS VARCHAR)), 1, 8)) AS UBIGINT)::DOUBLE
+                - 2147483648.0) / 2147483648.0 AS comp
+        FROM range({n_tables}) tt, range({n_planes}) pp, range({dim}) dd
+        """
+    ).fetchall()
+    assert len(rows) == n_tables * n_planes * dim
+    for t, p, d, comp in rows:
+        assert py[t][p][d] == comp  # exact, no tolerance
+    flat = [c for tb in py for pl in tb for c in pl]
+    assert min(flat) >= -1.0 and max(flat) < 1.0
+    assert len(set(flat)) == len(flat)  # sha256 components don't collide
