@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from fugue_warehouses_spark.functions.vectors import cosine, dot, l2_normalize
+from fugue_warehouses_spark.functions.vectors import cosine, dot, l2_normalize, norm
 
 
 def _collect_query_matrix(queries: DataFrame, query_id: str, query_vec: str):
@@ -616,6 +616,128 @@ def lsh_topk(
     cand = (
         qb.join(cb, on=["table_id", "bucket"], how="inner")
         .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "__qv", "match_id", "__cv")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "match_id", "cosine_sim")
+    )
+
+
+def ivf_topk_hash(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with deterministic hash-sampled centroids.
+
+    The ``ivf_topk`` variant whose every step is engine-reproducible
+    (and therefore carries an exact SQL oracle, like lsh_topk):
+
+    1. centroids = the ``n_centroids`` corpus vectors with the smallest
+       ``(md5(id), id)`` key — a uniform deterministic sample needing
+       one distributed top-K scan (TakeOrderedAndProject), no k-means
+       training pass. FAISS-style random-subsample centroid init, made
+       hash-deterministic.
+    2. assign: each corpus vector -> its best centroid by cosine
+       rounded to 6 (ties -> lowest centroid index; np.argmax takes
+       the FIRST max, which is exactly the oracle's ``ORDER BY sim
+       DESC, cidx ASC``). One vectorized Arrow pass — a (batch x dim)
+       @ (dim x n_centroids) matmul per batch, the same numpy-vs-SQL
+       rounding discipline embedding_topk's hash-matching established.
+    3. probe: each query takes its ``n_probe`` best centroids by the
+       same rounded-cosine rule (query set is bounded by contract and
+       evaluated driver-side, like brute_force_topk's query matrix).
+    4. candidates = corpus rows whose centroid is probed (broadcast
+       semi-filter on centroid index), re-ranked with exact cosine.
+
+    Scale: the corpus is scanned twice (top-K + assign) and never
+    shuffled before the candidate set; centroid vectors ride in the
+    UDF closure (n_centroids * dim doubles).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent_rows = (
+        corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_centroids)
+        .collect()
+    )
+    cmat = np.array([list(r["cv"]) for r in cent_rows], dtype="float64")
+    cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    cmat_n = cmat / cn
+
+    # --- probes: rounded-cosine top-n_probe centroids per query ------
+    qids, qmat_n = _collect_query_matrix(queries, query_id, query_vec)
+    qsims = np.round(qmat_n @ cmat_n.T, 6)  # (n_q, n_c)
+    probe_pairs = []
+    for j, qid in enumerate(qids):
+        order = np.lexsort((np.arange(qsims.shape[1]), -qsims[j]))[:n_probe]
+        probe_pairs.extend((int(c), qid) for c in order)
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_pairs, columns=["cidx", "query_id"]).astype(
+            {"cidx": "int32"}
+        ),
+        schema=T.StructType(
+            [
+                T.StructField("cidx", T.IntegerType()),
+                T.StructField("query_id", queries.schema[query_id].dataType),
+            ]
+        ),
+    )
+
+    # --- assign: one Arrow pass over the corpus ----------------------
+    out_schema = T.StructType(
+        [
+            T.StructField("match_id", corpus.schema[corpus_id].dataType),
+            T.StructField("__cv", corpus.schema[corpus_vec].dataType),
+            T.StructField("cidx", T.IntegerType()),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[corpus_vec].to_numpy()).astype("float64")
+            nr = np.linalg.norm(m, axis=1, keepdims=True)
+            nr[nr == 0] = 1.0
+            sims = np.round((m / nr) @ cmat_n.T, 6)
+            yield pd.DataFrame(
+                {
+                    "match_id": pdf[corpus_id],
+                    "__cv": pdf[corpus_vec],
+                    "cidx": sims.argmax(axis=1).astype("int32"),
+                }
+            )
+
+    cb = corpus.select(corpus_id, corpus_vec).mapInPandas(assign, out_schema)
+
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    cand = (
+        cb.join(F.broadcast(probes), on="cidx")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .join(F.broadcast(qv), on="query_id")
         .select("query_id", "__qv", "match_id", "__cv")
         .distinct()
     )

@@ -1288,11 +1288,61 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.lsh_topk(emb, queries, k=10, dim=64, n_planes=4, n_tables=16)
 
 
-@_q("embedding_ivf_topk")  # no oracle: approximate by design
+def _ivf_hash_sql(k: int = 10, n_centroids: int = 32, n_probe: int = 8) -> str:
+    """DuckDB twin of similarity.ivf_topk_hash: centroids are the
+    n_centroids vectors with the smallest (md5(id), id) key, corpus
+    rows assign to their best centroid by cosine rounded to 6 (ties ->
+    lowest centroid index), queries probe their n_probe best centroids,
+    and probed candidates re-rank exactly. Every step is deterministic,
+    so the approximate result is hash-comparable."""
+    return f"""
+    WITH cent AS (
+      SELECT cid, cv, rn - 1 AS cidx FROM (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+               row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings) WHERE rn <= {n_centroids}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    asg AS (
+      SELECT vec_id, cidx FROM (
+        SELECT e.vec_id, cent.cidx,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+                          cent.cidx ASC) AS arn
+        FROM e, cent) WHERE arn = 1),
+    probes AS (
+      SELECT vec_id, cidx FROM (
+        SELECT e.vec_id, cent.cidx,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+                          cent.cidx ASC) AS prn
+        FROM e, cent WHERE e.vec_id < 10) WHERE prn <= {n_probe}),
+    cand AS (
+      SELECT DISTINCT probes.vec_id AS query_id, asg.vec_id AS match_id
+      FROM probes JOIN asg ON asg.cidx = probes.cidx
+      WHERE probes.vec_id <> asg.vec_id)
+    SELECT query_id, match_id, cosine_sim FROM (
+      SELECT cand.query_id, cand.match_id,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+      FROM cand
+      JOIN e a ON a.vec_id = cand.query_id
+      JOIN e b ON b.vec_id = cand.match_id)
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, match_id ASC) <= {k}
+    """
+
+
+@_q("embedding_ivf_topk", _ivf_hash_sql())
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with hash-sampled centroids (similarity.ivf_topk_hash) —
+    deterministic end-to-end, so unlike the k-means variant it carries
+    an exact oracle. The k-means ivf_topk stays pytest-verified (recall
+    + determinism) as the training-based alternative."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return SS.ivf_topk(emb, queries, k=10, n_centroids=32, n_probe=8)
+    return SS.ivf_topk_hash(emb, queries, k=10, n_centroids=32, n_probe=8)
 
 
 # The stub decode kernel is sha256-derived (multimodal.py:_fake_features:
