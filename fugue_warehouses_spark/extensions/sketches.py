@@ -1,0 +1,239 @@
+"""Mergeable cardinality / frequency sketches with engine-reproducible
+registers.
+
+Two sketches back the approximate-aggregate surface (SURVEY.md §2.C
+``APPROX_COUNT_DISTINCT`` analog, plus the heavy-hitter counting a
+training-data pipeline needs for corpus frequency stats):
+
+- **KMV (k-minimum values)** distinct-count sketch (Bar-Yossef et al.
+  2002; Beyer et al. SIGMOD'07 "On synopses for distinct value
+  estimation"): keep the ``k`` smallest values of a uniform hash of the
+  column; estimate ``D ≈ (k-1) / U_(k)`` where ``U_(k)`` is the k-th
+  smallest hash normalized to (0,1].
+- **Count-min sketch** (Cormode & Muthukrishnan 2005): a ``depth ×
+  width`` grid of counters; each item increments one counter per row
+  (bucket = row-seeded hash mod width); a point estimate is the MIN of
+  an item's ``depth`` counters (biased high, never low).
+
+Unlike the engine-native ``approx_count_distinct`` (HLL++, whose
+registers are implementation-specific), every register here derives
+from md5 — identical in any engine — so the *approximate* answers are
+exactly reproducible cross-engine and the registry queries built on
+them carry full hash-compared DuckDB oracles (queries.py
+``orders_kmv_distinct`` / ``events_cms_user_counts``).
+
+Scale design (the 100 TB stance):
+
+- A KMV sketch is ONE distributed top-k over the hash — partial
+  per-partition top-k, single k-row merge (``TakeOrderedAndProject``);
+  no full shuffle of the distinct set. The sketch is k rows no matter
+  the input size, and two sketches union-merge (take the k smallest of
+  the union), so per-partition / per-day sketches roll up without
+  rescanning.
+- A CMS is one ``groupBy(row, bucket).count()`` — map-side partial
+  aggregation collapses each task's stream to at most ``depth*width``
+  rows before the shuffle, so shuffle volume is bounded by the sketch
+  size times the task count, not the data. Sketches merge by summing
+  counters (``cms_merge``), the standard mergeability argument of the
+  paper, and a merged sketch is small enough to broadcast to the probe
+  side.
+
+The reference has no sketch layer (it delegates APPROX_* to the
+warehouse); this module is the self-contained equivalent, per
+SURVEY.md §2.C.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^60 — the hash range: 15 hex chars of md5, always positive in BIGINT.
+_M60 = 1 << 60
+
+
+def hash60(col: Column) -> Column:
+    """Uniform 60-bit hash as a non-negative BIGINT, from md5.
+
+    15 hex chars = 60 bits < 2^63, so the value is exact in a signed
+    64-bit integer in every engine (DuckDB twin:
+    ``('0x' || substr(md5(x), 1, 15))::UBIGINT``).
+    """
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+# ---------------------------------------------------------------------
+# KMV distinct-count sketch
+# ---------------------------------------------------------------------
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """The k smallest distinct ``hash60`` values of ``df[col]``.
+
+    One column ``h`` (BIGINT), at most ``k`` rows. The plan is a
+    partial-aggregate distinct followed by a global top-k
+    (``TakeOrderedAndProject``) — no full shuffle of the distinct set.
+    """
+    return (
+        df.select(hash60(F.col(col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Union-merge two KMV sketches: the k smallest of the union."""
+    return a.union(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch.
+
+    If the sketch holds fewer than ``k`` hashes the count is exact
+    (every distinct value is present). Otherwise
+    ``D ≈ (k-1) * 2^60 / h_(k)``. The arithmetic is a single IEEE
+    double division of exactly-determined integers, so the estimate is
+    bit-identical cross-engine; it is floored to BIGINT so no float
+    leaves the query.
+
+    Returns one row: ``est_distinct`` BIGINT, ``sketch_size`` BIGINT,
+    ``kth_min_hash`` BIGINT (the raw register, pinning determinism).
+    """
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("sketch_size"),
+        F.max("h").alias("kth_min_hash"),
+    )
+    numer = float((k - 1) * _M60)  # exact: (k-1) has <= 11 significant bits
+    est = F.when(
+        F.col("sketch_size") < k, F.col("sketch_size").cast("double")
+    ).otherwise(
+        F.lit(numer) / F.greatest(F.col("kth_min_hash"), F.lit(1)).cast("double")
+    )
+    return agg.select(
+        F.floor(est).cast("long").alias("est_distinct"),
+        F.col("sketch_size").cast("long"),
+        F.col("kth_min_hash").cast("long"),
+    )
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """``kmv_estimate(kmv_sketch(df, col, k), k)`` in one call."""
+    return kmv_estimate(kmv_sketch(df, col, k), k)
+
+
+def kmv_sql(table: str, col: str, k: int = 256) -> str:
+    """DuckDB twin of ``kmv_distinct`` (ANSI-ish; used by the oracle)."""
+    numer = f"{float((k - 1) * _M60)!r}"
+    return f"""
+    WITH hs AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))
+                           AS UBIGINT) AS h
+      FROM {table}),
+    sk AS (SELECT h FROM hs ORDER BY h LIMIT {k}),
+    a AS (SELECT count(*) AS n, CAST(max(h) AS BIGINT) AS kh FROM sk)
+    SELECT CAST(floor(CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+                           ELSE {numer} / CAST(greatest(kh, 1) AS DOUBLE) END)
+                AS BIGINT) AS est_distinct,
+           CAST(n AS BIGINT) AS sketch_size,
+           kh AS kth_min_hash
+    FROM a
+    """
+
+
+# ---------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------
+
+
+def _cms_bucket(col: Column, row: Column, width: int) -> Column:
+    """Row-seeded bucket: hash60("<row>:<value>") mod width."""
+    seeded = F.concat(row.cast("string"), F.lit(":"), col.cast("string"))
+    return (hash60(seeded) % F.lit(width)).cast("int")
+
+
+def cms_sketch(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch of ``df[col]`` occurrences.
+
+    Columns ``(row int, bucket int, cnt bigint)``; at most
+    ``depth*width`` rows. The explode-by-depth happens map-side and the
+    partial aggregation collapses each task to sketch-sized output
+    before the single shuffle.
+    """
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    return (
+        df.select(F.col(col).alias("__v"))
+        .select("__v", rows)
+        .groupBy(
+            F.col("row"), _cms_bucket(F.col("__v"), F.col("row"), width).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches of identical (depth, width): counters add."""
+    return (
+        a.union(b).groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-estimate counts for each key: MIN over the key's buckets.
+
+    ``keys`` is a small frame (one column ``col``); the probe explodes
+    it by depth, joins the (broadcast) sketch on (row, bucket), and
+    takes the min counter. Absent buckets count 0 via the left join.
+    Output: ``(col, est_count bigint)``.
+    """
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    probes = (
+        keys.select(F.col(col))
+        .distinct()
+        .select(F.col(col), rows)
+        .withColumn("bucket", _cms_bucket(F.col(col), F.col("row"), width))
+    )
+    joined = probes.join(F.broadcast(sketch), on=["row", "bucket"], how="left")
+    return (
+        joined.groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        .select(F.col(col), F.col("est_count").cast("long"))
+    )
+
+
+def cms_sql(
+    table: str,
+    col: str,
+    keys_predicate: str,
+    depth: int = 4,
+    width: int = 256,
+) -> str:
+    """DuckDB twin of ``cms_estimate(cms_sketch(...), keys, ...)`` where
+    the probed keys are ``SELECT DISTINCT col FROM table WHERE
+    keys_predicate``."""
+    bucket = (
+        "CAST(CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||"
+        f" CAST({col} AS VARCHAR)), 1, 15)) AS UBIGINT) % {width} AS INTEGER)"
+    )
+    return f"""
+    WITH ex AS (
+      SELECT {col}, r FROM {table},
+        UNNEST(generate_series(0, {depth - 1})) AS u(r)),
+    sk AS (
+      SELECT r, {bucket} AS bucket, count(*) AS cnt
+      FROM ex GROUP BY 1, 2),
+    probe AS (
+      SELECT {col}, r, {bucket} AS bucket
+      FROM (SELECT DISTINCT {col} FROM {table} WHERE {keys_predicate}),
+        UNNEST(generate_series(0, {depth - 1})) AS u(r))
+    SELECT probe.{col},
+           CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_count
+    FROM probe LEFT JOIN sk USING (r, bucket)
+    GROUP BY 1
+    """

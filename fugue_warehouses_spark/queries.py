@@ -30,6 +30,7 @@ from fugue_warehouses_spark.engine import SparkWarehouseEngine
 from fugue_warehouses_spark.extensions import dedup as DD
 from fugue_warehouses_spark.extensions import multimodal as MM
 from fugue_warehouses_spark.extensions import similarity as SS
+from fugue_warehouses_spark.extensions import sketches as SK
 from fugue_warehouses_spark.functions import text as TX
 from fugue_warehouses_spark.operators.take import take
 from fugue_warehouses_spark.sources import load_star_table, register_star_views
@@ -3300,6 +3301,44 @@ def q20_excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
         .select("s_name", "n_name")
     )
+
+
+# ---------------------------------------------------------------------
+# Mergeable sketches (extensions/sketches.py): approximate answers whose
+# registers derive from md5, so even the APPROXIMATIONS hash-match the
+# oracle — unlike engine-native HLL++ (orders_approx_distinct above,
+# which stays rows-only-checked by design).
+# ---------------------------------------------------------------------
+
+
+@_q("orders_kmv_distinct", SK.kmv_sql("orders", "o_custkey", k=256))
+def orders_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-customer estimate over orders.
+
+    One distributed top-k over a 60-bit md5 hash — the sketch is 256
+    rows at any input size and union-merges across partitions/days
+    without rescan (extensions/sketches.py). Estimate quality is also
+    pytest-bounded vs the exact count (test_sketches.py)."""
+    orders = _t(spark, sf_dir, "orders")
+    return SK.kmv_distinct(orders, "o_custkey", k=256)
+
+
+@_q(
+    "events_cms_user_counts",
+    SK.cms_sql("events", "user_id", "user_id < 20", depth=4, width=256),
+)
+def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch event counts for users 0..19.
+
+    The sketch is a depth*width counter grid built with one map-side-
+    combined groupBy (shuffle volume bounded by sketch size, not data);
+    probes join the broadcast sketch and take the min counter. CMS
+    never undercounts; the overcount bound is pytest-asserted
+    (test_sketches.py)."""
+    events = _t(spark, sf_dir, "events")
+    sketch = SK.cms_sketch(events, "user_id", depth=4, width=256)
+    keys = events.filter(F.col("user_id") < 20)
+    return SK.cms_estimate(sketch, keys, "user_id", depth=4, width=256)
 
 
 # =====================================================================

@@ -1,0 +1,81 @@
+"""Sketch guarantees: KMV estimate accuracy + exactness below k, CMS
+never-undercount + error bound, and both sketches' merge laws."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fugue_warehouses_spark.extensions import sketches as SK
+
+
+@pytest.fixture(scope="module")
+def vals(spark):
+    # 5000 rows over 1200 distinct keys, skewed (key 7 is hot).
+    rows = [(i % 1200,) for i in range(3800)] + [(7,) for _ in range(1200)]
+    return spark.createDataFrame(rows, "k long")
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    row = SK.kmv_distinct(df, "k", k=256).collect()[0]
+    assert row["est_distinct"] == 100
+    assert row["sketch_size"] == 100
+
+
+def test_kmv_estimate_within_rsd(vals):
+    # k=256 -> rsd ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma.
+    row = SK.kmv_distinct(vals, "k", k=256).collect()[0]
+    assert row["sketch_size"] == 256
+    assert abs(row["est_distinct"] - 1200) / 1200 < 0.25
+
+
+def test_kmv_merge_equals_whole(spark, vals):
+    a = vals.filter(F.col("k") < 600)
+    b = vals.filter(F.col("k") >= 600)
+    merged = SK.kmv_merge(
+        SK.kmv_sketch(a, "k", 256), SK.kmv_sketch(b, "k", 256), 256
+    )
+    whole = SK.kmv_sketch(vals, "k", 256)
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in whole.collect()
+    )
+
+
+def test_cms_never_undercounts_and_bounded(spark, vals):
+    sketch = SK.cms_sketch(vals, "k", depth=4, width=256)
+    keys = vals.filter(F.col("k") < 20)
+    est = {
+        r["k"]: r["est_count"]
+        for r in SK.cms_estimate(sketch, keys, "k", 4, 256).collect()
+    }
+    true = {
+        r["k"]: r["cnt"]
+        for r in vals.filter(F.col("k") < 20)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    n = vals.count()
+    for k, t in true.items():
+        assert est[k] >= t  # CMS is one-sided
+        # standard bound: overcount <= e*N/width w.h.p.; allow 2x slack
+        assert est[k] - t <= 2 * 2.72 * n / 256
+    # the hot key's estimate stays near-exact (it dominates its buckets)
+    assert est[7] >= 1200
+
+
+def test_cms_merge_equals_whole(spark, vals):
+    a = vals.filter(F.col("k") % 2 == 0)
+    b = vals.filter(F.col("k") % 2 == 1)
+    merged = SK.cms_merge(
+        SK.cms_sketch(a, "k", 4, 256), SK.cms_sketch(b, "k", 4, 256)
+    )
+    whole = SK.cms_sketch(vals, "k", 4, 256)
+    to_map = lambda df: {
+        (r["row"], r["bucket"]): r["cnt"] for r in df.collect()
+    }
+    assert to_map(merged) == to_map(whole)
+
+
+def test_sketch_sizes_bounded(vals):
+    assert SK.kmv_sketch(vals, "k", 64).count() == 64
+    assert SK.cms_sketch(vals, "k", 4, 32).count() <= 4 * 32
