@@ -30,6 +30,7 @@ from fugue_warehouses_spark.engine import SparkWarehouseEngine
 from fugue_warehouses_spark.extensions import dedup as DD
 from fugue_warehouses_spark.extensions import multimodal as MM
 from fugue_warehouses_spark.extensions import similarity as SS
+from fugue_warehouses_spark.extensions import chunking as CH
 from fugue_warehouses_spark.extensions import sketches as SK
 from fugue_warehouses_spark.functions import text as TX
 from fugue_warehouses_spark.operators.take import take
@@ -3339,6 +3340,22 @@ def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = SK.cms_sketch(events, "user_id", depth=4, width=256)
     keys = events.filter(F.col("user_id") < 20)
     return SK.cms_estimate(sketch, keys, "user_id", depth=4, width=256)
+
+
+@_q("doc_cdc_dedup", CH.cdc_sql(window=8, divisor=64, group_col="source"))
+def doc_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup accounting per
+    source (extensions/chunking.py): documents split where a windowed
+    rolling hash hits a sentinel, so shared passages chunk identically
+    at any offset; the per-source gap total_chunk_chars -
+    distinct_chunk_chars is exactly the volume chunk-level dedup
+    removes. Chunking is per-row (no shuffle); the accounting shuffles
+    (source, chunk-hash) pairs with map-side combine."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = CH.cdc_chunks(
+        docs, "doc_id", "text", window=8, divisor=64, keep_cols=("source",)
+    )
+    return CH.cdc_dedup_stats(chunks, "source")
 
 
 # =====================================================================
