@@ -1,0 +1,94 @@
+"""Corpus-quality operators: repetition filtering and PII redaction.
+
+Gopher-style repetition rules (Rae et al. 2021, §A1.1: fraction of
+duplicate tokens / dominance of the single most frequent token) and
+regex PII scrubbing are the standard cheap gates of an LLM-data
+pipeline. Both are pure built-in-function plans:
+
+- repetition: explode tokens -> (doc, token) hash aggregate with
+  map-side combine -> per-doc re-aggregate. Two shuffles, both on
+  aggregated rows; no Python. At 100 TB this is the canonical
+  wordcount shape — partial aggregation keeps the (doc, token) shuffle
+  proportional to *distinct* pairs per partition, not raw tokens.
+- PII: regexp_count/regexp_replace inside codegen, per-row only — no
+  shuffle at all until the caller aggregates.
+
+The reference has no corpus-quality layer (it delegates SQL to
+warehouses); this extends SURVEY.md §2.E. Patterns are restricted to
+the RE2 ∩ java.util.regex common dialect (character classes +
+quantifiers, no backrefs/lookarounds) so the DuckDB oracle runs the
+same regex byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fugue_warehouses_spark.functions.text import tokens
+
+# RE2-and-Java-safe PII patterns.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str, text_col: str, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-document token-repetition metrics.
+
+    Output: (id, *keep_cols, n_tokens, n_distinct, top_token_count,
+    dup_frac, top_frac) where dup_frac = 1 - distinct/total and
+    top_frac = most-frequent-token count / total. Empty docs drop out
+    (no tokens to judge).
+    """
+    toks = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.explode(tokens(text_col)).alias("__tok"),
+    )
+    cnt = toks.groupBy(id_col, *keep_cols, "__tok").agg(
+        F.count("*").alias("__c")
+    )
+    per = cnt.groupBy(id_col, *keep_cols).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("__c").alias("top_token_count"),
+    )
+    return per.select(
+        id_col,
+        *keep_cols,
+        "n_tokens",
+        "n_distinct",
+        "top_token_count",
+        (F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens")).alias("dup_frac"),
+        (F.col("top_token_count") / F.col("n_tokens")).alias("top_frac"),
+    )
+
+
+def repetition_flags(
+    metrics: DataFrame, max_dup_frac: float = 0.8, max_top_frac: float = 0.3
+) -> DataFrame:
+    """Gopher-rule pass/fail flag on top of ``repetition_metrics``."""
+    return metrics.withColumn(
+        "flagged",
+        (F.col("dup_frac") > max_dup_frac) | (F.col("top_frac") > max_top_frac),
+    )
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub emails/phones; count what was removed.
+
+    Adds (out_col, n_emails, n_phones) — the redacted text plus exact
+    match counts, all JVM-side regex (no Python)."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)).cast("long"),
+            "n_phones": F.regexp_count(c, F.lit(PHONE_RE)).cast("long"),
+            out_col: F.regexp_replace(
+                F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            ),
+        }
+    )

@@ -1,0 +1,85 @@
+"""Time-series regularization: bucketing, gap-filling, and
+last-observation-carried-forward (LOCF) interpolation.
+
+Hypertable-style engines expose this as ``time_bucket_gapfill`` +
+``locf()``; here it is a composition of built-in DataFrame ops, so the
+whole plan stays inside Catalyst/whole-stage codegen:
+
+1. bucket — integer epoch-µs division (tz-free on TIMESTAMP_NTZ, no
+   session-zone dependence), one hash aggregate with map-side combine;
+2. grid — per-key ``sequence(min_bucket, max_bucket)`` + ``explode``,
+   generated from the *aggregated* per-key extents (tiny input, the
+   explode fan-out happens executor-side, never on the driver);
+3. fill — a left join grid←buckets on (key, bucket). Both sides are
+   hash-partitioned on the same keys; AQE coalesces the small side;
+4. LOCF — ``last(col, ignorenulls=True)`` over an unbounded-preceding
+   row window per key, a single sort-based window pass.
+
+Scale: the grid size is (span / bucket) rows per key — independent of
+the event count, so at 100 TB the shuffled volume is the *aggregated*
+buckets, not raw events. Dense keys × fine buckets is the one hazard;
+callers bound it by key predicate or bucket width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def bucket_index(time_col: str, bucket_us: int):
+    """Integer bucket index: floor(epoch_µs / bucket_µs).
+
+    Pure epoch arithmetic on TIMESTAMP_NTZ — no session-timezone
+    dependence (the correctness harness runs a vanilla session).
+    """
+    return F.expr(
+        f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {time_col}) div {bucket_us}"
+    )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    bucket_us: int,
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """Regular per-key time grid with zero-filled counts and
+    LOCF-interpolated sums.
+
+    Output: (key, bucket, n_events, locf_sum) — one row per key per
+    bucket between that key's first and last observation, inclusive.
+    ``n_events`` is 0 on gap rows; ``locf_sum`` carries the most recent
+    observed bucket-sum forward (never NULL: the first bucket per key
+    is by construction observed).
+    """
+    b = (
+        df.select(
+            F.col(key_col), bucket_index(time_col, bucket_us).alias(bucket_name),
+            F.col(value_col),
+        )
+        .groupBy(key_col, bucket_name)
+        .agg(F.count("*").alias("__n"), F.sum(value_col).alias("__sv"))
+    )
+    ext = b.groupBy(key_col).agg(
+        F.min(bucket_name).alias("__lo"), F.max(bucket_name).alias("__hi")
+    )
+    grid = ext.select(
+        key_col, F.explode(F.sequence("__lo", "__hi")).alias(bucket_name)
+    )
+    j = grid.join(b, [key_col, bucket_name], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_name)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        F.col(key_col),
+        F.col(bucket_name),
+        F.coalesce("__n", F.lit(0)).alias("n_events"),
+        F.last("__sv", ignorenulls=True).over(w).alias("locf_sum"),
+    )

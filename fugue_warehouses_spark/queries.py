@@ -32,7 +32,10 @@ from fugue_warehouses_spark.extensions import multimodal as MM
 from fugue_warehouses_spark.extensions import similarity as SS
 from fugue_warehouses_spark.extensions import chunking as CH
 from fugue_warehouses_spark.extensions import sketches as SK
+from fugue_warehouses_spark.extensions import clustering as CL
+from fugue_warehouses_spark.extensions import quality as QL
 from fugue_warehouses_spark.functions import text as TX
+from fugue_warehouses_spark.operators import timeseries as TSO
 from fugue_warehouses_spark.operators.take import take
 from fugue_warehouses_spark.sources import load_star_table, register_star_views
 from fugue_warehouses_spark.transform import transform
@@ -3356,6 +3359,272 @@ def doc_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", window=8, divisor=64, keep_cols=("source",)
     )
     return CH.cdc_dedup_stats(chunks, "source")
+
+
+# =====================================================================
+# Time-series regularization (hypertable-style gapfill + LOCF)
+# =====================================================================
+
+
+_GAPFILL_SQL = """
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) // 300000000 AS bucket_5m,
+             count(*) AS n, sum(value) AS sv
+      FROM events WHERE user_id < 8 GROUP BY 1, 2),
+    ext AS (
+      SELECT user_id, min(bucket_5m) AS lo, max(bucket_5m) AS hi
+      FROM b GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi)) AS bucket_5m FROM ext),
+    j AS (
+      SELECT g.user_id, g.bucket_5m,
+             coalesce(b.n, 0)::BIGINT AS n_events, b.sv
+      FROM grid g LEFT JOIN b
+        ON g.user_id = b.user_id AND g.bucket_5m = b.bucket_5m)
+    SELECT user_id, bucket_5m, n_events,
+           round(last_value(sv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket_5m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS locf_sum
+    FROM j
+    """
+
+
+@_q("events_gapfill_5m", _GAPFILL_SQL)
+def events_gapfill_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style ``time_bucket_gapfill`` + ``locf()`` as a
+    composition of built-in ops (operators/timeseries.py): bucket
+    aggregate -> per-key sequence/explode grid -> left join ->
+    ignore-nulls window. The grid is generated from *aggregated*
+    extents, so shuffled volume is bucket counts, not raw events —
+    the property that keeps this viable on a 100 TB event stream."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    out = TSO.gapfill_locf(
+        ev, "user_id", "ts", "value", 300_000_000, bucket_name="bucket_5m"
+    )
+    return out.select(
+        "user_id",
+        "bucket_5m",
+        "n_events",
+        F.round("locf_sum", 6).alias("locf_sum"),
+    )
+
+
+# =====================================================================
+# Corpus quality: repetition filtering + PII redaction (extensions/quality.py)
+# =====================================================================
+
+
+_REPETITION_SQL = r"""
+    WITH toks AS (
+      SELECT d.doc_id, d.source,
+             unnest(string_split_regex(trim(d.text), '\s+')) AS tok
+      FROM documents d),
+    cnt AS (
+      SELECT doc_id, source, tok, count(*) AS c
+      FROM toks WHERE tok <> '' GROUP BY 1, 2, 3),
+    per AS (
+      SELECT doc_id, source, sum(c)::BIGINT AS n_tokens,
+             count(*)::BIGINT AS n_distinct, max(c)::BIGINT AS top_c
+      FROM cnt GROUP BY 1, 2),
+    m AS (
+      SELECT source,
+             1.0 - n_distinct / n_tokens AS dup_frac,
+             top_c / n_tokens AS top_frac
+      FROM per)
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN dup_frac > 0.6 OR top_frac > 0.125
+                    THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+           round(avg(dup_frac), 6) AS avg_dup_frac,
+           round(avg(top_frac), 6) AS avg_top_frac
+    FROM m GROUP BY source
+    """
+
+
+@_q("doc_repetition_filter", _REPETITION_SQL)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate (extensions/quality.py): duplicate-
+    token fraction and top-token dominance per doc, flagged against the
+    classic thresholds, rolled up per source. Wordcount-shaped plan —
+    partial aggregation keeps the (doc, token) shuffle bounded by
+    distinct pairs; cross-engine exact because every metric is a ratio
+    of integer counts (IEEE division is deterministic)."""
+    docs = _t(spark, sf_dir, "documents")
+    m = QL.repetition_metrics(docs, "doc_id", "text", keep_cols=("source",))
+    flags = QL.repetition_flags(m, max_dup_frac=0.6, max_top_frac=0.125)
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("flagged").cast("long")).alias("n_flagged"),
+        F.round(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
+        F.round(F.avg("top_frac"), 6).alias("avg_top_frac"),
+    )
+
+
+_PII_SQL = r"""
+    WITH p AS (
+      SELECT source,
+             text
+             || CASE WHEN doc_id % 3 <> 0
+                THEN ' contact u' || doc_id::VARCHAR || '@example.com'
+                ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                ELSE '' END AS payload
+      FROM documents),
+    r AS (
+      SELECT source, payload,
+             len(regexp_extract_all(payload,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_emails,
+             len(regexp_extract_all(payload,
+                 '\+1-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+             regexp_replace(regexp_replace(payload,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+      FROM p)
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(n_emails)::BIGINT AS emails_redacted,
+           sum(n_phones)::BIGINT AS phones_redacted,
+           sum(length(red))::BIGINT AS redacted_chars,
+           sum(length(payload) - length(red))::BIGINT AS chars_removed
+    FROM r GROUP BY source
+    """
+
+
+@_q("doc_pii_redaction", _PII_SQL)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (extensions/quality.py) over payloads fabricated
+    with deterministic synthetic emails/phones (the fixture corpus has
+    none). Entirely codegen'd regexp_count/regexp_replace — zero
+    Python, zero shuffle before the final per-source rollup. Patterns
+    live in the RE2 ∩ java.util.regex common dialect so DuckDB runs
+    the identical bytes."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    red = QL.redact_pii(
+        docs.select("source", payload.alias("payload")), "payload", out_col="red"
+    )
+    return red.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_emails").alias("emails_redacted"),
+        F.sum("n_phones").alias("phones_redacted"),
+        F.sum(F.length("red")).alias("redacted_chars"),
+        F.sum(F.length("payload") - F.length("red")).alias("chars_removed"),
+    )
+
+
+# =====================================================================
+# Embedding clustering: Lloyd k-means + SemDeDup (extensions/clustering.py)
+# =====================================================================
+
+
+_KMEANS_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+      FROM e ORDER BY vec_id LIMIT 8),
+    a1 AS (
+      SELECT vec_id, v, cidx FROM (
+        SELECT e.vec_id, e.v, i.cidx,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, i.cv), 6) DESC,
+                          i.cidx ASC) AS rn
+        FROM e, init i) WHERE rn = 1),
+    u AS (
+      SELECT cidx, ord, avg(val) AS m FROM (
+        SELECT cidx, unnest(v) AS val, generate_subscripts(v, 1) AS ord
+        FROM a1) GROUP BY 1, 2),
+    c1 AS (SELECT cidx, list(m ORDER BY ord) AS cv FROM u GROUP BY 1),
+    a2 AS (
+      SELECT vec_id, cidx, cos FROM (
+        SELECT e.vec_id, c.cidx,
+               round(list_cosine_similarity(e.v, c.cv), 6) AS cos,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                          c.cidx ASC) AS rn
+        FROM e, c1 c) WHERE rn = 1)
+    SELECT cidx AS cluster_id, count(*)::BIGINT AS n_members,
+           round(avg(cos), 4) AS avg_cos
+    FROM a2 GROUP BY 1
+    """
+
+
+@_q("embedding_kmeans", _KMEANS_SQL)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means, 2 assignment passes, deterministic smallest-id
+    init (extensions/clustering.py) — so unlike sampled k-means the
+    whole trajectory is engine-reproducible and the DuckDB twin unrolls
+    the identical iteration in SQL. Assignment is an Arrow matmul pass
+    (centroids ride in the closure); the update shuffles k x dim
+    partial sums, not the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = CL.kmeans_lloyd(emb, "vec_id", "embedding", k=8, iters=2)
+    return assigned.groupBy(F.col("cidx").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg("cos_sim"), 4).alias("avg_cos"),
+    )
+
+
+_SEMDEDUP_SQL = """
+    WITH cent AS (
+      SELECT cv, rn - 1 AS cidx FROM (
+        SELECT embedding::DOUBLE[] AS cv,
+               row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings) WHERE rn <= 32),
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    asg AS (
+      SELECT vec_id, label, v, cidx FROM (
+        SELECT e.vec_id, e.label, e.v, cent.cidx,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+                          cent.cidx ASC) AS rn
+        FROM e, cent) WHERE rn = 1),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a JOIN asg b
+        ON a.cidx = b.cidx AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.8)
+    SELECT asg.label, count(*)::BIGINT AS n_vecs,
+           sum(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           sum(CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+    FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+    GROUP BY asg.label
+    """
+
+
+@_q("embedding_semantic_dedup", _SEMDEDUP_SQL)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (extensions/clustering.py): cluster-bucketed embedding
+    near-dup removal — candidate pairs only within a hash-centroid
+    bucket, never global all-pairs, the property that holds at 100 TB.
+    Deterministic md5-sample centroids + rounded-cosine assignment make
+    the approximate result exactly reproducible in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flagged = CL.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.8, n_centroids=32,
+        keep_cols=("label",),
+    )
+    return flagged.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum((~F.col("is_dup")).cast("long")).alias("n_kept"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dropped"),
+    )
 
 
 # =====================================================================

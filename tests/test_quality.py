@@ -1,0 +1,61 @@
+"""Repetition metrics + PII redaction (extensions/quality.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fugue_warehouses_spark.extensions.quality import (
+    redact_pii,
+    repetition_flags,
+    repetition_metrics,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a a a a b", "s1"),           # top_frac 0.8, dup 0.6
+            (2, "w x y z", "s1"),             # all distinct
+            (3, "  spaced   out  text ", "s2"),
+            (4, "", "s2"),                    # empty: drops out
+        ],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_repetition_metrics_exact(spark):
+    m = {
+        r["doc_id"]: r
+        for r in repetition_metrics(_docs(spark), "doc_id", "text").collect()
+    }
+    assert 4 not in m  # empty doc has no tokens
+    assert (m[1]["n_tokens"], m[1]["n_distinct"], m[1]["top_token_count"]) == (5, 2, 4)
+    assert abs(m[1]["dup_frac"] - 0.6) < 1e-12
+    assert abs(m[1]["top_frac"] - 0.8) < 1e-12
+    assert (m[2]["dup_frac"], m[2]["top_frac"]) == (0.0, 0.25)
+    assert m[3]["n_tokens"] == 3  # whitespace runs collapse
+
+
+def test_repetition_flags_thresholds(spark):
+    m = repetition_metrics(_docs(spark), "doc_id", "text")
+    f = {r["doc_id"]: r["flagged"] for r in repetition_flags(m, 0.5, 0.5).collect()}
+    assert f == {1: True, 2: False, 3: False}
+
+
+def test_redact_pii_counts_and_text(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@x.io and sue@y.org or +1-555-0042 end"), (2, "clean")],
+        "id long, t string",
+    )
+    out = {r["id"]: r for r in redact_pii(df, "t").collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (2, 1)
+    assert out[1]["redacted"] == "mail <EMAIL> and <EMAIL> or <PHONE> end"
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 0)
+    assert out[2]["redacted"] == "clean"
+
+
+def test_redaction_is_pure_projection(spark):
+    """No shuffle: redaction must stay a per-row projection."""
+    df = spark.range(10).withColumn("t", F.lit("a@b.co"))
+    plan = redact_pii(df, "t")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

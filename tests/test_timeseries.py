@@ -1,0 +1,76 @@
+"""gapfill_locf: grid completeness, zero-fill, carry-forward, and
+plan shape (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from fugue_warehouses_spark.operators.timeseries import bucket_index, gapfill_locf
+
+_TS = dt.datetime
+
+
+def _frame(spark):
+    rows = [
+        # key 1: buckets 0, 3 observed -> grid 0..3, gaps at 1, 2
+        (1, _TS(2024, 1, 1, 0, 1), 10.0),
+        (1, _TS(2024, 1, 1, 0, 4), None),
+        (1, _TS(2024, 1, 1, 0, 16), 7.0),
+        (1, _TS(2024, 1, 1, 0, 17), 3.0),
+        # key 2: single bucket -> one-row grid
+        (2, _TS(2024, 1, 1, 2, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp_ntz, v double")
+    return df
+
+
+def test_grid_zero_fill_and_locf(spark):
+    out = gapfill_locf(
+        _frame(spark), "k", "ts", "v", bucket_us=300_000_000
+    ).orderBy("k", "bucket")
+    rows = [tuple(r) for r in out.collect()]
+    base = 1704067200000000 // 300_000_000  # 2024-01-01T00:00 epoch-µs / 5min
+    assert rows == [
+        # bucket 0 holds two events (sum skips the NULL), then two gap
+        # rows carrying 10.0 forward, then the observed bucket 3
+        (1, base + 0, 2, 10.0),
+        (1, base + 1, 0, 10.0),
+        (1, base + 2, 0, 10.0),
+        (1, base + 3, 2, 10.0),
+        (2, base + 24, 1, 5.0),
+    ]
+
+
+def test_all_null_bucket_carries_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, _TS(2024, 1, 1, 0, 0), None), (1, _TS(2024, 1, 1, 0, 11), 4.0)],
+        "k int, ts timestamp_ntz, v double",
+    )
+    out = gapfill_locf(df, "k", "ts", "v", bucket_us=300_000_000).orderBy("bucket")
+    got = [(r["n_events"], r["locf_sum"]) for r in out.collect()]
+    # leading all-NULL bucket -> locf stays NULL until first real value
+    assert got == [(1, None), (0, None), (1, 4.0)]
+
+
+def test_bucket_index_is_tz_free(spark):
+    df = spark.createDataFrame(
+        [(_TS(2024, 1, 1, 0, 5),)], "ts timestamp_ntz"
+    ).select(bucket_index("ts", 300_000_000).alias("b"))
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        got = df.collect()[0]["b"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+    assert got == 1704067200000000 // 300_000_000 + 1
+
+
+def test_grid_joins_do_not_shuffle_raw_rows(spark):
+    """The explode feeding the grid must sit above the aggregated
+    extents, not the raw scan: gapfill's scale contract."""
+    out = gapfill_locf(_frame(spark), "k", "ts", "v", bucket_us=300_000_000)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    gen_pos = plan.find("Generate explode")
+    agg_below = plan.find("Aggregate", gen_pos)
+    assert gen_pos >= 0 and agg_below > gen_pos
