@@ -87,6 +87,11 @@ BENCH_QUERIES = [
     "embedding_topk",
     "embedding_quantized_topk",
     "embedding_similar_pairs",
+    "events_gapfill_5m",
+    "doc_repetition_filter",
+    "doc_pii_redaction",
+    "embedding_kmeans",
+    "embedding_semantic_dedup",
 ]
 
 
