@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "doc_pii_redaction",
     "embedding_kmeans",
     "embedding_semantic_dedup",
+    "events_rollup_cascade",
+    "orders_weighted_sample",
 ]
 
 

@@ -78,3 +78,25 @@ def weighted_mixture(
     for d, r in weights.items():
         rate = F.when(F.col(domain_col) == d, F.lit(int(r * 2**32))).otherwise(rate)
     return df.filter(draw < rate)
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame, key_col: str, weight_col: str, rate_per_unit: float
+) -> DataFrame:
+    """Per-row weighted sampling: keep probability = min(1, weight *
+    rate_per_unit), decided by the key-hash draw — importance sampling
+    with a continuous weight column (e.g. quality score, price), still
+    a pure function of the data. Shuffle-free narrow filter.
+
+    The threshold is floored to an integer in [0, 2^32] on BOTH
+    engines (floor(x) is deterministic on doubles; CAST would round),
+    so the kept row set is engine-exact.
+    """
+    if rate_per_unit <= 0:
+        raise ValueError("rate_per_unit must be positive")
+    draw = F.conv(F.substring(_key_hash(key_col), 1, 8), 16, 10).cast("long")
+    thresh = F.floor(
+        F.least(F.col(weight_col) * F.lit(rate_per_unit), F.lit(1.0))
+        * F.lit(float(2**32))
+    )
+    return df.filter(draw < thresh)

@@ -83,3 +83,60 @@ def gapfill_locf(
         F.coalesce("__n", F.lit(0)).alias("n_events"),
         F.last("__sv", ignorenulls=True).over(w).alias("locf_sum"),
     )
+
+
+def rollup_cascade(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    buckets_us: tuple[int, ...] = (900_000_000, 3_600_000_000, 86_400_000_000),
+    grain_names: tuple[str, ...] = ("15m", "1h", "1d"),
+) -> DataFrame:
+    """Multi-granularity continuous-aggregate cascade (hypertable
+    rollup): the finest grain aggregates the raw stream ONCE; every
+    coarser grain re-aggregates the previous grain's partials, never
+    the raw data.
+
+    At 100 TB this is the difference between one full-data shuffle plus
+    tiny rollups versus N full-data shuffles — the exact materialized-
+    rollup contract of hypertable/continuous-aggregate engines, here as
+    a lazy plan Catalyst can stage-pipeline. Each coarser bucket width
+    must be a multiple of the previous one (validated) so partial sums
+    compose exactly.
+
+    Output: (grain, bucket_start_us, n_events, sum_value) across all
+    grains unioned, bucket_start_us being the bucket's epoch-µs start.
+    """
+    if len(buckets_us) != len(grain_names) or not buckets_us:
+        raise ValueError("buckets_us and grain_names must align and be non-empty")
+    for prev, nxt in zip(buckets_us, buckets_us[1:]):
+        if nxt % prev != 0:
+            raise ValueError(f"bucket {nxt} is not a multiple of {prev}")
+    fine = (
+        df.select(
+            bucket_index(time_col, buckets_us[0]).alias("__b"), F.col(value_col)
+        )
+        .groupBy("__b")
+        .agg(F.count("*").alias("n_events"), F.sum(value_col).alias("sum_value"))
+    )
+    levels = [fine]
+    for us_prev, us_next in zip(buckets_us, buckets_us[1:]):
+        prev = levels[-1]
+        levels.append(
+            prev.groupBy(
+                F.expr(f"__b * {us_prev} div {us_next}").alias("__b")
+            ).agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+    out = None
+    for name, us, lvl in zip(grain_names, buckets_us, levels):
+        part = lvl.select(
+            F.lit(name).alias("grain"),
+            (F.col("__b") * F.lit(us)).alias("bucket_start_us"),
+            "n_events",
+            "sum_value",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

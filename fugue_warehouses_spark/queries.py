@@ -3627,6 +3627,72 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLUP_CASCADE_SQL = """
+    WITH f AS (
+      SELECT epoch_us(ts) // 900000000 AS b,
+             count(*) AS n, sum(value) AS sv
+      FROM events GROUP BY 1),
+    h AS (
+      SELECT (b * 900000000) // 3600000000 AS b,
+             sum(n) AS n, sum(sv) AS sv
+      FROM f GROUP BY 1),
+    d AS (
+      SELECT (b * 3600000000) // 86400000000 AS b,
+             sum(n) AS n, sum(sv) AS sv
+      FROM h GROUP BY 1)
+    SELECT '15m' AS grain, b * 900000000 AS bucket_start_us,
+           n::BIGINT AS n_events, round(sv, 4) AS sum_value FROM f
+    UNION ALL
+    SELECT '1h', b * 3600000000, n::BIGINT, round(sv, 4) FROM h
+    UNION ALL
+    SELECT '1d', b * 86400000000, n::BIGINT, round(sv, 4) FROM d
+    """
+
+
+@_q("events_rollup_cascade", _ROLLUP_CASCADE_SQL)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade (operators/timeseries.py): 15m
+    buckets aggregate the raw stream once; 1h re-aggregates the 15m
+    partials; 1d re-aggregates 1h. One full-data shuffle total — the
+    hypertable materialized-rollup contract, with coarser grains
+    costing only rollup-sized shuffles at any data scale."""
+    ev = _t(spark, sf_dir, "events")
+    out = TSO.rollup_cascade(ev, "ts", "value")
+    return out.select(
+        "grain",
+        "bucket_start_us",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = """
+    SELECT o_orderkey, o_totalprice FROM (
+      SELECT o_orderkey, o_totalprice,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT
+               AS draw
+      FROM orders)
+    WHERE draw < floor(least(o_totalprice * 0.000002, 1.0) * 4294967296.0)
+    """
+
+
+@_q("orders_weighted_sample", _WEIGHTED_SAMPLE_SQL)
+def orders_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling with a continuous weight (extensions/
+    sampling.weighted_bernoulli_sample): keep probability proportional
+    to o_totalprice, decided by the md5 key-hash draw — reproducible
+    from the data alone (partition-layout independent, unlike seeded
+    Sample nodes) and a shuffle-free narrow filter. The floor()ed
+    integer threshold makes the kept row SET engine-exact."""
+    from fugue_warehouses_spark.extensions.sampling import weighted_bernoulli_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    out = weighted_bernoulli_sample(
+        orders, "o_orderkey", "o_totalprice", rate_per_unit=0.000002
+    )
+    return out.select("o_orderkey", "o_totalprice")
+
+
 # =====================================================================
 # entry points used by __spark_entry__.py
 # =====================================================================

@@ -243,3 +243,47 @@ def test_weighted_mixture_rates_and_determinism(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="rate"):
         weighted_mixture(df, "dom", {"0": 1.5}, "k")
+
+
+def test_weighted_bernoulli_sample_tracks_weight(spark):
+    from fugue_warehouses_spark.extensions.sampling import (
+        weighted_bernoulli_sample,
+    )
+
+    df = spark.range(0, 8_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, 0.25).otherwise(2.0).alias("w"),
+    )
+    out = weighted_bernoulli_sample(df, "k", "w", rate_per_unit=1.0)
+    rows = out.collect()
+    heavy = sum(1 for r in rows if r["w"] == 2.0)
+    light = sum(1 for r in rows if r["w"] == 0.25)
+    assert heavy == 4_000                  # rate capped at 1.0 -> all kept
+    assert 0.20 < light / 4_000 < 0.30     # ~25% of the light rows
+    # layout-independent: same kept set after repartition
+    again = {
+        r["k"]
+        for r in weighted_bernoulli_sample(
+            df.repartition(13), "k", "w", rate_per_unit=1.0
+        ).collect()
+    }
+    assert {r["k"] for r in rows} == again
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="positive"):
+        weighted_bernoulli_sample(df, "k", "w", rate_per_unit=0)
+
+
+def test_weighted_bernoulli_sample_no_shuffle(spark):
+    from fugue_warehouses_spark.extensions.sampling import (
+        weighted_bernoulli_sample,
+    )
+
+    df = spark.range(100).select(F.col("id").alias("k"), F.lit(0.5).alias("w"))
+    plan = (
+        weighted_bernoulli_sample(df, "k", "w", 1.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

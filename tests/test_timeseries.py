@@ -66,6 +66,48 @@ def test_bucket_index_is_tz_free(spark):
     assert got == 1704067200000000 // 300_000_000 + 1
 
 
+def test_rollup_cascade_matches_direct_aggregation(spark):
+    from fugue_warehouses_spark.operators.timeseries import rollup_cascade
+
+    df = _frame(spark)
+    out = rollup_cascade(df, "ts", "v", (300_000_000, 900_000_000), ("5m", "15m"))
+    rows = {(r["grain"], r["bucket_start_us"]): (r["n_events"], r["sum_value"])
+            for r in out.collect()}
+    # direct 15m aggregation over the raw frame must equal the cascade
+    direct = (
+        df.groupBy(bucket_index("ts", 900_000_000).alias("b"))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    )
+    for r in direct:
+        assert rows[("15m", r["b"] * 900_000_000)] == (r["n"], r["s"])
+
+
+def test_rollup_cascade_validates_multiples(spark):
+    import pytest
+    from fugue_warehouses_spark.operators.timeseries import rollup_cascade
+
+    with pytest.raises(ValueError, match="multiple"):
+        rollup_cascade(_frame(spark), "ts", "v", (300, 700), ("a", "b"))
+
+
+def test_rollup_cascade_shuffles_raw_data_once(spark):
+    """Coarser grains must re-aggregate the fine grain's partials, not
+    re-shuffle the raw data: the fine aggregate's exchange is REUSED by
+    both coarser branches in the executed plan."""
+    from fugue_warehouses_spark.operators.timeseries import rollup_cascade
+
+    df = spark.range(100).select(
+        F.expr("timestampadd(MICROSECOND, id * 1000000, "
+               "TIMESTAMP_NTZ '2024-01-01')").alias("ts"),
+        F.col("id").cast("double").alias("v"),
+    )
+    out = rollup_cascade(df, "ts", "v")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2
+
+
 def test_grid_joins_do_not_shuffle_raw_rows(spark):
     """The explode feeding the grid must sit above the aggregated
     extents, not the raw scan: gapfill's scale contract."""
