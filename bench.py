@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "embedding_semantic_dedup",
     "events_rollup_cascade",
     "orders_weighted_sample",
+    "star_quality_checks",
+    "orders_price_histogram",
 ]
 
 

@@ -1,0 +1,148 @@
+"""Declarative data-quality validation: warehouse constraint checks as
+one-pass aggregates.
+
+Warehouses enforce (or at least declare) PRIMARY KEY / NOT NULL /
+FOREIGN KEY / CHECK constraints; a Spark-first engine validates them as
+queries. Each rule compiles to the cheapest distributed shape:
+
+- ``unique``      → one hash aggregate on the key (map-side combine),
+                    violations = Σ (count - 1) over duplicated keys;
+- ``not_null``    → a conditional-sum scan, no shuffle;
+- ``in_range`` /
+  ``accepted``    → same, pure scan-side predicates;
+- ``foreign_key`` → left-anti join child→parent on the key; the parent
+                    side is distinct-collapsed first so the join input
+                    is |parent keys|, not |parent rows|. Catalyst
+                    broadcasts it when small; a 100 TB fact side
+                    streams through a shuffled semi/anti join otherwise.
+
+``validate`` returns one row per rule: (rule, violations) — tiny
+result, all heavy work stays distributed. Scan-only rules on the same
+frame share a single aggregate pass (one scan for any number of
+not_null/range/accepted rules).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    kind: str
+    cols: tuple[str, ...]
+    lo: float | None = None
+    hi: float | None = None
+    values: tuple = ()
+    parent: DataFrame | None = field(default=None, compare=False)
+    parent_cols: tuple[str, ...] = ()
+
+
+def unique(name: str, *cols: str) -> Rule:
+    return Rule(name, "unique", cols)
+
+
+def not_null(name: str, *cols: str) -> Rule:
+    return Rule(name, "not_null", cols)
+
+
+def in_range(name: str, col: str, lo: float, hi: float) -> Rule:
+    return Rule(name, "in_range", (col,), lo=lo, hi=hi)
+
+
+def accepted(name: str, col: str, *values) -> Rule:
+    return Rule(name, "accepted", (col,), values=tuple(values))
+
+
+def foreign_key(
+    name: str, cols: tuple[str, ...], parent: DataFrame, parent_cols: tuple[str, ...]
+) -> Rule:
+    if len(cols) != len(parent_cols):
+        raise ValueError("child and parent key lists must align")
+    return Rule(name, "foreign_key", tuple(cols), parent=parent,
+                parent_cols=tuple(parent_cols))
+
+
+def _scan_violation_expr(rule: Rule) -> F.Column:
+    if rule.kind == "not_null":
+        cond = F.lit(False)
+        for c in rule.cols:
+            cond = cond | F.col(c).isNull()
+    elif rule.kind == "in_range":
+        c = F.col(rule.cols[0])
+        cond = c.isNull() | (c < rule.lo) | (c > rule.hi)
+    elif rule.kind == "accepted":
+        c = F.col(rule.cols[0])
+        cond = c.isNull() | ~c.isin(*rule.values)
+    else:  # pragma: no cover - guarded by validate()
+        raise ValueError(rule.kind)
+    return F.sum(cond.cast("long")).alias(rule.name)
+
+
+def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Evaluate all rules; returns (rule string, violations long).
+
+    All scan-only rules share ONE aggregate job over ``df``; each
+    unique/foreign-key rule adds its own shuffle-bounded branch. The
+    branches are unioned lazily — Spark runs them as one plan and
+    reuses the scan via exchange/subquery reuse where possible.
+    """
+    if not rules:
+        raise ValueError("no rules given")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError("rule names must be unique")
+    spark = df.sparkSession
+    parts: list[DataFrame] = []
+
+    scan_rules = [r for r in rules if r.kind in ("not_null", "in_range", "accepted")]
+    if scan_rules:
+        wide = df.agg(*[_scan_violation_expr(r) for r in scan_rules])
+        stack = ", ".join(f"'{r.name}', `{r.name}`" for r in scan_rules)
+        parts.append(
+            wide.selectExpr(
+                f"stack({len(scan_rules)}, {stack}) AS (rule, violations)"
+            )
+        )
+
+    for r in rules:
+        if r.kind == "unique":
+            dup = (
+                df.groupBy(*[F.col(c) for c in r.cols])
+                .agg(F.count("*").alias("__n"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("__n") - 1), F.lit(0)
+                    ).alias("violations")
+                )
+                .select(F.lit(r.name).alias("rule"), "violations")
+            )
+            parts.append(dup)
+        elif r.kind == "foreign_key":
+            parent_keys = (
+                r.parent.select(
+                    *[F.col(p).alias(c) for c, p in zip(r.cols, r.parent_cols)]
+                ).distinct()
+            )
+            # SQL FK MATCH SIMPLE: a row with ANY NULL key col is exempt
+            all_set = F.lit(True)
+            for c in r.cols:
+                all_set = all_set & F.col(c).isNotNull()
+            orphans = (
+                df.filter(all_set)
+                .join(parent_keys, list(r.cols), "left_anti")
+                .agg(F.count("*").alias("violations"))
+                .select(F.lit(r.name).alias("rule"), "violations")
+            )
+            parts.append(orphans)
+        elif r.kind not in ("not_null", "in_range", "accepted"):
+            raise ValueError(f"unknown rule kind {r.kind!r}")
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

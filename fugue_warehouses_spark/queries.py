@@ -3694,6 +3694,116 @@ def orders_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Data-quality validation (operators/validation.py) + histograms
+# =====================================================================
+
+
+_VALIDATION_SQL = """
+    SELECT 'orders_pk_unique' AS rule,
+           (SELECT coalesce(sum(n - 1), 0)::BIGINT FROM (
+              SELECT count(*) AS n FROM orders GROUP BY o_orderkey))
+           AS violations
+    UNION ALL
+    SELECT 'custkey_not_null',
+           sum((o_custkey IS NULL)::INT)::BIGINT FROM orders
+    UNION ALL
+    SELECT 'totalprice_range',
+           sum((o_totalprice IS NULL OR o_totalprice < 0
+                OR o_totalprice > 1000000)::INT)::BIGINT FROM orders
+    UNION ALL
+    SELECT 'status_accepted',
+           sum((o_orderstatus IS NULL
+                OR o_orderstatus NOT IN ('F', 'O', 'P'))::INT)::BIGINT
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_order_fk',
+           (SELECT count(*)::BIGINT FROM lineitem l
+            WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    """
+
+
+@_q("star_quality_checks", _VALIDATION_SQL)
+def star_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint validation (operators/validation.py):
+    PK uniqueness, NOT NULL, CHECK range, accepted values, and a
+    child->parent FOREIGN KEY — the warehouse constraint surface as
+    one lazy plan. Scan-only rules share a single aggregate pass; the
+    FK is a left-anti join against distinct-collapsed parent keys."""
+    from fugue_warehouses_spark.operators import validation as V
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    order_rules = V.validate(
+        orders,
+        [
+            V.unique("orders_pk_unique", "o_orderkey"),
+            V.not_null("custkey_not_null", "o_custkey"),
+            V.in_range("totalprice_range", "o_totalprice", 0, 1_000_000),
+            V.accepted("status_accepted", "o_orderstatus", "F", "O", "P"),
+        ],
+    )
+    fk_rules = V.validate(
+        lineitem,
+        [
+            V.foreign_key(
+                "lineitem_order_fk", ("l_orderkey",), orders, ("o_orderkey",)
+            )
+        ],
+    )
+    return order_rules.unionByName(fk_rules)
+
+
+_HISTOGRAM_SQL = """
+    WITH b AS (
+      SELECT least(greatest(floor(o_totalprice / 25000)::BIGINT, 0), 19)
+               AS bucket,
+             o_totalprice
+      FROM orders),
+    h AS (
+      SELECT bucket, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM b GROUP BY bucket)
+    SELECT bucket, n::BIGINT AS n,
+           total,
+           round(sum(n) OVER (ORDER BY bucket) /
+                 (SELECT count(*) FROM orders), 6) AS cum_share
+    FROM h
+    """
+
+
+@_q("orders_price_histogram", _HISTOGRAM_SQL)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram + cumulative distribution: one hash
+    aggregate on the bucket index (20 groups regardless of data size)
+    plus a 20-row window — the constant-size-result profile shape that
+    replaces exact percentiles when the column is 100 TB wide. Clamped
+    integer bucketing keeps the cross-engine compare exact."""
+    orders = _t(spark, sf_dir, "orders")
+    b = orders.select(
+        F.least(
+            F.greatest(F.floor(F.col("o_totalprice") / 25000), F.lit(0)),
+            F.lit(19),
+        ).alias("bucket"),
+        "o_totalprice",
+    )
+    h = b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    # denominator as a whole-frame window over the 20-row histogram —
+    # no separate count() job, the plan stays single-pass
+    wall = Window.partitionBy()
+    return h.select(
+        "bucket",
+        "n",
+        "total",
+        F.round(F.sum("n").over(w) / F.sum("n").over(wall), 6).alias("cum_share"),
+    )
+
+
+# =====================================================================
 # entry points used by __spark_entry__.py
 # =====================================================================
 
