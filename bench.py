@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "orders_weighted_sample",
     "star_quality_checks",
     "orders_price_histogram",
+    "part_pagerank",
+    "orders_window_suite",
+    "customer_fuzzy_match",
 ]
 
 

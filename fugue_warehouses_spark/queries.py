@@ -3804,6 +3804,165 @@ def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Graph (extensions/graph.py), window suite, fuzzy entity matching
+# =====================================================================
+
+
+_PAGERANK_SQL = """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    deg AS (SELECT src, count(*)::DOUBLE AS d FROM e0 GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS score FROM nodes),
+    r1 AS (
+      SELECT nodes.node,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * coalesce(s.c, 0.0) AS score
+      FROM nodes LEFT JOIN (
+        SELECT e0.dst AS node, sum(r0.score / deg.d) AS c
+        FROM e0 JOIN deg ON e0.src = deg.src
+                JOIN r0 ON r0.node = e0.src
+        GROUP BY e0.dst) s ON s.node = nodes.node),
+    r2 AS (
+      SELECT nodes.node,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * coalesce(s.c, 0.0) AS score
+      FROM nodes LEFT JOIN (
+        SELECT e0.dst AS node, sum(r1.score / deg.d) AS c
+        FROM e0 JOIN deg ON e0.src = deg.src
+                JOIN r1 ON r1.node = e0.src
+        GROUP BY e0.dst) s ON s.node = nodes.node),
+    r3 AS (
+      SELECT nodes.node,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * coalesce(s.c, 0.0) AS score
+      FROM nodes LEFT JOIN (
+        SELECT e0.dst AS node, sum(r2.score / deg.d) AS c
+        FROM e0 JOIN deg ON e0.src = deg.src
+                JOIN r2 ON r2.node = e0.src
+        GROUP BY e0.dst) s ON s.node = nodes.node)
+    SELECT node AS part, round(score * 1000, 6) AS pagerank_x1000
+    FROM r3
+    ORDER BY round(score * 1000, 6) DESC, node
+    LIMIT 100
+    """
+
+
+@_q("part_pagerank", _PAGERANK_SQL)
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on the parts-bought-together graph (extensions/
+    graph.py): edges from a co-partitioned self-join on the order key
+    (pair fan-out bounded by items-per-order, never |lineitem|²),
+    3 join+aggregate iterations with lineage checkpointing. The DuckDB
+    twin unrolls the identical iteration, so this 'iterative algorithm
+    a warehouse can't express' is still hash-checked exactly."""
+    from fugue_warehouses_spark.extensions import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    ranks = G.pagerank(edges, iters=3, damping=0.85)
+    scored = ranks.select(
+        F.col("node").alias("part"),
+        F.round(F.col("score") * 1000, 6).alias("pagerank_x1000"),
+    )
+    return scored.orderBy(
+        F.col("pagerank_x1000").desc(), F.col("part").asc()
+    ).limit(100)
+
+
+_WINDOW_SUITE_SQL = """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           rank() OVER w AS rk,
+           dense_rank() OVER w AS drk,
+           round(percent_rank() OVER w, 6) AS prk,
+           round(cume_dist() OVER w, 6) AS cd,
+           ntile(4) OVER w AS quartile,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+
+
+@_q("orders_window_suite", _WINDOW_SUITE_SQL)
+def orders_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/navigation window surface in one pass:
+    lag/lead, rank/dense_rank, percent_rank/cume_dist, ntile,
+    first/last value. All nine functions share ONE (custkey) exchange
+    and sort — Catalyst collapses same-spec windows into a single
+    Window operator."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.round(F.percent_rank().over(w), 6).alias("prk"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(wfull).alias("last_key"),
+    )
+
+
+_FUZZY_MATCH_SQL = """
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           levenshtein(a.c_name, b.c_name)::BIGINT AS edit_dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """
+
+
+@_q("customer_fuzzy_match", _FUZZY_MATCH_SQL)
+def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked edit distance: candidate pairs come
+    only from a nation block (co-partitioned self-join — the classic
+    blocking step that keeps fuzzy matching sub-quadratic at scale),
+    then JVM-side levenshtein filters to near-identical names. Same
+    candidates-not-all-pairs discipline as the dedup family."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        # 3-arg levenshtein short-circuits the DP once the running
+        # minimum exceeds the threshold (returns -1): 2x faster than
+        # computing the full matrix and filtering
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b", 1).cast("long")
+        )
+        .filter(F.col("edit_dist") >= 0)
+        .select("custkey_a", "custkey_b", "edit_dist")
+    )
+
+
+# =====================================================================
 # entry points used by __spark_entry__.py
 # =====================================================================
 

@@ -1,0 +1,72 @@
+"""Graph operators (extensions/graph.py): edge extraction, degrees,
+PageRank invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fugue_warehouses_spark.extensions.graph import (
+    cooccurrence_edges,
+    degree_stats,
+    pagerank,
+)
+
+
+def _orders(spark):
+    # groups: order 1 holds items a,b,c; order 2 holds a,b; order 3: d alone
+    return spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "d")],
+        "oid long, item string",
+    )
+
+
+def test_edges_symmetric_distinct_no_self_loops(spark):
+    e = cooccurrence_edges(_orders(spark), "oid", "item")
+    rows = {(r["src"], r["dst"]) for r in e.collect()}
+    assert rows == {
+        ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("b", "c"), ("c", "b"),
+    }
+    # d co-occurs with nothing; (a,b) seen in two orders collapses to one edge
+
+
+def test_degree_stats(spark):
+    e = cooccurrence_edges(_orders(spark), "oid", "item")
+    d = {r["node"]: r["degree"] for r in degree_stats(e).collect()}
+    assert d == {"a": 2, "b": 2, "c": 2}
+
+
+def test_pagerank_sums_to_one_and_ranks_hubs(spark):
+    # star: hub h linked with 3 spokes -> h gets the highest score
+    edges = spark.createDataFrame(
+        [("h", s) for s in "xyz"] + [(s, "h") for s in "xyz"],
+        "src string, dst string",
+    )
+    r = {row["node"]: row["score"] for row in pagerank(edges, iters=5).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9  # dangling-free: mass conserved
+    assert r["h"] > max(r[s] for s in "xyz")
+    assert len({r[s] for s in "xyz"}) == 1   # symmetry -> equal spoke scores
+
+
+def test_pagerank_deterministic_across_layouts(spark):
+    e = cooccurrence_edges(_orders(spark), "oid", "item")
+    r1 = sorted(map(tuple, pagerank(e, iters=3).collect()))
+    r2 = sorted(map(tuple, pagerank(e.repartition(7), iters=3).collect()))
+    assert [(n, round(s, 12)) for n, s in r1] == [(n, round(s, 12)) for n, s in r2]
+
+
+def test_pagerank_validates_iters(spark):
+    e = cooccurrence_edges(_orders(spark), "oid", "item")
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(e, iters=0)
+
+
+def test_pagerank_checkpoint_bounds_plan_depth(spark):
+    """With checkpointing every 2 rounds, 6 rounds must not build a
+    6-deep join lineage: the plan string stops growing linearly."""
+    e = cooccurrence_edges(_orders(spark), "oid", "item")
+    deep = pagerank(e, iters=6, checkpoint_every=2)
+    shallow = pagerank(e, iters=2, checkpoint_every=2)
+    dlen = len(deep._jdf.queryExecution().optimizedPlan().toString())
+    slen = len(shallow._jdf.queryExecution().optimizedPlan().toString())
+    assert dlen < 3 * slen
