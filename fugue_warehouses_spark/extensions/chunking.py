@@ -24,11 +24,13 @@ divisor 64 on random text). The hash is integer arithmetic on code points —
 engine-reproducible, so the registry query built on it
 (``doc_cdc_dedup``, queries.py) carries an exact DuckDB oracle.
 
-Everything here is column expressions (nested higher-order functions:
-``filter`` over positions, ``aggregate`` over the window) — JVM-side,
-whole-stage-codegen, no Python in the hot path. Cost is
-O(len * window) per document with window=8 — cheaper than the
-MinHash shingle pass that typically runs beside it.
+The chunker runs as a vectorized numpy pass behind ``mapInPandas``
+(Arrow-batched) — the documented exception to the expressions-first
+policy, because Catalyst's higher-order functions evaluate the
+windowed scan quadratically (see the note inside ``cdc_chunks``).
+Cost is O(len * window) per document with window=8 — cheaper than
+the MinHash shingle pass that typically runs beside it. The dedup
+accounting on top stays pure JVM expressions.
 
 Scale: chunking is embarrassingly parallel (per-row, no shuffle); the
 dedup aggregate shuffles (hash(chunk), len) pairs — bounded by text
@@ -61,52 +63,74 @@ def cdc_chunks(
     chunk always ends at the end of the text (position ``len`` is an
     unconditional cut), so chunks partition the document exactly.
     """
-    text = F.col(text_col)
-    n = F.length(text)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    def window_hash(i):  # poly hash of text[i-window+1 .. i], mod 2^32
-        return F.aggregate(
-            F.sequence(i - (window - 1), i),
-            F.lit(0).cast("long"),
-            lambda acc, p: (acc * base + F.ascii(F.substring(text, p, 1)))
-            % F.lit(_MOD),
-        )
-
+    # Vectorized numpy pass behind mapInPandas (Arrow-batched), NOT a
+    # column expression. This op is the documented exception to the
+    # expressions-first policy (SCALE.md "Python boundary policy"):
+    # the windowed hash needs one linear scan with per-position state,
+    # and Catalyst's higher-order functions can't express that without
+    # quadratic blowup — substring(text, p, 1) re-scans UTF-8 from the
+    # start (O(len²·window)), a "precomputed" char-array alias is
+    # inlined straight back into the per-element lambda
+    # (CollapseProject), and a rolling-hash fold over a struct
+    # accumulator re-materializes the accumulator per element (measured
+    # ~O(len²), 67 s for one 20 KB doc). The numpy form is the same
+    # hash — h(i) = Σ c_j·base^(w-1-j) mod 2^32 over the window ending
+    # at i, cut iff h < 2^32/divisor — computed for ALL positions as
+    # window-count shifted multiply-adds over the code-point array:
+    # O(len·window) vectorized, ~1 ms for the same document.
     threshold = _MOD // divisor
-    interior = F.when(
-        n - 1 >= window,
-        F.filter(
-            F.sequence(F.lit(window), n - 1),
-            lambda i: window_hash(i) < threshold,
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    ends = F.concat(interior, F.array(n))
+    weights = [pow(base, window - 1 - j, _MOD) for j in range(window)]
 
-    idx = F.sequence(F.lit(1), F.size(ends))
-    bounds = F.transform(
-        idx,
-        lambda i: F.struct(
-            i.alias("chunk_idx"),
-            F.when(i == 1, F.lit(1))
-            .otherwise(F.element_at(ends, (i - 1).cast("int")) + 1)
-            .alias("chunk_start"),
-            F.element_at(ends, i.cast("int")).alias("chunk_end"),
-        ),
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            *[T.StructField(c, df.schema[c].dataType) for c in keep_cols],
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("chunk_start", T.IntegerType()),
+            T.StructField("chunk_len", T.IntegerType()),
+            T.StructField("chunk_text", T.StringType()),
+        ]
     )
+    pass_cols = [id_col, *keep_cols]
 
-    exploded = df.select(
-        F.col(id_col), *[F.col(c) for c in keep_cols], text, F.explode(bounds).alias("b")
-    )
-    start = F.col("b.chunk_start")
-    clen = F.col("b.chunk_end") - start + 1
-    return exploded.select(
-        F.col(id_col),
-        *[F.col(c) for c in keep_cols],
-        F.col("b.chunk_idx").alias("chunk_idx"),
-        start.alias("chunk_start"),
-        clen.alias("chunk_len"),
-        F.substring(text, start, clen).alias("chunk_text"),
-    )
+    def chunk_batches(batches):
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in pass_cols}
+            out.update(chunk_idx=[], chunk_start=[], chunk_len=[], chunk_text=[])
+            for row_i in range(len(pdf)):
+                text = pdf[text_col].iat[row_i]
+                text = "" if text is None else text
+                n = len(text)
+                # exact code points (what ascii() sees), vectorized
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                ends: list[int] = []
+                if n - 1 >= window:
+                    m = n - window + 1  # windows ending at 1-based w..n
+                    h = np.zeros(m, dtype=np.uint64)
+                    for j in range(window):
+                        h = (h + codes[j : j + m] * weights[j]) % _MOD
+                    # cut positions are window..n-1 (n is unconditional)
+                    (ks,) = np.nonzero(h[:-1] < threshold)
+                    ends = [int(k) + window for k in ks]
+                ends.append(n)
+                start = 1
+                for idx, e in enumerate(ends, start=1):
+                    for c in pass_cols:
+                        out[c].append(pdf[c].iat[row_i])
+                    out["chunk_idx"].append(idx)
+                    out["chunk_start"].append(start)
+                    out["chunk_len"].append(e - start + 1)
+                    out["chunk_text"].append(text[start - 1 : e])
+                    start = e + 1
+            yield pd.DataFrame(out)
+
+    return df.select(*pass_cols, text_col).mapInPandas(chunk_batches, out_schema)
 
 
 def cdc_dedup_stats(chunks: DataFrame, group_col: str) -> DataFrame:
