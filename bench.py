@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "part_pagerank",
     "orders_window_suite",
     "customer_fuzzy_match",
+    "orders_kmv_rollup",
 ]
 
 

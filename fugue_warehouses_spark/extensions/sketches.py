@@ -124,6 +124,61 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     return kmv_estimate(kmv_sketch(df, col, k), k)
 
 
+def kmv_rollup(
+    df: DataFrame, group_col: str, col: str, k: int = 256
+) -> DataFrame:
+    """Per-group KMV estimates PLUS the merged all-groups estimate,
+    computed from the group sketches alone — the mergeability property
+    that makes sketches the scale answer: per-partition / per-day
+    sketches (k rows each) roll up to the global estimate without
+    rescanning the data. The k smallest hashes of the union of
+    per-group top-k sets ARE the global top-k (any globally-small hash
+    is small within its own group), so the merged estimate is exactly
+    what a fresh full-data sketch would produce.
+
+    One scan: distinct (group, hash) pairs -> per-group window top-k;
+    the merge works over ≤ k·groups sketch rows. Output one row per
+    group plus scope='ALL': (scope, est_distinct, sketch_size,
+    kth_min_hash).
+    """
+    from pyspark.sql.window import Window
+
+    hs = df.select(
+        F.col(group_col).cast("string").alias("scope"),
+        hash60(F.col(col)).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("scope").orderBy("h")
+    sk = (
+        hs.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+    per = sk.groupBy("scope").agg(
+        F.count(F.lit(1)).alias("sketch_size"), F.max("h").alias("kth_min_hash")
+    )
+    merged = (
+        sk.select("h").distinct().orderBy("h").limit(k)
+        .agg(
+            F.count(F.lit(1)).alias("sketch_size"),
+            F.max("h").alias("kth_min_hash"),
+        )
+        .select(F.lit("ALL").alias("scope"), "sketch_size", "kth_min_hash")
+    )
+    both = per.unionByName(merged)
+    numer = float((k - 1) * _M60)
+    est = F.when(
+        F.col("sketch_size") < k, F.col("sketch_size").cast("double")
+    ).otherwise(
+        F.lit(numer) / F.greatest(F.col("kth_min_hash"), F.lit(1)).cast("double")
+    )
+    return both.select(
+        "scope",
+        F.floor(est).cast("long").alias("est_distinct"),
+        F.col("sketch_size").cast("long").alias("sketch_size"),
+        F.col("kth_min_hash").cast("long").alias("kth_min_hash"),
+    )
+
+
 def kmv_sql(table: str, col: str, k: int = 256) -> str:
     """DuckDB twin of ``kmv_distinct`` (ANSI-ish; used by the oracle)."""
     numer = f"{float((k - 1) * _M60)!r}"

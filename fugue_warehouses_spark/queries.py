@@ -3962,6 +3962,48 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_ROLLUP_SQL = f"""
+    WITH hs AS (
+      SELECT DISTINCT o_orderpriority AS scope,
+             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::UBIGINT
+               AS h
+      FROM orders),
+    sk AS (
+      SELECT scope, h FROM (
+        SELECT scope, h,
+               row_number() OVER (PARTITION BY scope ORDER BY h) AS rn
+        FROM hs) WHERE rn <= 256),
+    per AS (
+      SELECT scope, count(*) AS n, CAST(max(h) AS BIGINT) AS kh
+      FROM sk GROUP BY scope),
+    m AS (
+      SELECT h FROM (SELECT DISTINCT h FROM sk) ORDER BY h LIMIT 256),
+    ma AS (
+      SELECT 'ALL' AS scope, count(*) AS n, CAST(max(h) AS BIGINT) AS kh
+      FROM m),
+    u AS (SELECT * FROM per UNION ALL SELECT * FROM ma)
+    SELECT scope,
+           CAST(floor(CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                           ELSE {float(255 * (1 << 60))!r}
+                                / CAST(greatest(kh, 1) AS DOUBLE) END)
+                AS BIGINT) AS est_distinct,
+           CAST(n AS BIGINT) AS sketch_size,
+           kh AS kth_min_hash
+    FROM u
+    """
+
+
+@_q("orders_kmv_rollup", _KMV_ROLLUP_SQL)
+def orders_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV mergeability end-to-end (sketches.kmv_rollup): per-priority
+    distinct-customer sketches PLUS the all-priorities estimate merged
+    from the sketches alone — no second data scan. The md5-derived
+    registers make every estimate (not just the true counts)
+    hash-identical in DuckDB."""
+    orders = _t(spark, sf_dir, "orders")
+    return SK.kmv_rollup(orders, "o_orderpriority", "o_custkey", k=256)
+
+
 # =====================================================================
 # entry points used by __spark_entry__.py
 # =====================================================================

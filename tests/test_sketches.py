@@ -79,3 +79,24 @@ def test_cms_merge_equals_whole(spark, vals):
 def test_sketch_sizes_bounded(vals):
     assert SK.kmv_sketch(vals, "k", 64).count() == 64
     assert SK.cms_sketch(vals, "k", 4, 32).count() <= 4 * 32
+
+
+def test_kmv_rollup_merge_equals_fresh_sketch(spark):
+    from fugue_warehouses_spark.extensions.sketches import (
+        kmv_distinct,
+        kmv_rollup,
+    )
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") % 1900).alias("v"),
+    )
+    rows = {r["scope"]: r for r in kmv_rollup(df, "g", "v", k=128).collect()}
+    assert set(rows) == {"0", "1", "2", "3", "ALL"}
+    # the merged register must be EXACTLY what a fresh full-data sketch
+    # yields: top-k of the union of group top-k sets == global top-k
+    fresh = kmv_distinct(df.select("v"), "v", k=128).collect()[0]
+    assert rows["ALL"]["est_distinct"] == fresh["est_distinct"]
+    assert rows["ALL"]["kth_min_hash"] == fresh["kth_min_hash"]
+    # estimates track truth within the usual ~1/sqrt(k) band
+    assert abs(rows["ALL"]["est_distinct"] - 1900) / 1900 < 0.25
