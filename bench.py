@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "orders_window_suite",
     "customer_fuzzy_match",
     "orders_kmv_rollup",
+    "doc_unigram_surprisal",
 ]
 
 

@@ -75,6 +75,34 @@ def repetition_flags(
     )
 
 
+def unigram_surprisal(
+    df: DataFrame, id_col: str, text_col: str, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-document mean unigram surprisal -ln p(token) under the
+    corpus's own unigram distribution — the cheap perplexity proxy
+    used to rank corpus quality before any model-based scorer.
+
+    Plan: one wordcount pass builds the vocabulary distribution; the
+    token stream joins it BY BROADCAST (a vocabulary is small relative
+    to any corpus) so the per-occurrence surprisal lookup adds no
+    shuffle; then one per-doc aggregate. ln(total)-ln(cnt) instead of
+    -ln(cnt/total) keeps one transcendental call per distinct count.
+
+    Output: (id, *keep_cols, n_tokens, mean_surprisal).
+    """
+    toks = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.explode(tokens(text_col)).alias("__tok"),
+    )
+    vocab = toks.groupBy("__tok").agg(F.count("*").alias("__cnt"))
+    total = vocab.agg(F.sum("__cnt").alias("__total"))
+    scored = toks.join(F.broadcast(vocab), "__tok").join(F.broadcast(total))
+    return scored.groupBy(id_col, *keep_cols).agg(
+        F.count("*").alias("n_tokens"),
+        F.avg(F.log("__total") - F.log("__cnt")).alias("mean_surprisal"),
+    )
+
+
 def redact_pii(
     df: DataFrame, text_col: str, out_col: str = "redacted"
 ) -> DataFrame:

@@ -4004,6 +4004,46 @@ def orders_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.kmv_rollup(orders, "o_orderpriority", "o_custkey", k=256)
 
 
+_SURPRISAL_SQL = r"""
+    WITH toks AS (
+      SELECT d.doc_id, d.source, tok FROM documents d,
+        UNNEST(string_split_regex(trim(d.text), '\s+')) AS t(tok)
+      WHERE tok <> ''),
+    vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT sum(cnt)::DOUBLE AS total FROM vocab),
+    per_doc AS (
+      SELECT toks.doc_id, toks.source,
+             count(*) AS n_tokens,
+             avg(ln((SELECT total FROM tot)) - ln(vocab.cnt)) AS s
+      FROM toks JOIN vocab USING (tok)
+      GROUP BY toks.doc_id, toks.source)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           round(avg(s), 6) AS avg_surprisal,
+           round(min(s), 6) AS min_surprisal,
+           round(max(s), 6) AS max_surprisal
+    FROM per_doc GROUP BY source
+    """
+
+
+@_q("doc_unigram_surprisal", _SURPRISAL_SQL)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (quality.unigram_surprisal):
+    mean -ln p(token) per doc under the corpus unigram distribution,
+    rolled up per source. The vocabulary joins the token stream by
+    broadcast, so the scoring pass adds no shuffle beyond the
+    wordcount; transcendental ln differs across engines by <= 1 ulp,
+    absorbed by the 6-dp rounding."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = QL.unigram_surprisal(docs, "doc_id", "text", keep_cols=("source",))
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("mean_surprisal"), 6).alias("avg_surprisal"),
+        F.round(F.min("mean_surprisal"), 6).alias("min_surprisal"),
+        F.round(F.max("mean_surprisal"), 6).alias("max_surprisal"),
+    )
+
+
 # =====================================================================
 # entry points used by __spark_entry__.py
 # =====================================================================

@@ -59,3 +59,34 @@ def test_redaction_is_pure_projection(spark):
     df = spark.range(10).withColumn("t", F.lit("a@b.co"))
     plan = redact_pii(df, "t")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_unigram_surprisal_exact_small_corpus(spark):
+    from math import log
+
+    from fugue_warehouses_spark.extensions.quality import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # corpus: a=2, b=2, c=1, total=5
+    got = {r["doc_id"]: r for r in unigram_surprisal(df, "doc_id", "text").collect()}
+    s_a, s_b, s_c = log(5 / 2), log(5 / 2), log(5 / 1)
+    assert got[1]["n_tokens"] == 3
+    assert abs(got[1]["mean_surprisal"] - (2 * s_a + s_b) / 3) < 1e-12
+    assert abs(got[2]["mean_surprisal"] - (s_b + s_c) / 2) < 1e-12
+    # rarer tokens -> higher surprisal
+    assert got[2]["mean_surprisal"] > got[1]["mean_surprisal"]
+
+
+def test_unigram_surprisal_vocab_broadcast(spark):
+    from fugue_warehouses_spark.extensions.quality import unigram_surprisal
+
+    df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    plan = (
+        unigram_surprisal(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
