@@ -54,7 +54,10 @@ def assign_to_centroids(
     """Best centroid per vector by rounded cosine (ties -> lowest
     centroid index). One Arrow pass; output keeps the vector for
     downstream re-use (update step / dedup re-rank)."""
-    cmat_n = _normalize_rows(np.asarray(cmat, dtype="float64"))
+    cmat = np.asarray(cmat, dtype="float64")
+    if cmat.size == 0:
+        raise ValueError("empty centroid matrix (empty corpus?)")
+    cmat_n = _normalize_rows(cmat)
     schema = T.StructType(
         [
             T.StructField(id_col, df.schema[id_col].dataType),

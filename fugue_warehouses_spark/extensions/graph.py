@@ -74,6 +74,9 @@ def pagerank(
         edges.select(F.col("dst"))
     ).distinct()
     n = nodes.count()  # scalar: drives the teleport constant
+    if n == 0:
+        # empty graph: empty result with the contract schema
+        return nodes.select("node", F.lit(0.0).alias("score"))
     deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
     e = edges.join(deg, "src").select("src", "dst", "__deg")
     ranks = nodes.select("node", F.lit(1.0 / n).alias("score"))

@@ -105,3 +105,9 @@ def test_hash_centroids_match_md5_order(spark):
         .collect()
     )
     assert np.allclose(cmat, np.array([r["embedding"] for r in expect]))
+
+
+def test_assign_rejects_empty_centroids(spark):
+    df = _vecs(spark, n=4)
+    with pytest.raises(ValueError, match="empty centroid"):
+        assign_to_centroids(df, "vec_id", "embedding", np.array([]))

@@ -70,3 +70,8 @@ def test_pagerank_checkpoint_bounds_plan_depth(spark):
     dlen = len(deep._jdf.queryExecution().optimizedPlan().toString())
     slen = len(shallow._jdf.queryExecution().optimizedPlan().toString())
     assert dlen < 3 * slen
+
+
+def test_pagerank_empty_graph(spark):
+    e = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(e, iters=3).count() == 0

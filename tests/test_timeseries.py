@@ -116,3 +116,8 @@ def test_grid_joins_do_not_shuffle_raw_rows(spark):
     gen_pos = plan.find("Generate explode")
     agg_below = plan.find("Aggregate", gen_pos)
     assert gen_pos >= 0 and agg_below > gen_pos
+
+
+def test_gapfill_empty_frame(spark):
+    df = spark.createDataFrame([], "k int, ts timestamp_ntz, v double")
+    assert gapfill_locf(df, "k", "ts", "v", 300_000_000).count() == 0
