@@ -205,6 +205,49 @@ class SparkWarehouseEngine:
             name = name.full_name
         return self.spark.catalog.tableExists(name)
 
+    def analyze_table(
+        self, name: "str | TableName", columns: list[str] | None = None
+    ) -> None:
+        """Collect table (and optionally column) statistics into the
+        catalog for cost-based optimization — the engine-side analog of
+        the statistics a warehouse maintains automatically (row counts
+        back the reference's metadata-only count fast path,
+        fugue_bigquery/dataframe.py:53-56).
+
+        With stats present, Catalyst's CBO can pick broadcast sides and
+        join orders from measured sizes instead of file-size guesses —
+        on a 100 TB star schema that is the difference between
+        broadcasting a filtered dim by evidence vs. by luck.
+        """
+        if isinstance(name, TableName):
+            name = name.full_name
+        if columns:
+            cols = ", ".join(f"`{c}`" for c in columns)
+            self.spark.sql(
+                f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}"
+            )
+        else:
+            self.spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+
+    def table_stats(self, name: "str | TableName") -> dict[str, int]:
+        """Catalog statistics for a saved table: ``rows`` and ``bytes``
+        (absent keys mean never analyzed). Serves count()-style
+        metadata queries without a scan."""
+        if isinstance(name, TableName):
+            name = name.full_name
+        rows = self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        out: dict[str, int] = {}
+        for r in rows:
+            if r["col_name"] == "Statistics":
+                # e.g. "123456 bytes, 1500 rows"
+                for part in r["data_type"].split(","):
+                    part = part.strip()
+                    if part.endswith("bytes"):
+                        out["bytes"] = int(part.split()[0])
+                    elif part.endswith("rows"):
+                        out["rows"] = int(part.split()[0])
+        return out
+
     def register_temp(self, df: WarehouseFrame | DataFrame, name: str) -> None:
         _n(df).createOrReplaceTempView(name)
 

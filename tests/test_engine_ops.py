@@ -220,3 +220,18 @@ def test_save_df_partition_by_and_force_single(eng, tmp_path):
     eng.save_df(d, single, force_single=True)
     files = [n for n in os.listdir(single) if n.endswith(".parquet")]
     assert len(files) == 1
+
+
+def test_analyze_table_populates_catalog_stats(eng, tables):
+    """A22+ catalog statistics: ANALYZE writes row/byte counts the CBO
+    (and metadata count paths) can read back without a scan."""
+    eng.spark.sql("DROP TABLE IF EXISTS _stats_demo")
+    eng.save_table(tables["nation"], "_stats_demo")
+    try:
+        assert eng.table_stats("_stats_demo") == {} or "rows" not in eng.table_stats("_stats_demo")
+        eng.analyze_table("_stats_demo", columns=["n_nationkey"])
+        stats = eng.table_stats("_stats_demo")
+        assert stats.get("rows") == tables["nation"].count()
+        assert stats.get("bytes", 0) > 0
+    finally:
+        eng.spark.sql("DROP TABLE IF EXISTS _stats_demo")
