@@ -27,7 +27,7 @@ from fugue_warehouses_spark.streaming.windows import (
 )
 from fugue_warehouses_spark.streaming.dedup import dedup_within_watermark
 from fugue_warehouses_spark.streaming.joins import interval_join
-from fugue_warehouses_spark.streaming.stateful import running_totals
+from fugue_warehouses_spark.streaming.stateful import bucket_locf, running_totals
 
 __all__ = [
     "interval_join",
@@ -38,5 +38,6 @@ __all__ = [
     "sliding_agg",
     "session_agg",
     "dedup_within_watermark",
+    "bucket_locf",
     "running_totals",
 ]

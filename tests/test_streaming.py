@@ -334,3 +334,34 @@ def test_merge_sink_applies_cdc_stream(spark, tmp_path):
     assert {(r.k, r.v) for r in out.collect()} == {
         (1, "a0"), (2, "b1"), (3, "c0"), (4, "d0"),
     }
+
+
+def test_bucket_locf_stream_matches_batch_gapfill(spark, events_path):
+    """The stateful streaming downsampler must emit exactly the rows of
+    the batch gapfill over the same data (finalized buckets + the final
+    open-bucket snapshot)."""
+    from fugue_warehouses_spark.streaming import bucket_locf
+
+    batch = _batch(spark, events_path).filter(F.col("user_id") < 6)
+    expected = bucket_locf(batch, "user_id", "ts", "value", 3_600_000_000)
+
+    stream = _stream(spark, events_path).filter(F.col("user_id") < 6)
+    emitted = run_available_now(
+        bucket_locf(stream, "user_id", "ts", "value", 3_600_000_000),
+        output_mode="update",
+    )
+    # multiple micro-batches re-emit open buckets; keep the final (max
+    # n_events) emission per (key, bucket)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("n_events").desc()
+    )
+    final = (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    cols = ["user_id", "bucket", "n_events", "locf_sum"]
+    assert _sorted_rows(final, cols) == _sorted_rows(expected, cols)
+    assert expected.filter("n_events = 0").count() > 0  # real gaps exist
