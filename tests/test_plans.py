@@ -251,3 +251,31 @@ def test_funnel_reuses_one_user_shuffle(spark, sf_dir):
         if "Exchange hashpartitioning(user_id" in ln
     ]
     assert len(user_exchanges) == 1
+
+
+def test_plan_report_counters(spark, sf_dir):
+    """plans/report.py: the counters agree with the shapes the other
+    tests pin individually — q3's star join broadcasts its dims, scans
+    carry pushed filters, no nested-loop joins anywhere."""
+    from fugue_warehouses_spark.plans.report import plan_report
+    from fugue_warehouses_spark.queries import QUERIES
+
+    rep = plan_report(QUERIES["q3_shipping_priority"](spark, sf_dir), run=True)
+    assert rep.n_broadcast_joins >= 2
+    assert rep.n_nested_loop_joins == 0
+    assert rep.n_scans >= 3
+    assert rep.n_scans_with_pushed_filters >= 1
+    assert rep.n_codegen_spans >= 1
+    assert rep.has_aqe
+    d = rep.as_dict()
+    assert d["n_broadcast_joins"] == rep.n_broadcast_joins
+
+
+def test_plan_report_counts_shuffles(spark):
+    from fugue_warehouses_spark.plans.report import plan_report
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    rep = plan_report(df, run=True)
+    assert rep.n_exchanges >= 1  # one shuffle for the aggregate
+    assert rep.n_nested_loop_joins == 0
