@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "customer_fuzzy_match",
     "orders_kmv_rollup",
     "doc_unigram_surprisal",
+    "lineitem_stats_suite",
+    "orders_calendar_heatmap",
 ]
 
 

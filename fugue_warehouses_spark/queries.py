@@ -4044,6 +4044,81 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATS_SUITE_SQL = """
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(covar_pop(l_quantity, l_discount), 6) AS qty_disc_covar_pop,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           round(stddev_pop(l_quantity), 6) AS qty_stddev_pop,
+           round(var_samp(l_discount), 6) AS disc_var,
+           round(median(l_quantity), 1) AS qty_median
+    FROM lineitem
+    GROUP BY l_returnflag
+    """
+
+
+@_q("lineitem_stats_suite", _STATS_SUITE_SQL)
+def lineitem_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistical-aggregate surface in one grouped pass: corr,
+    sample/population covariance and stddev, variance, median — all
+    JVM-side single-pass moment aggregates (median via exact
+    percentile). Definitions are the textbook ones in both engines, so
+    rounded results hash-match."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias(
+            "qty_disc_covar_pop"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("qty_stddev_pop"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        F.round(F.median("l_quantity"), 1).alias("qty_median"),
+    )
+
+
+_CALENDAR_SQL = """
+    SELECT date_diff('day', DATE '1995-01-02', o_orderdate::DATE) % 7
+             AS dow_idx,
+           (date_diff('day', DATE '1995-01-02', o_orderdate::DATE) // 7)::BIGINT
+             AS week_idx,
+           count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-02'
+    GROUP BY 1, 2
+    """
+
+
+@_q("orders_calendar_heatmap", _CALENDAR_SQL)
+def orders_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x week grid via pure day arithmetic from a fixed
+    Monday epoch — deliberately NOT weekofyear()/dayofweek(), whose
+    ISO-vs-locale conventions differ across engines; datediff is
+    convention-free and pushes to the scan as integer math."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-02").cast("date")
+    )
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1995-01-02").cast("date")
+    )
+    return orders.groupBy(
+        (days % 7).alias("dow_idx"),
+        (days / 7).cast("long").alias("week_idx"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 # =====================================================================
 # entry points used by __spark_entry__.py
 # =====================================================================
