@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "doc_unigram_surprisal",
     "lineitem_stats_suite",
     "orders_calendar_heatmap",
+    "events_impute_value",
+    "orders_status_islands",
 ]
 
 

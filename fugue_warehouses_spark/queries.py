@@ -4119,6 +4119,107 @@ def orders_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IMPUTE_SQL = """
+    WITH m AS (
+      SELECT user_id, avg(value) AS user_mean, count(value) AS n_obs
+      FROM events GROUP BY user_id),
+    g AS (SELECT avg(value) AS global_mean FROM events),
+    imp AS (
+      SELECT e.event_id, e.user_id,
+             coalesce(e.value, m.user_mean, (SELECT global_mean FROM g))
+               AS value_imputed,
+             (e.value IS NULL)::INT AS was_null
+      FROM events e LEFT JOIN m ON e.user_id = m.user_id)
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           sum(was_null)::BIGINT AS n_imputed,
+           round(sum(value_imputed), 4) AS total_imputed
+    FROM imp GROUP BY user_id
+    """
+
+
+@_q("events_impute_value", _IMPUTE_SQL)
+def events_impute_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML-prep imputation: NULL values fill with the per-user mean,
+    falling back to the global mean for all-null users — one grouped
+    aggregate joined back (user means broadcast; the global mean is a
+    scalar subquery). The dropna/fillna (B8/B9) surface extended to
+    statistics-aware filling."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(F.avg("value").alias("user_mean"))
+    g = ev.agg(F.avg("value").alias("global_mean"))
+    imp = (
+        ev.join(F.broadcast(m), "user_id", "left")
+        .join(F.broadcast(g))
+        .select(
+            "user_id",
+            F.coalesce("value", "user_mean", "global_mean").alias(
+                "value_imputed"
+            ),
+            F.col("value").isNull().cast("int").alias("was_null"),
+        )
+    )
+    return imp.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("was_null").cast("long").alias("n_imputed"),
+        F.round(F.sum("value_imputed"), 4).alias("total_imputed"),
+    )
+
+
+_ISLANDS_SQL = """
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                                ORDER BY o_orderdate, o_orderkey) AS rns
+      FROM orders),
+    isl AS (
+      SELECT o_custkey, o_orderstatus, rn - rns AS grp,
+             count(*) AS run_len, min(o_orderkey) AS first_key
+      FROM seq GROUP BY 1, 2, 3)
+    SELECT o_custkey, o_orderstatus,
+           count(*)::BIGINT AS n_runs,
+           max(run_len)::BIGINT AS longest_run,
+           min(first_key)::BIGINT AS first_run_start
+    FROM isl
+    GROUP BY o_custkey, o_orderstatus
+    HAVING max(run_len) >= 3
+    """
+
+
+@_q("orders_status_islands", _ISLANDS_SQL)
+def orders_status_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive same-status runs per customer via
+    the two-row_number difference trick — both windows share the one
+    custkey exchange, then a single aggregate collapses runs. The
+    classic sequence-analytics shape (state machines, streak analysis)
+    without any self-join."""
+    orders = _t(spark, sf_dir, "orders")
+    w_all = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_st = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        (F.row_number().over(w_all) - F.row_number().over(w_st)).alias("grp"),
+    )
+    isl = seq.groupBy("o_custkey", "o_orderstatus", "grp").agg(
+        F.count("*").alias("run_len"), F.min("o_orderkey").alias("first_key")
+    )
+    return (
+        isl.groupBy("o_custkey", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_runs"),
+            F.max("run_len").alias("longest_run"),
+            F.min("first_key").alias("first_run_start"),
+        )
+        .filter(F.col("longest_run") >= 3)
+    )
+
+
 # =====================================================================
 # entry points used by __spark_entry__.py
 # =====================================================================
