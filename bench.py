@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "orders_calendar_heatmap",
     "events_impute_value",
     "orders_status_islands",
+    "doc_bm25_search",
 ]
 
 

@@ -4220,6 +4220,37 @@ def orders_status_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ["spark", "hash", "window", "merge"]
+
+
+@_q(
+    "doc_bm25_search",
+    None,  # oracle attached below via RT.bm25_sql (needs the terms)
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (extensions/retrieval.py): probe terms
+    filter the token stream BEFORE scoring, so the posting lists — not
+    the corpus — flow into the join; df/N/avgdl broadcast. Top-20 by
+    rounded score with id tie-break, matching the SQL twin exactly
+    (ln differs <= 1 ulp, absorbed by 6-dp rounding)."""
+    from fugue_warehouses_spark.extensions import retrieval as RT
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = RT.bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+    return (
+        scored.select(
+            "doc_id", F.round("score", 6).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+from fugue_warehouses_spark.extensions.retrieval import bm25_sql as _bm25_sql  # noqa: E402
+
+ORACLE["doc_bm25_search"] = _bm25_sql(_BM25_TERMS)
+
+
 # =====================================================================
 # entry points used by __spark_entry__.py
 # =====================================================================

@@ -79,3 +79,24 @@ def test_chunk_text_rejects_bad_overlap(spark):
 
     with pytest.raises(ValueError):
         chunk_text("text", chunk_tokens=8, overlap=8)
+
+
+def test_bm25_ranking_properties(spark):
+    from fugue_warehouses_spark.extensions.retrieval import bm25_scores
+    import pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare common common filler words here"),
+            (2, "common common common filler words here"),
+            (3, "nothing matching at all in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score"] for r in
+           bm25_scores(df, "doc_id", "text", ["rare", "common"]).collect()}
+    assert 3 not in got                      # no matching term, no row
+    assert got[1] > got[2]                   # rare term beats extra tf of common
+    assert all(s > 0 for s in got.values())
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(df, "doc_id", "text", [])
