@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "events_impute_value",
     "orders_status_islands",
     "doc_bm25_search",
+    "events_anomaly_mad",
 ]
 
 

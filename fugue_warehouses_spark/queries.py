@@ -4251,6 +4251,48 @@ from fugue_warehouses_spark.extensions.retrieval import bm25_sql as _bm25_sql  #
 ORACLE["doc_bm25_search"] = _bm25_sql(_BM25_TERMS)
 
 
+_MAD_SQL = """
+    WITH v AS (
+      SELECT user_id, value FROM events WHERE value IS NOT NULL),
+    med AS (SELECT user_id, median(value) AS med FROM v GROUP BY user_id),
+    dev AS (
+      SELECT v.user_id, v.value, med.med, abs(v.value - med.med) AS adev
+      FROM v JOIN med USING (user_id)),
+    mad AS (SELECT user_id, median(adev) AS mad FROM dev GROUP BY user_id)
+    SELECT dev.user_id,
+           count(*)::BIGINT AS n_values,
+           sum((dev.adev > 3 * mad.mad)::INT)::BIGINT AS n_anomalies,
+           round(min(dev.med), 4) AS median_value,
+           round(min(mad.mad), 4) AS mad_value
+    FROM dev JOIN mad USING (user_id)
+    GROUP BY dev.user_id
+    """
+
+
+@_q("events_anomaly_mad", _MAD_SQL)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: flag values more than 3 median-
+    absolute-deviations from the per-user median — outlier-immune where
+    mean/stddev z-scores (orders_zscore) are not. Two grouped exact
+    medians with the tiny per-user stats broadcast back; the deviation
+    comparison is exact arithmetic, so counts hash-match."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("user_id").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(F.median("adev").alias("mad"))
+    j = dev.join(F.broadcast(mad), "user_id")
+    return j.groupBy("user_id").agg(
+        F.count("*").alias("n_values"),
+        F.sum((F.col("adev") > 3 * F.col("mad")).cast("int"))
+        .cast("long")
+        .alias("n_anomalies"),
+        F.round(F.min("med"), 4).alias("median_value"),
+        F.round(F.min("mad"), 4).alias("mad_value"),
+    )
+
+
 # =====================================================================
 # entry points used by __spark_entry__.py
 # =====================================================================
