@@ -85,6 +85,65 @@ def gapfill_locf(
     )
 
 
+def refresh_rollup(
+    spark,
+    store_path: str,
+    new_events: DataFrame,
+    time_col: str,
+    value_col: str,
+    bucket_us: int,
+) -> DataFrame:
+    """Incremental materialized-rollup maintenance: aggregate ONLY the
+    new slice to (bucket, n_events, sum_value) partials, additively
+    combine with the stored rollup, and atomically replace the store.
+
+    This is incremental view maintenance for the continuous-aggregate
+    family: because count/sum partials compose, the refreshed store
+    equals a full recompute over (old ∪ new) — test-pinned — while the
+    refresh cost is O(new slice + store size), never the historical
+    raw data. The store stays tiny (one row per bucket), so the
+    combine step re-aggregates rollup rows, not events.
+
+    The swap goes through a staging directory + Hadoop rename (same
+    discipline as plans/checkpoint.py): readers either see the old
+    complete store or the new complete store, never a partial write.
+    Returns the refreshed rollup frame (read back from the store).
+    """
+    delta = (
+        new_events.select(
+            bucket_index(time_col, bucket_us).alias("bucket"),
+            F.col(value_col),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_events"), F.sum(value_col).alias("sum_value"))
+    )
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(spark._jvm.org.apache.hadoop.fs.Path(f"{store_path}/_SUCCESS")):
+        old = spark.read.parquet(store_path)
+        merged = (
+            old.unionByName(delta)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+    else:
+        merged = delta
+    staging = f"{store_path}__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    tmp_old = spark._jvm.org.apache.hadoop.fs.Path(f"{store_path}__old")
+    if fs.exists(tmp_old):
+        fs.delete(tmp_old, True)
+    if fs.exists(jvm_path):
+        fs.rename(jvm_path, tmp_old)
+    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(staging), jvm_path)
+    if fs.exists(tmp_old):
+        fs.delete(tmp_old, True)
+    return spark.read.parquet(store_path)
+
+
 def rollup_cascade(
     df: DataFrame,
     time_col: str,

@@ -121,3 +121,33 @@ def test_grid_joins_do_not_shuffle_raw_rows(spark):
 def test_gapfill_empty_frame(spark):
     df = spark.createDataFrame([], "k int, ts timestamp_ntz, v double")
     assert gapfill_locf(df, "k", "ts", "v", 300_000_000).count() == 0
+
+
+def test_refresh_rollup_incremental_equals_full_recompute(spark, tmp_path):
+    from fugue_warehouses_spark.operators.timeseries import refresh_rollup
+
+    store = str(tmp_path / "rollup_store")
+    batch1 = _frame(spark)
+    batch2 = spark.createDataFrame(
+        [
+            (9, _TS(2024, 1, 1, 0, 2), 100.0),   # overlaps batch1's bucket 0
+            (9, _TS(2024, 1, 1, 5, 0), 1.0),     # brand-new bucket
+        ],
+        "k int, ts timestamp_ntz, v double",
+    )
+    refresh_rollup(spark, store, batch1.select("ts", "v"), "ts", "v", 300_000_000)
+    out = refresh_rollup(
+        spark, store, batch2.select("ts", "v"), "ts", "v", 300_000_000
+    )
+    full = (
+        batch1.select("ts", "v").unionByName(batch2.select("ts", "v"))
+        .groupBy(bucket_index("ts", 300_000_000).alias("bucket"))
+        .agg(F.count("*").alias("n_events"), F.sum("v").alias("sum_value"))
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in full.collect())
+    assert got == want
+    # refresh again with an empty slice: store unchanged
+    empty = spark.createDataFrame([], "ts timestamp_ntz, v double")
+    again = refresh_rollup(spark, store, empty, "ts", "v", 300_000_000)
+    assert sorted(tuple(r) for r in again.collect()) == want
