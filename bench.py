@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "orders_status_islands",
     "doc_bm25_search",
     "events_anomaly_mad",
+    "doc_train_test_split",
 ]
 
 

@@ -4293,6 +4293,45 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_SQL = """
+    WITH s AS (
+      SELECT lang, n_chars,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::UBIGINT < 3865470566 THEN 'train' ELSE 'test' END
+               AS split
+      FROM documents)
+    SELECT split, lang, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM s GROUP BY split, lang
+    """
+
+
+@_q("doc_train_test_split", _SPLIT_SQL)
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test split: membership is a pure
+    function of the doc id's hash (threshold = floor(0.9 * 2^32)), so
+    the split is leakage-free by construction — the same document can
+    never land in both sides, on any cluster size, partitioning, or
+    engine. Shuffle-free assignment; one aggregate for the audit."""
+    docs = _t(spark, sf_dir, "documents")
+    draw = F.conv(
+        F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    split = F.when(draw < int(0.9 * 2**32), "train").otherwise("test")
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 # =====================================================================
 # entry points used by __spark_entry__.py
 # =====================================================================
