@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "doc_bm25_search",
     "events_anomaly_mad",
     "doc_train_test_split",
+    "orders_recursive_month_spine",
 ]
 
 

@@ -4332,6 +4332,48 @@ def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECURSIVE_SPINE_SQL = """
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT (m + INTERVAL 1 MONTH)::DATE FROM months
+      WHERE m < DATE '2002-12-01')
+    SELECT strftime(m, '%Y-%m') AS month,
+           count(o.o_orderkey)::BIGINT AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total
+    FROM months
+    LEFT JOIN orders o ON strftime(o.o_orderdate, '%Y-%m') = strftime(m, '%Y-%m')
+    GROUP BY month
+    """
+
+
+@_q("orders_recursive_month_spine", _RECURSIVE_SPINE_SQL)
+def orders_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE) generating a complete
+    month spine, left-joined to orders so empty months surface with
+    zero counts — the calendar-dimension build warehouses do with
+    recursion. The recursion is driver-cheap (96 spine rows); the join
+    broadcasts the spine against the fact scan."""
+    ev = _t(spark, sf_dir, "orders")
+    ev.createOrReplaceTempView("__spine_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+          WHERE m < DATE '2002-12-01')
+        SELECT date_format(m, 'yyyy-MM') AS month,
+               CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+               round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total
+        FROM months
+        LEFT JOIN __spine_orders o
+          ON date_format(o.o_orderdate, 'yyyy-MM') = date_format(m, 'yyyy-MM')
+        GROUP BY month
+        """
+    )
+
+
 # =====================================================================
 # entry points used by __spark_entry__.py
 # =====================================================================
