@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "events_anomaly_mad",
     "doc_train_test_split",
     "orders_recursive_month_spine",
+    "lineitem_winsorized",
 ]
 
 

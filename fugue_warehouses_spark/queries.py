@@ -4374,6 +4374,59 @@ def orders_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINSORIZE_SQL = """
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag),
+    w AS (
+      SELECT l.l_returnflag,
+             l.l_extendedprice AS raw,
+             least(greatest(l.l_extendedprice, q.p05), q.p95) AS clipped,
+             (l.l_extendedprice < q.p05)::INT AS lo,
+             (l.l_extendedprice > q.p95)::INT AS hi
+      FROM lineitem l JOIN q USING (l_returnflag))
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n,
+           sum(lo)::BIGINT AS n_clipped_low,
+           sum(hi)::BIGINT AS n_clipped_high,
+           round(avg(raw), 4) AS mean_raw,
+           round(avg(clipped), 4) AS mean_winsorized
+    FROM w GROUP BY l_returnflag
+    """
+
+
+@_q("lineitem_winsorized", _WINSORIZE_SQL)
+def lineitem_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clamp values into the group's
+    [p05, p95] band (exact interpolated percentiles, broadcast back)
+    and report the clipping audit — the robust-scaling prep step that
+    bounds heavy tails before training statistics. The clamp is exact
+    arithmetic, so counts and 4-dp means hash-match."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.05).alias("p05"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+    )
+    w = li.join(F.broadcast(q), "l_returnflag").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("raw"),
+        F.least(
+            F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+        ).alias("clipped"),
+        (F.col("l_extendedprice") < F.col("p05")).cast("int").alias("lo"),
+        (F.col("l_extendedprice") > F.col("p95")).cast("int").alias("hi"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("lo").cast("long").alias("n_clipped_low"),
+        F.sum("hi").cast("long").alias("n_clipped_high"),
+        F.round(F.avg("raw"), 4).alias("mean_raw"),
+        F.round(F.avg("clipped"), 4).alias("mean_winsorized"),
+    )
+
+
 # =====================================================================
 # entry points used by __spark_entry__.py
 # =====================================================================
