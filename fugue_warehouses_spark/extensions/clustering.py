@@ -50,13 +50,23 @@ def assign_to_centroids(
     vec_col: str,
     cmat: np.ndarray,
     keep_cols: tuple[str, ...] = (),
+    labels: np.ndarray | None = None,
 ) -> DataFrame:
     """Best centroid per vector by rounded cosine (ties -> lowest
     centroid index). One Arrow pass; output keeps the vector for
-    downstream re-use (update step / dedup re-rank)."""
+    downstream re-use (update step / dedup re-rank).
+
+    ``labels`` maps matrix rows to emitted ``cidx`` values (defaults
+    to row position); kmeans_lloyd uses it to preserve original
+    cluster ids after empty clusters are dropped mid-iteration."""
     cmat = np.asarray(cmat, dtype="float64")
     if cmat.size == 0:
         raise ValueError("empty centroid matrix (empty corpus?)")
+    label_arr = (
+        np.arange(len(cmat), dtype="int32")
+        if labels is None
+        else np.asarray(labels, dtype="int32")
+    )
     cmat_n = _normalize_rows(cmat)
     schema = T.StructType(
         [
@@ -79,7 +89,7 @@ def assign_to_centroids(
             for c in keep_cols:
                 out[c] = pdf[c]
             out[vec_col] = pdf[vec_col]
-            out["cidx"] = best.astype("int32")
+            out["cidx"] = label_arr[best]
             out["cos_sim"] = sims[np.arange(len(best)), best]
             yield pd.DataFrame(out)
 
@@ -102,14 +112,21 @@ def kmeans_lloyd(
     MLlib-style control loop; all data-sized work is distributed.
 
     Cosine-metric Lloyd: assignment by max cosine, update by
-    (unnormalized) coordinate mean of members. Every cluster is
-    non-empty because each init centroid is a member that assigns to
-    itself at cosine 1.0.
+    (unnormalized) coordinate mean of members. A cluster that ends an
+    assignment pass with no members is DROPPED from the next pass
+    (matching the SQL twin, whose update CTE only emits clusters with
+    members) while surviving clusters keep their original ``cidx``.
+    With distinct init vectors every cluster is non-empty (each init
+    centroid is a member that assigns to itself at cosine 1.0), but
+    duplicate — or rounded-cosine-tied — init vectors send all ties to
+    the lowest index, leaving the higher-indexed twin empty; dropping
+    it keeps both engines on the same centroid set.
     """
     init = df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
     cmat = np.array([list(r[vec_col]) for r in init], dtype="float64")
+    labels = np.arange(len(cmat), dtype="int32")
     for _ in range(max(0, iters - 1)):
-        assigned = assign_to_centroids(df, id_col, vec_col, cmat)
+        assigned = assign_to_centroids(df, id_col, vec_col, cmat, labels=labels)
         upd = (
             assigned.select(
                 "cidx",
@@ -121,11 +138,17 @@ def kmeans_lloyd(
             .agg(F.avg("val").alias("m"))
             .collect()
         )
-        new = cmat.copy()
+        present = sorted({r["cidx"] for r in upd})
+        pos_of = {c: i for i, c in enumerate(present)}
+        new = np.zeros((len(present), cmat.shape[1]), dtype="float64")
         for r in upd:
-            new[r["cidx"]][r["pos"]] = r["m"]
+            new[pos_of[r["cidx"]]][r["pos"]] = r["m"]
         cmat = new
-    return assign_to_centroids(df, id_col, vec_col, cmat, keep_cols), cmat
+        labels = np.array(present, dtype="int32")
+    return (
+        assign_to_centroids(df, id_col, vec_col, cmat, keep_cols, labels=labels),
+        cmat,
+    )
 
 
 def hash_centroid_matrix(

@@ -27,9 +27,15 @@ from pyspark.sql import functions as F
 
 from fugue_warehouses_spark.functions.text import tokens
 
-# RE2-and-Java-safe PII patterns.
-EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-PHONE_RE = r"\+1-[0-9]{3}-[0-9]{4}"
+# RE2-and-Java-safe PII patterns (no lookaround/backrefs; identical
+# bytes run in DuckDB oracles). EMAIL_RE is case-insensitive via
+# explicit A-Z classes (inline (?i) placement differs across engines).
+# PHONE_RE covers NANP "+1-NNN-NNNN" (the fixture's synthetic shape)
+# and the full "+1-NNN-NNN-NNNN"; it is deliberately NOT a general
+# phone detector — formats like "(555) 123-4567" or bare 10-digit
+# runs need a locale-aware library, not a regex gate.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-[0-9]{3}-(?:[0-9]{3}-)?[0-9]{4}"
 
 
 def repetition_metrics(

@@ -29,15 +29,29 @@ from pyspark.sql import functions as F
 _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
+def _floordiv(expr: str, divisor: int) -> str:
+    """Integer FLOOR division as a SQL fragment.
+
+    Spark's ``div`` truncates toward zero while the DuckDB oracle twins
+    use ``//`` (floor) and streaming/stateful.py buckets with numpy
+    floor division — pre-1970 (negative-epoch) timestamps would land in
+    different buckets across engines. ``(x - pmod(x, d)) div d`` is
+    exact floor division in pure integer arithmetic (pmod is always
+    non-negative, so the numerator is the largest multiple of d ≤ x).
+    """
+    return f"(({expr}) - pmod({expr}, {divisor})) div {divisor}"
+
+
 def bucket_index(time_col: str, bucket_us: int):
     """Integer bucket index: floor(epoch_µs / bucket_µs).
 
     Pure epoch arithmetic on TIMESTAMP_NTZ — no session-timezone
-    dependence (the correctness harness runs a vanilla session).
+    dependence (the correctness harness runs a vanilla session), with
+    true floor semantics so negative epochs bucket identically to the
+    DuckDB ``//`` twins and the streaming numpy path.
     """
-    return F.expr(
-        f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {time_col}) div {bucket_us}"
-    )
+    us = f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {time_col})"
+    return F.expr(_floordiv(us, bucket_us))
 
 
 def gapfill_locf(
@@ -104,10 +118,15 @@ def refresh_rollup(
     raw data. The store stays tiny (one row per bucket), so the
     combine step re-aggregates rollup rows, not events.
 
-    The swap goes through a staging directory + Hadoop rename (same
-    discipline as plans/checkpoint.py): readers either see the old
-    complete store or the new complete store, never a partial write.
-    Returns the refreshed rollup frame (read back from the store).
+    Durability: the store is a directory of versioned snapshots
+    (``store/v=N/``). A refresh reads the highest COMPLETE version
+    (``_SUCCESS`` present), writes the merged rollup to ``v=N+1``, and
+    only then garbage-collects older versions. There is no rename
+    window: readers always resolve to a complete snapshot, a crash
+    mid-write leaves an incomplete ``v=N+1`` that the next refresh
+    ignores and overwrites, and history is never discarded before the
+    replacement version is fully committed. Returns the refreshed
+    rollup frame (read back from the new version).
     """
     delta = (
         new_events.select(
@@ -117,10 +136,12 @@ def refresh_rollup(
         .groupBy("bucket")
         .agg(F.count("*").alias("n_events"), F.sum(value_col).alias("sum_value"))
     )
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(store_path)
-    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(spark._jvm.org.apache.hadoop.fs.Path(f"{store_path}/_SUCCESS")):
-        old = spark.read.parquet(store_path)
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    root = Path(store_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    current = _latest_complete_version(fs, Path, store_path)
+    if current is not None:
+        old = spark.read.parquet(f"{store_path}/v={current}")
         merged = (
             old.unionByName(delta)
             .groupBy("bucket")
@@ -131,17 +152,35 @@ def refresh_rollup(
         )
     else:
         merged = delta
-    staging = f"{store_path}__staging"
-    merged.write.mode("overwrite").parquet(staging)
-    tmp_old = spark._jvm.org.apache.hadoop.fs.Path(f"{store_path}__old")
-    if fs.exists(tmp_old):
-        fs.delete(tmp_old, True)
-    if fs.exists(jvm_path):
-        fs.rename(jvm_path, tmp_old)
-    fs.rename(spark._jvm.org.apache.hadoop.fs.Path(staging), jvm_path)
-    if fs.exists(tmp_old):
-        fs.delete(tmp_old, True)
-    return spark.read.parquet(store_path)
+    nxt = 1 if current is None else current + 1
+    new_dir = f"{store_path}/v={nxt}"
+    merged.write.mode("overwrite").parquet(new_dir)
+    # GC only after v=N+1 is complete; keep the just-written version
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("v=") and name != f"v={nxt}":
+                fs.delete(st.getPath(), True)
+    return spark.read.parquet(new_dir)
+
+
+def _latest_complete_version(fs, Path, store_path: str) -> int | None:
+    """Highest ``v=N`` under the store with a ``_SUCCESS`` marker."""
+    root = Path(store_path)
+    if not fs.exists(root):
+        return None
+    best = None
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("v="):
+            continue
+        try:
+            n = int(name[2:])
+        except ValueError:
+            continue
+        if fs.exists(Path(f"{store_path}/v={n}/_SUCCESS")):
+            best = n if best is None else max(best, n)
+    return best
 
 
 def rollup_cascade(
@@ -183,7 +222,7 @@ def rollup_cascade(
         prev = levels[-1]
         levels.append(
             prev.groupBy(
-                F.expr(f"__b * {us_prev} div {us_next}").alias("__b")
+                F.expr(_floordiv(f"__b * {us_prev}", us_next)).alias("__b")
             ).agg(
                 F.sum("n_events").alias("n_events"),
                 F.sum("sum_value").alias("sum_value"),

@@ -59,7 +59,7 @@ def plan_report(df: DataFrame, run: bool = False) -> PlanReport:
     # plan string; distinct N = distinct fused pipelines
     codegen_ids = set(re.findall(r"\*\((\d+)\)", plan))
     return PlanReport(
-        n_exchanges=len(re.findall(r"(?<!Reused)Exchange", plan)),
+        n_exchanges=len(re.findall(r"(?<!Reused)(?<!Broadcast)Exchange", plan)),
         n_reused_exchanges=plan.count("ReusedExchange"),
         n_broadcast_joins=plan.count("BroadcastHashJoin"),
         n_sortmerge_joins=plan.count("SortMergeJoin"),

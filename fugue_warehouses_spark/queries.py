@@ -3473,12 +3473,12 @@ _PII_SQL = r"""
     r AS (
       SELECT source, payload,
              len(regexp_extract_all(payload,
-                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_emails,
+                 '@EMAIL_RE@'))::BIGINT AS n_emails,
              len(regexp_extract_all(payload,
-                 '\+1-[0-9]{3}-[0-9]{4}'))::BIGINT AS n_phones,
+                 '@PHONE_RE@'))::BIGINT AS n_phones,
              regexp_replace(regexp_replace(payload,
-                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-                 '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+                 '@EMAIL_RE@', '<EMAIL>', 'g'),
+                 '@PHONE_RE@', '<PHONE>', 'g') AS red
       FROM p)
     SELECT source, count(*)::BIGINT AS n_docs,
            sum(n_emails)::BIGINT AS emails_redacted,
@@ -3486,7 +3486,7 @@ _PII_SQL = r"""
            sum(length(red))::BIGINT AS redacted_chars,
            sum(length(payload) - length(red))::BIGINT AS chars_removed
     FROM r GROUP BY source
-    """
+    """.replace("@EMAIL_RE@", QL.EMAIL_RE).replace("@PHONE_RE@", QL.PHONE_RE)
 
 
 @_q("doc_pii_redaction", _PII_SQL)

@@ -111,3 +111,23 @@ def test_assign_rejects_empty_centroids(spark):
     df = _vecs(spark, n=4)
     with pytest.raises(ValueError, match="empty centroid"):
         assign_to_centroids(df, "vec_id", "embedding", np.array([]))
+
+
+def test_kmeans_drops_empty_cluster_from_duplicate_init(spark):
+    """Duplicate init vectors tie every assignment to the lower index;
+    the higher-indexed twin ends empty and must be dropped (matching
+    the SQL twin's members-only update CTE), with survivors keeping
+    their original cidx labels."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),   # duplicate of init centroid 0
+        (2, [0.0, 1.0]),
+        (3, [0.0, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cmat = kmeans_lloyd(df, "vec_id", "embedding", k=3, iters=2)
+    got = {r["vec_id"]: r["cidx"] for r in assigned.collect()}
+    # centroid 1 (duplicate of 0) got no members and is gone; cluster 2
+    # keeps its ORIGINAL label even though the matrix shrank to 2 rows
+    assert len(cmat) == 2
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2}

@@ -90,3 +90,12 @@ def test_unigram_surprisal_vocab_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_redact_pii_mixed_case_and_long_phone(spark):
+    df = spark.createDataFrame(
+        [(1, "John.Doe@Example.COM or +1-555-123-4567")], "id long, t string"
+    )
+    r = redact_pii(df, "t").collect()[0]
+    assert (r["n_emails"], r["n_phones"]) == (1, 1)
+    assert r["redacted"] == "<EMAIL> or <PHONE>"

@@ -151,3 +151,43 @@ def test_refresh_rollup_incremental_equals_full_recompute(spark, tmp_path):
     empty = spark.createDataFrame([], "ts timestamp_ntz, v double")
     again = refresh_rollup(spark, store, empty, "ts", "v", 300_000_000)
     assert sorted(tuple(r) for r in again.collect()) == want
+
+
+def test_bucket_index_floor_semantics_pre_1970(spark):
+    """Negative epochs must bucket by FLOOR (matching DuckDB // and the
+    streaming numpy path), not truncate-toward-zero."""
+    df = spark.createDataFrame(
+        [(_TS(1969, 12, 31, 23, 59),), (_TS(1970, 1, 1, 0, 1),)],
+        "ts timestamp_ntz",
+    )
+    got = [
+        r[0]
+        for r in df.select(bucket_index("ts", 300_000_000)).orderBy("ts").collect()
+    ]
+    # -60s → floor(-60e6 / 300e6) = -1 (truncation would give 0)
+    assert got == [-1, 0]
+
+
+def test_refresh_rollup_ignores_incomplete_version(spark, tmp_path):
+    """A crashed write (version dir without _SUCCESS) must be invisible
+    to both readers and the next refresh."""
+    from fugue_warehouses_spark.operators.timeseries import refresh_rollup
+
+    store = str(tmp_path / "store")
+    batch = _frame(spark).select("ts", "v")
+    refresh_rollup(spark, store, batch, "ts", "v", 300_000_000)
+    # simulate a crash: a newer version dir with data but no _SUCCESS
+    import pathlib
+    import shutil
+
+    v1 = pathlib.Path(store) / "v=1"
+    bogus = pathlib.Path(store) / "v=2"
+    shutil.copytree(v1, bogus)
+    (bogus / "_SUCCESS").unlink()
+    empty = spark.createDataFrame([], "ts timestamp_ntz, v double")
+    out = refresh_rollup(spark, store, empty, "ts", "v", 300_000_000)
+    want = (
+        batch.groupBy(bucket_index("ts", 300_000_000).alias("bucket"))
+        .agg(F.count("*").alias("n_events"), F.sum("v").alias("sum_value"))
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
