@@ -1,12 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship query on sf0.001;
-``queries()``/``oracle_sql()`` expose the full registry from
-fugue_warehouses_spark/queries.py — one entry per implemented operator
-family from SURVEY.md §2 plus the north-star extensions. Queries
-without an oracle entry (LSH/SimHash banding, stubbed multimodal
-kernels) are approximate/non-SQL by design and get the driver's
-rows-only check.
+``queries()``/``oracle_sql()`` expose the CURATED driver registry from
+fugue_warehouses_spark/driver_suite.py — 46 entries, sized to the
+driver's 50-row correctness window while covering every operator
+family from SURVEY.md §2 plus the north-star extensions: 26 headline
+operators keep full-row hash checks, and 20 family "suite" entries
+fold the remaining facet queries into per-facet (n_rows, content-
+checksum) rows with exact DuckDB twins. The facet-level registry
+(fugue_warehouses_spark/queries.py, 121 queries) stays fully
+oracle-mirrored in tests/test_oracle_parity.py; every facet is either
+a driver keep or a member of exactly one suite
+(tests/test_driver_suite.py enforces the closure).
 """
 
 from __future__ import annotations
@@ -19,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from fugue_warehouses_spark import driver_suite as DS  # noqa: E402
 from fugue_warehouses_spark import queries as Q  # noqa: E402
 
 
@@ -28,8 +34,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return Q.all_queries()
+    return DS.driver_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return Q.all_oracles()
+    return DS.driver_oracles()

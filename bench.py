@@ -14,6 +14,10 @@ parquet footer/schema caching, and Python-worker spawn for pandas-UDF
 queries. Cold-start numbers are recorded separately under
 "cold_first_run_sec" for transparency. Each run is forced with
 count() — no driver materialization beyond the count.
+
+Artifact hygiene: stdout carries EXACTLY ONE line — the final JSON.
+Console progress bars are disabled and per-query progress goes to
+stderr, so the recorded artifact always parses completely.
 """
 
 from __future__ import annotations
@@ -116,7 +120,11 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
-    spark = get_spark(app_name="wf-bench")
+    # stdout must stay a single parseable JSON line: no progress bars
+    spark = get_spark(
+        app_name="wf-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     # absorb session/JVM + python-worker pool startup before timing
     spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
 
@@ -133,23 +141,25 @@ def main() -> None:
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_first_run_sec": cold,
-                "timing": "1 untimed warmup + best of N timed runs",
-                "runs_per_query": 2,
-                "sf": sf,
-            }
-        )
+    result = json.dumps(
+        {
+            "metric": "total_query_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "cold_first_run_sec": cold,
+            "timing": "1 untimed warmup + best of N timed runs",
+            "runs_per_query": 2,
+            "sf": sf,
+        }
     )
     spark.stop()
+    # the one and only stdout line, emitted after the JVM is quiet
+    sys.stdout.flush()
+    print(result, flush=True)
 
 
 if __name__ == "__main__":

@@ -3930,31 +3930,59 @@ _FUZZY_MATCH_SQL = """
     """
 
 
+def _deletion_variants(name_col: str) -> F.Column:
+    """The string itself plus every single-character deletion — the
+    SymSpell/FastSS neighborhood. ED(a,b) <= 1 implies a and b share at
+    least one variant (substitution: delete the edited position from
+    both; insert/delete: the longer's deletion IS the shorter), so
+    bucket-joining on variants is an EXACT candidate generator for
+    threshold-1 matching. HOF-over-short-string is fine here (names are
+    ~18 chars; the quadratic-HOF hazard applies to document-sized
+    inputs)."""
+    return F.expr(
+        f"transform(sequence(0, length({name_col})), i -> "
+        f"CASE WHEN i = 0 THEN {name_col} "
+        f"ELSE concat(substring({name_col}, 1, i - 1), "
+        f"substring({name_col}, i + 1)) END)"
+    )
+
+
 @_q("customer_fuzzy_match", _FUZZY_MATCH_SQL)
 def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity resolution by blocked edit distance: candidate pairs come
-    only from a nation block (co-partitioned self-join — the classic
-    blocking step that keeps fuzzy matching sub-quadratic at scale),
-    then JVM-side levenshtein filters to near-identical names. Same
-    candidates-not-all-pairs discipline as the dedup family."""
+    """Entity resolution by blocked edit distance. Blocking is the
+    deletion neighborhood (SymSpell): each name emits itself + its
+    1-deletion variants, candidates are pairs sharing (nation,
+    hash(variant)), and exact 3-arg ``levenshtein`` (DP short-circuits
+    past the threshold, returning -1) verifies. The variant bucketing
+    is provably lossless for threshold 1, so the result equals the
+    quadratic within-nation spec (the oracle) while pairs-examined
+    stays O(matches): block cardinality is bounded by how many names
+    share a variant — independent of nation size, unlike nation-only
+    blocking where blocks grow linearly with data and pairs
+    quadratically. Variants shuffle as 64-bit hashes, not strings (a
+    hash collision only adds a candidate; the verify step removes it).
+    """
     c = _t(spark, sf_dir, "customer")
-    a = c.select(
+    va = c.select(
         F.col("c_nationkey").alias("nk"),
         F.col("c_custkey").alias("custkey_a"),
         F.col("c_name").alias("name_a"),
+        F.explode(_deletion_variants("c_name")).alias("__v"),
+    ).select("nk", "custkey_a", "name_a", F.xxhash64("__v").alias("__vh"))
+    vb = va.select(
+        F.col("nk"),
+        F.col("custkey_a").alias("custkey_b"),
+        F.col("name_a").alias("name_b"),
+        "__vh",
     )
-    b = c.select(
-        F.col("c_nationkey").alias("nk"),
-        F.col("c_custkey").alias("custkey_b"),
-        F.col("c_name").alias("name_b"),
+    cand = (
+        va.join(vb, ["nk", "__vh"])
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .select("custkey_a", "custkey_b", "name_a", "name_b")
+        .distinct()
     )
     return (
-        a.join(b, "nk")
-        .filter(F.col("custkey_a") < F.col("custkey_b"))
-        # 3-arg levenshtein short-circuits the DP once the running
-        # minimum exceeds the threshold (returns -1): 2x faster than
-        # computing the full matrix and filtering
-        .withColumn(
+        cand.withColumn(
             "edit_dist", F.levenshtein("name_a", "name_b", 1).cast("long")
         )
         .filter(F.col("edit_dist") >= 0)
@@ -4424,6 +4452,77 @@ def lineitem_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("hi").cast("long").alias("n_clipped_high"),
         F.round(F.avg("raw"), 4).alias("mean_raw"),
         F.round(F.avg("clipped"), 4).alias("mean_winsorized"),
+    )
+
+
+# =====================================================================
+# Deterministic driver-checkable twins for the two inherently
+# approximate/random operators (the full registry keeps the native
+# variants — orders_sample_fraction, orders_approx_distinct — under
+# pytest invariant checks; these two give the SAME operator families
+# exact cross-engine evidence).
+# =====================================================================
+
+
+_HASH_SAMPLE_SQL = """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::UBIGINT
+          < 858993459
+    """
+
+
+@_q("orders_sample_hash_fraction", _HASH_SAMPLE_SQL)
+def orders_sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli fraction sample (A12's exact-evidence
+    twin): keep rows whose 32-bit md5-of-key draw falls under 20% of
+    the hash space (extensions/sampling.hash_threshold_sample) — a
+    shuffle-free narrow filter whose kept set is a pure function of
+    the data, so DuckDB reproduces it byte-for-byte. The engine's
+    random ``sample(fraction)`` (engine.py) stays pytest-checked for
+    statistical invariants; this query is the oracle-checkable face of
+    fraction sampling (reference analog: TABLESAMPLE SYSTEM emission,
+    /root/reference/fugue_bigquery/_utils.py:99-117)."""
+    from fugue_warehouses_spark.extensions.sampling import hash_threshold_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    samp = hash_threshold_sample(orders, "o_orderkey", 0.2)
+    return samp.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+_APPROX_CHECK_SQL = """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey)::BIGINT AS exact_custkeys,
+           (abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+              <= 0.05 * count(DISTINCT o_custkey)) AS approx_within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """
+
+
+@_q("orders_approx_distinct_check", _APPROX_CHECK_SQL)
+def orders_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine evidence for approximate aggregates: each engine
+    asserts ITS OWN HLL estimate lands within 5% of the exact distinct
+    count (estimates themselves are engine-specific sketches and can
+    never hash-match; the tolerance verdict can, and does). Spark side
+    runs approx_count_distinct at rsd=0.02 next to the exact
+    count_distinct in one grouped aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_custkeys"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("__approx"),
+    )
+    return g.select(
+        "o_orderstatus",
+        "exact_custkeys",
+        (
+            F.abs(F.col("__approx") - F.col("exact_custkeys"))
+            <= 0.05 * F.col("exact_custkeys")
+        ).alias("approx_within_5pct"),
     )
 
 
