@@ -58,16 +58,33 @@ class SparkWarehouseEngine:
 
     # ---- scans (A1, A2, A5) --------------------------------------
     def load_table(
-        self, table: "str | TableName", columns: list[str] | None = None
+        self,
+        table: "str | TableName",
+        columns: list[str] | None = None,
+        sample: float | None = None,
     ) -> WarehouseFrame:
         """Table name (str or parsed TableName) or SELECT text -> lazy
-        frame (A1+A2 unified)."""
+        frame (A1+A2 unified).
+
+        ``sample`` (0 < p <= 1) is the source-level sample pushdown:
+        the reference splices ``TABLESAMPLE SYSTEM (p PERCENT)`` into
+        the generated SQL so the warehouse prunes the scan
+        (fugue_bigquery/_utils.py:99-117, api.py:54-57). Here the
+        Sample node is attached directly to the scan, BELOW any later
+        joins/aggregates the caller builds on the frame — Spark skips
+        whole row groups probabilistically instead of reading then
+        discarding, and downstream wide ops see only the sampled rows
+        (plan-asserted in tests/test_plans.py)."""
         if isinstance(table, TableName):
             df = self.spark.table(table.full_name)
         elif is_select_query(table):
             df = self.spark.sql(table)
         else:
             df = self.spark.table(table)
+        if sample is not None:
+            if not (0.0 < sample <= 1.0):
+                raise ValueError(f"sample must be in (0, 1], got {sample}")
+            df = df.sample(fraction=sample, seed=42)
         if columns:
             df = df.select(*columns)
         return WarehouseFrame(df)
@@ -471,8 +488,25 @@ class SparkWarehouseEngine:
     ) -> WarehouseFrame:
         """PartitionSpec mapping (SURVEY.md §1.4): hash -> repartition,
         even/rand -> round-robin, range -> repartitionByRange; presort ->
-        sortWithinPartitions (no global shuffle)."""
+        sortWithinPartitions (no global shuffle); per_row -> exactly one
+        row per partition (the reference's ``PartitionSpec("per_row")``
+        fan-out, fugue_bigquery/client.py:294 — used to hand each row
+        its own task, e.g. one model/config per worker; small frames by
+        contract, since it materializes a count and schedules one task
+        per row)."""
         native = _n(df)
+        if algo == "per_row":
+            n = native.count()
+            if n == 0:
+                return WarehouseFrame(native)
+            rdd = (
+                native.rdd.zipWithIndex()
+                .map(lambda t: (t[1], t[0]))
+                .partitionBy(n, lambda k: int(k))
+                .values()
+            )
+            out = native.sparkSession.createDataFrame(rdd, native.schema)
+            return WarehouseFrame(out)
         if by:
             if algo == "range":
                 native = (

@@ -50,6 +50,18 @@ def quantized_dot(qa: Column, sa: Column, qb: Column, sb: Column) -> Column:
     return idot.cast("double") * sa * sb
 
 
+def _quantize_numpy(mat):
+    """numpy twin of ``quantize_int8``: identical IEEE ops
+    (max|x|/127 scale, floor(x/s + 0.5) rounding) so the int matrix
+    and scales are bit-identical to the expression path and the
+    DuckDB oracle."""
+    import numpy as np
+
+    scales = np.maximum(np.abs(mat).max(axis=1), _EPS) / 127.0
+    q = np.floor(mat / scales[:, None] + 0.5).astype("int64")
+    return q, scales
+
+
 def quantized_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -58,34 +70,64 @@ def quantized_topk(
     k: int = 10,
     round_digits: int = 6,
 ) -> DataFrame:
-    """Top-k by quantized dot product: queries broadcast (bounded set
-    by contract, like brute_force_topk), corpus streams — one narrow
-    pass over the corpus plus a per-query top-k, no corpus shuffle."""
-    qc = quantize_int8(corpus, vec_col).select(
-        F.col(id_col).alias("match_id"),
-        F.col("qv").alias("_cq"),
-        F.col("q_scale").alias("_cs"),
-    )
-    qq = quantize_int8(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("qv").alias("_qq"),
-        F.col("q_scale").alias("_qs"),
-    )
-    score = F.round(
-        quantized_dot(F.col("_qq"), F.col("_qs"), F.col("_cq"), F.col("_cs")),
-        round_digits,
-    ).alias("q_dot")
+    """Top-k by quantized dot product: the query set (bounded by
+    contract, like brute_force_topk) rides in the UDF closure as an
+    int8 matrix + scales; the corpus streams through one Arrow
+    ``mapInPandas`` pass doing an integer BLAS matmul per batch —
+    ~50x fewer per-pair costs than an expression-tree dot, no corpus
+    shuffle, and the rescale multiplies the same doubles in the same
+    order as the expression path, so scores stay bit-identical to the
+    DuckDB twin."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
-    scored = (
-        qc.join(F.broadcast(qq), F.col("query_id") != F.col("match_id"))
-        .select("query_id", "match_id", score)
+    rows = queries.select(id_col, vec_col).collect()
+    qids = np.asarray([r[0] for r in rows])
+    qmat = np.array([list(r[1]) for r in rows], dtype="float64")
+    qint, qscales = _quantize_numpy(qmat)
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("match_id", corpus.schema[id_col].dataType),
+            T.StructField("q_dot", T.DoubleType()),
+        ]
     )
+    kk = k
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cmat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            cint, cscales = _quantize_numpy(cmat)
+            idot = cint @ qint.T  # (batch, n_q) exact int64
+            # same association as quantized_dot: (idot * s_query) * s_corpus
+            sims = (idot.astype("float64") * qscales[None, :]) * cscales[:, None]
+            sims = np.round(sims, round_digits)
+            out_q, out_m, out_s = [], [], []
+            for j in range(len(qids)):
+                col = sims[:, j]
+                cand = np.nonzero(ids != qids[j])[0]
+                if len(cand) == 0:
+                    continue
+                order = np.lexsort((ids[cand], -col[cand]))[:kk]
+                sel = cand[order]
+                out_q.extend([qids[j]] * len(sel))
+                out_m.extend(ids[sel].tolist())
+                out_s.extend(col[sel].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "match_id": out_m, "q_dot": out_s}
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("q_dot").desc(), F.col("match_id").asc()
     )
     return (
         scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
+        .filter(F.col("_rk") <= kk)
         .drop("_rk")
     )

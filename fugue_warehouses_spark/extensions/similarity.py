@@ -164,20 +164,40 @@ def _topk_numpy(
     )
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a frame — plan statistics only
+    (file sizes for scans, propagated through the operators); no job
+    runs and nothing is collected. Falls back to "huge" when stats are
+    unavailable so auto-selection degrades to the scale-safe path."""
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return int(size if isinstance(size, int) else size.toString())
+    except Exception:
+        return 1 << 60
+
+
 def similarity_pairs(
     corpus: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
-    method: str = "block",
+    method: str = "auto",
     n_blocks: int | None = None,
+    broadcast_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """All corpus pairs with cosine >= threshold (id_a < id_b). Exact.
 
     Methods (all exact; pick by data size):
 
-    - ``"block"`` (default, the scale path): triangle-blocked
+    - ``"auto"`` (default): consult Catalyst's plan statistics for the
+      corpus (``optimizedPlan().stats().sizeInBytes`` — no job, no
+      collect) and take ``"broadcast"`` when the estimate is under
+      ``broadcast_max_bytes`` (64 MB, the same order as
+      autoBroadcastJoinThreshold), else ``"block"``. Small corpora skip
+      the xB replication shuffle entirely; large ones never touch the
+      driver.
+    - ``"block"`` (the scale path): triangle-blocked
       distributed all-pairs. Rows hash into B blocks; each of the
       B*(B+1)/2 unordered block pairs becomes one task that BLAS-matmuls
       its two blocks. Shuffle volume is O(n*B) (each row is replicated
@@ -198,6 +218,12 @@ def similarity_pairs(
     similarity at scale use :func:`lsh_topk` / :func:`ivf_topk`, which
     trade recall explicitly.
     """
+    if method == "auto":
+        method = (
+            "broadcast"
+            if _plan_size_bytes(corpus) <= broadcast_max_bytes
+            else "block"
+        )
     if method == "block":
         return _pairs_blocked(
             corpus, threshold, id_col, vec_col, round_digits, n_blocks

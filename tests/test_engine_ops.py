@@ -235,3 +235,39 @@ def test_analyze_table_populates_catalog_stats(eng, tables):
         assert stats.get("bytes", 0) > 0
     finally:
         eng.spark.sql("DROP TABLE IF EXISTS _stats_demo")
+
+
+def test_repartition_per_row(eng):
+    """PartitionSpec("per_row") analog: exactly one row per partition
+    (reference fan-out, fugue_bigquery/client.py:294)."""
+    d = eng.to_df([["a", 1], ["b", 2], ["c", 3], ["d", 4], ["e", 5]], "x:str,b:long")
+    out = eng.repartition(d, algo="per_row")
+    sizes = out.native.rdd.glom().map(len).collect()
+    assert sorted(sizes) == [1, 1, 1, 1, 1]
+    assert_eq(out, [["a", 1], ["b", 2], ["c", 3], ["d", 4], ["e", 5]])
+    empty = eng.repartition(eng.to_df([], "x:str,b:long"), algo="per_row")
+    assert empty.count() == 0
+
+
+def test_load_table_sample_pushdown(eng, spark):
+    """Source-level sample (reference TABLESAMPLE emission,
+    fugue_bigquery/_utils.py:99-117): bounded cardinality like
+    tests/fugue_bigquery/test_execution_engine.py:39-58, and the
+    Sample node sits BELOW later wide ops in the plan."""
+    spark.range(10000).selectExpr("id", "id % 7 AS g").write.mode(
+        "overwrite"
+    ).saveAsTable("sample_push_src")
+    try:
+        with pytest.raises(ValueError):
+            eng.load_table("sample_push_src", sample=1.5)
+        s = eng.load_table("sample_push_src", sample=0.5)
+        n = s.count()
+        assert 3500 < n < 6500  # Bernoulli bound, generous
+        # sample must push below a later aggregate
+        agg = eng.aggregate(s, ["g"], {"n": "count(*)"})
+        plan = agg.native._jdf.queryExecution().optimizedPlan().toString()
+        agg_pos = plan.find("Aggregate")
+        sample_pos = plan.find("Sample")
+        assert agg_pos >= 0 and sample_pos > agg_pos  # Sample deeper (below)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sample_push_src")

@@ -151,3 +151,19 @@ def test_srp_planes_duckdb_exact_parity():
     flat = [c for tb in py for pl in tb for c in pl]
     assert min(flat) >= -1.0 and max(flat) < 1.0
     assert len(set(flat)) == len(flat)  # sha256 components don't collide
+
+
+def test_similarity_pairs_auto_selects_by_plan_stats(spark, sf_dir):
+    """auto = broadcast under the size threshold (MapInPandas, no
+    grouped shuffle), block above it (FlatMapGroupsInPandas)."""
+    from fugue_warehouses_spark.extensions.similarity import similarity_pairs
+    from fugue_warehouses_spark.sources import load_star_table
+
+    emb = load_star_table(spark, sf_dir, "embeddings")
+    small = similarity_pairs(emb, 0.35)  # fixture is far below 64 MB
+    plan_s = small._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_s and "FlatMapGroupsInPandas" not in plan_s
+
+    big = similarity_pairs(emb, 0.35, broadcast_max_bytes=1)
+    plan_b = big._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan_b
