@@ -484,13 +484,20 @@ def dropna_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            CAST(floor(l_quantity) AS BIGINT) AS qty_int,
            strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
-           CAST(l_extendedprice AS VARCHAR) AS price_str
+           CAST(l_extendedprice AS VARCHAR) AS price_str,
+           CAST(l_extendedprice AS DECIMAL(12, 2)) AS price_dec,
+           hex(encode(l_returnflag)) AS flag_hex,
+           CAST(l_shipdate + INTERVAL 2 DAY AS VARCHAR) AS ship_plus_2d
     FROM lineitem
     WHERE l_orderkey <= 100
     """,
 )
 def alter_columns_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The cast-matrix operator (A16) as a graded query."""
+    """The cast-matrix operator (A16) as a graded query, covering the
+    SURVEY §1.3 breadth: numeric/date/string casts plus exact DECIMAL,
+    binary (string -> bytes -> hex round-trip, since raw blobs don't
+    compare across drivers), and DayTimeInterval arithmetic (date +
+    INTERVAL rendered back to a canonical string)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
     return li.select(
         "l_orderkey",
@@ -498,6 +505,11 @@ def alter_columns_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("l_quantity").cast("long").alias("qty_int"),
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
         F.col("l_extendedprice").cast("string").alias("price_str"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+        F.hex(F.encode("l_returnflag", "UTF-8")).alias("flag_hex"),
+        F.expr("CAST(l_shipdate + INTERVAL '2' DAY AS STRING)").alias(
+            "ship_plus_2d"
+        ),
     )
 
 

@@ -365,3 +365,20 @@ def test_bucket_locf_stream_matches_batch_gapfill(spark, events_path):
     cols = ["user_id", "bucket", "n_events", "locf_sum"]
     assert _sorted_rows(final, cols) == _sorted_rows(expected, cols)
     assert expected.filter("n_events = 0").count() > 0  # real gaps exist
+
+
+def test_bucket_locf_batch_equals_oracle_checked_gapfill(spark, events_path):
+    """Closes the stream->oracle chain for §2.D: the stateful
+    streaming downsampler's batch collapse must equal gapfill_locf
+    (operators/timeseries.py) — the implementation behind the
+    DuckDB-oracle-checked events_gapfill_5m registry row. Together
+    with test_bucket_locf_stream_matches_batch_gapfill this proves
+    stream == batch == oracle."""
+    from fugue_warehouses_spark.operators.timeseries import gapfill_locf
+    from fugue_warehouses_spark.streaming import bucket_locf
+
+    batch = _batch(spark, events_path).filter(F.col("user_id") < 8)
+    via_stateful = bucket_locf(batch, "user_id", "ts", "value", 300_000_000)
+    via_batch = gapfill_locf(batch, "user_id", "ts", "value", 300_000_000)
+    cols = ["user_id", "bucket", "n_events", "locf_sum"]
+    assert _sorted_rows(via_stateful, cols) == _sorted_rows(via_batch, cols)
