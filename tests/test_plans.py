@@ -153,7 +153,7 @@ def test_similarity_block_path_is_one_grouping_shuffle(spark, sf_dir):
     from fugue_warehouses_spark.extensions import similarity as S
 
     emb = load_star_table(spark, sf_dir, "embeddings")
-    plan = _plan(S.similarity_pairs(emb, threshold=0.35))
+    plan = _plan(S.similarity_pairs(emb, threshold=0.35, method="block"))
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" not in plan
