@@ -88,7 +88,9 @@ BENCH_QUERIES = [
     "doc_ngram_jaccard_pairs",
     "doc_minhash_near_dups",
     "doc_simhash_near_dups",
+    "doc_duplicate_spans",
     "embedding_topk",
+    "embedding_hard_negatives",
     "embedding_quantized_topk",
     "embedding_similar_pairs",
     "events_gapfill_5m",

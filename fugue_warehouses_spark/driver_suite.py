@@ -281,6 +281,8 @@ KEEPS: tuple[str, ...] = (
     "part_pagerank",
     "customer_fuzzy_match",
     "doc_bm25_search",
+    "doc_duplicate_spans",
+    "embedding_hard_negatives",
 )
 
 # natives whose determinism-free semantics are represented by a

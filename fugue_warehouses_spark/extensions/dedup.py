@@ -23,7 +23,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from fugue_warehouses_spark.functions.text import char_ngrams, fingerprint, tokens
+from fugue_warehouses_spark.functions.text import (
+    char_ngrams,
+    fingerprint,
+    token_count,
+    tokens,
+)
 
 # ---------------- exact -------------------------------------------
 
@@ -581,3 +586,144 @@ def dedup_near(
         F.col("id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------- exact substring (token-window) dedup ------------
+
+
+def _span_occurrences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One row per (doc, start-position) sliding token window:
+    (id, *extra, __i 1-based start, __n token count, span text).
+
+    Pure JVM expressions (split/sequence/slice/array_join) — the whole
+    pass stays inside whole-stage codegen, no Python workers. The
+    explode fan-out is ~n_tokens rows per doc (bounded by text volume
+    / avg token length), the same order as the shingle pass MinHash
+    runs; no shuffle happens here."""
+    t = tokens(text_col)
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], t.alias("__t")
+    )
+    n = F.size("__t")
+    # sequence(a, b) runs DESCENDING when b < a — guard short docs
+    # explicitly instead of relying on it.
+    starts = F.when(
+        n >= window, F.sequence(F.lit(1), n - F.lit(window - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        base.select(
+            id_col,
+            *extra_cols,
+            n.alias("__n"),
+            F.col("__t"),
+            F.explode(starts).alias("__i"),
+        )
+        .withColumn(
+            "span", F.array_join(F.slice("__t", F.col("__i"), window), " ")
+        )
+        .drop("__t")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring duplication at token-window granularity: every
+    ``window``-token sliding span that occurs in >= ``min_docs``
+    DISTINCT documents, with its document and occurrence counts.
+
+    This is the exact-substring pass of the dataset-dedup literature
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): near-dup detectors (MinHash/SimHash) find
+    whole-document similarity; this finds shared PASSAGES — boilerplate,
+    licenses, quoted text — regardless of how different the surrounding
+    documents are. Suffix arrays give the same answer for unbounded
+    span length; fixing the window length makes it a pure
+    groupBy-count, which distributes trivially.
+
+    One shuffle (groupBy span). Spans are grouped by their text here so
+    the DuckDB oracle twin is byte-identical; at 100 TB group by
+    ``xxhash64(span)`` instead and shuffle 8-byte keys (a collision
+    merely merges two counts — re-verify survivors if that matters).
+    """
+    occ = _span_occurrences(df, id_col, text_col, window)
+    return (
+        occ.groupBy("span")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    window: int = 8,
+    min_docs: int = 2,
+    broadcast_dup: bool = True,
+) -> DataFrame:
+    """Per-group accounting of exact-substring duplication: for each
+    ``group_col`` value, how many documents contain at least one
+    cross-document duplicate span, and what fraction of their tokens
+    those spans cover (a token is covered iff some duplicated window
+    contains it — overlapping windows are merged by position-distinct).
+
+    Plan: window pass (map-only) -> span groupBy (shuffle 1) -> the
+    duplicated-span set joins back against the occurrences (broadcast
+    by default: the dup set is the *duplicated* subset, typically
+    orders of magnitude smaller than the corpus; set
+    ``broadcast_dup=False`` to let the optimizer pick a shuffle join
+    when duplication is pervasive) -> position fan-out (bounded:
+    ``window`` rows per hit) -> position-distinct + two cheap
+    aggregates. All counts are integers, so the per-group fraction is
+    bit-deterministic cross-engine.
+    """
+    occ = _span_occurrences(df, id_col, text_col, window, (group_col,))
+    dup = (
+        occ.groupBy("span")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("span")
+    )
+    if broadcast_dup:
+        dup = F.broadcast(dup)
+    covered = (
+        occ.join(dup, "span")
+        .select(
+            id_col,
+            group_col,
+            F.explode(
+                F.sequence(F.col("__i"), F.col("__i") + F.lit(window - 1))
+            ).alias("__p"),
+        )
+        .distinct()
+        .groupBy(id_col, group_col)
+        .agg(F.count("*").alias("__c"))
+    )
+    base = df.select(
+        id_col, group_col, token_count(F.col(text_col)).alias("__n")
+    )
+    j = base.join(covered, [id_col, group_col], "left").na.fill({"__c": 0})
+    return j.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("__c") > 0).cast("bigint")).alias("n_docs_with_dup"),
+        F.sum("__c").alias("dup_tokens"),
+        F.sum("__n").alias("total_tokens"),
+        F.round(
+            F.sum("__c") / F.greatest(F.sum("__n"), F.lit(1)), 6
+        ).alias("dup_token_frac"),
+    )

@@ -778,3 +778,104 @@ def ivf_topk_hash(
         .filter(F.col("__rn") <= k)
         .select("query_id", "match_id", "cosine_sim")
     )
+
+
+# ---------------- hard-negative mining ----------------------------
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Contrastive-training hard negatives: for each query vector, the
+    ``k`` most cosine-similar corpus vectors whose ``label_col``
+    DIFFERS from the query's — the highest-loss negatives for a
+    contrastive/triplet objective (same top-k machinery as
+    :func:`brute_force_topk`, plus the label mask applied BEFORE
+    ranking, so easy same-class neighbors never crowd out the
+    negatives).
+
+    Output: (query_id, match_id, match_label, cosine_sim), ties broken
+    by match_id ascending after 6-dp rounding (cross-engine stable).
+
+    Scale shape: the query/anchor set is collected as a normalized
+    float64 matrix (bounded by contract — mine negatives for a batch
+    of anchors per call); the corpus streams through one Arrow-batched
+    BLAS matmul per batch with NO shuffle before the k·|queries|
+    candidate set. For corpus-wide mining at 100 TB, feed anchors in
+    batches or generate candidates with :func:`ivf_topk_hash` /
+    :func:`lsh_topk` first and apply the label mask on the candidate
+    set.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = queries.select(id_col, vec_col, label_col).collect()
+    qids = np.asarray([r[0] for r in rows])
+    qlabels = np.asarray([r[2] for r in rows])
+    qmat = np.array([list(r[1]) for r in rows], dtype="float64")
+    norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    qmat = qmat / norms
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("match_id", corpus.schema[id_col].dataType),
+            T.StructField("match_label", corpus.schema[label_col].dataType),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+    kk = k
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            labels = pdf[label_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            cn = np.linalg.norm(mat, axis=1, keepdims=True)
+            cn[cn == 0] = 1.0
+            sims = (mat / cn) @ qmat.T  # (batch, n_q)
+            if round_digits is not None:
+                sims = np.round(sims, round_digits)
+            out_q, out_m, out_l, out_s = [], [], [], []
+            for j in range(len(qids)):
+                col = sims[:, j]
+                mask = (ids != qids[j]) & (labels != qlabels[j])
+                cand = np.nonzero(mask)[0]
+                if len(cand) == 0:
+                    continue
+                order = np.lexsort((ids[cand], -col[cand]))[:kk]
+                sel = cand[order]
+                out_q.extend([qids[j]] * len(sel))
+                out_m.extend(ids[sel].tolist())
+                out_l.extend(labels[sel].tolist())
+                out_s.extend(col[sel].tolist())
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "match_id": out_m,
+                    "match_label": out_l,
+                    "cosine_sim": out_s,
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        score, schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= kk)
+        .select("query_id", "match_id", "match_label", "cosine_sim")
+    )

@@ -1105,6 +1105,53 @@ def doc_near_dedup_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_near(docs, pairs, "doc_id").select("doc_id", "source")
 
 
+_DUP_SPANS_SQL = r"""
+    WITH tl AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    occ AS (
+      SELECT tl.doc_id, tl.source, r.i::INT AS i,
+             array_to_string(tl.t[r.i:r.i + 7], ' ') AS span
+      FROM tl, UNNEST(range(1, len(tl.t) - 8 + 2)) AS r(i)),
+    dup AS (
+      SELECT span FROM occ GROUP BY span
+      HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT doc_id, source, count(DISTINCT u.p) AS c
+      FROM occ JOIN dup USING (span),
+           UNNEST(range(occ.i, occ.i + 8)) AS u(p)
+      GROUP BY doc_id, source),
+    base AS (SELECT doc_id, source, len(t)::BIGINT AS n FROM tl)
+    SELECT base.source,
+           count(*) AS n_docs,
+           coalesce(sum((cov.c > 0)::BIGINT), 0) AS n_docs_with_dup,
+           coalesce(sum(cov.c), 0)::BIGINT AS dup_tokens,
+           sum(base.n)::BIGINT AS total_tokens,
+           round(coalesce(sum(cov.c), 0)::DOUBLE
+                 / greatest(sum(base.n), 1), 6) AS dup_token_frac
+    FROM base LEFT JOIN cov USING (doc_id, source)
+    GROUP BY base.source
+    """
+
+
+@_q("doc_duplicate_spans", _DUP_SPANS_SQL)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup accounting (Lee et al. 2022's pass, at
+    fixed window length): per source, how many documents share an
+    8-token span with ANOTHER document, and what fraction of their
+    tokens those shared passages cover. Catches boilerplate/licenses/
+    quotations that whole-document near-dup (MinHash/SimHash) misses.
+    Plan: codegen'd window explode -> one span groupBy -> broadcast
+    the (small) duplicated-span set back -> position-distinct ->
+    integer aggregates (bit-deterministic cross-engine)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.duplicate_span_coverage(
+        docs, "doc_id", "text", group_col="source", window=8
+    )
+
+
 # =====================================================================
 # Embeddings: similarity search
 # =====================================================================
@@ -1126,6 +1173,31 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return SS.brute_force_topk(emb, queries, k=10, round_digits=6)
+
+
+@_q(
+    "embedding_hard_negatives",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings)
+    SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+           c.label AS match_label,
+           round(list_cosine_similarity(q.v, c.v), 6) AS cosine_sim
+    FROM e q JOIN e c ON q.vec_id <> c.vec_id AND q.label <> c.label
+    WHERE q.vec_id < 10
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, match_id ASC) <= 5
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (similarity.hard_negative_topk): per anchor, the 5 most-similar
+    vectors with a DIFFERENT label — the label mask runs before
+    ranking, inside the same streamed Arrow-batch matmul as
+    embedding_topk (corpus never shuffles)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    return SS.hard_negative_topk(emb, anchors, k=5, label_col="label")
 
 
 @_q(

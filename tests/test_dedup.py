@@ -161,3 +161,48 @@ def test_lsh_mega_bucket_cap(spark):
         df, "doc_id", "text", threshold=0.9, max_bucket_size=2
     )
     assert capped.collect() == []
+
+
+def test_duplicate_spans_finds_shared_passage(spark):
+    """Two docs sharing an 8-token passage inside otherwise different
+    text — whole-doc near-dup would score them low, span dedup hits."""
+    passage = "one two three four five six seven eight"
+    rows = [
+        (0, f"alpha beta {passage} gamma delta epsilon zeta"),
+        (1, f"totally different start {passage} and a different end here"),
+        (2, "no shared passages in this document at all nine ten eleven"),
+        (3, "short doc"),  # < window tokens: contributes no spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = D.duplicate_spans(df, window=8).collect()
+    assert {r["span"] for r in spans} == {passage}
+    assert spans[0]["n_docs"] == 2 and spans[0]["n_occ"] == 2
+
+
+def test_duplicate_span_coverage_merges_overlaps(spark):
+    """Identical 10-token docs: every window duplicates, coverage must
+    be ALL 10 tokens (position-distinct merges the overlapping
+    windows), not windows*8."""
+    text = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(0, text, "s1"), (1, text, "s1"), (2, "unrelated words only", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in D.duplicate_span_coverage(df, window=8).collect()}
+    assert out["s1"]["n_docs"] == 2
+    assert out["s1"]["n_docs_with_dup"] == 2
+    assert out["s1"]["dup_tokens"] == 20  # 10 per doc, fully covered
+    assert out["s1"]["total_tokens"] == 20
+    assert out["s1"]["dup_token_frac"] == 1.0
+    assert out["s2"]["dup_tokens"] == 0 and out["s2"]["n_docs_with_dup"] == 0
+
+
+def test_duplicate_spans_within_doc_repeat_not_cross_doc(spark):
+    """A passage repeated twice INSIDE one doc is not a cross-document
+    duplicate (min_docs counts distinct docs)."""
+    p = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = spark.createDataFrame(
+        [(0, f"{p} filler filler {p}"), (1, "nothing in common here at all x y z")],
+        "doc_id long, text string",
+    )
+    assert D.duplicate_spans(df, window=8).count() == 0

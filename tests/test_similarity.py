@@ -167,3 +167,27 @@ def test_similarity_pairs_auto_selects_by_plan_stats(spark, sf_dir):
     big = similarity_pairs(emb, 0.35, broadcast_max_bytes=1)
     plan_b = big._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan_b
+
+
+def test_hard_negative_topk_masks_same_label(spark, tables):
+    from fugue_warehouses_spark.extensions import similarity as S
+
+    emb = tables["embeddings"]
+    anchors = emb.filter(F.col("vec_id") < 5)
+    out = S.hard_negative_topk(emb, anchors, k=5, label_col="label")
+    rows = out.collect()
+    assert len(rows) == 25  # 5 anchors x k
+    labels = {r["vec_id"]: r["label"] for r in anchors.collect()}
+    for r in rows:
+        assert r["match_label"] != labels[r["query_id"]]
+        assert r["match_id"] != r["query_id"]
+
+
+def test_hard_negative_topk_all_same_label_empty(spark):
+    from fugue_warehouses_spark.extensions import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], 7) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert S.hard_negative_topk(df, df, k=3, label_col="label").count() == 0
