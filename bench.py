@@ -6,8 +6,10 @@ Prints ONE JSON line:
   {"metric": "total_query_sec", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1}
 
-Methodology: per query, one untimed warmup run then the best of two
-timed runs (steady state). The warmup absorbs one-time costs that are
+Methodology: per query, one untimed warmup run then the best of
+three timed runs (steady state; best-of-N guards the recorded artifact
+against this host's intermittent multi-second contention windows,
+which otherwise tax whichever query they land on). The warmup absorbs one-time costs that are
 amortized in any real deployment — whole-stage-codegen compilation of
 the query's operators (~1-2 s per novel plan shape, JIT-cached after),
 parquet footer/schema caching, and Python-worker spawn for pandas-UDF
@@ -138,7 +140,7 @@ def main() -> None:
         fn(spark, sf_dir).count()  # warmup: codegen compile, footer cache
         cold[name] = round(time.perf_counter() - start, 3)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - start)
@@ -154,7 +156,7 @@ def main() -> None:
             "queries": timings,
             "cold_first_run_sec": cold,
             "timing": "1 untimed warmup + best of N timed runs",
-            "runs_per_query": 2,
+            "runs_per_query": 3,
             "sf": sf,
         }
     )

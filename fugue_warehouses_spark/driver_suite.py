@@ -55,6 +55,8 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_bigram_lift": (("bigram", "s"), ("n_pair", "i"), ("lift", "f"),),
     "doc_bpe_token_budget": (("source", "s"), ("est_tokens", "i"), ("n_docs", "i"),),
     "doc_cdc_dedup": (("source", "s"), ("n_chunks", "i"), ("n_distinct_chunks", "i"), ("total_chunk_chars", "i"), ("distinct_chunk_chars", "i"),),
+    "doc_incremental_dedup": (("doc_id", "i"), ("source", "s"),),
+    "doc_export_manifest": (("shard", "i"), ("n_rows", "i"), ("id_checksum", "i"),),
     "doc_chunks": (("doc_id", "i"), ("chunk_idx", "i"), ("chunk_md5", "s"), ("n_tokens", "i"),),
     "doc_clean_normalize": (("source", "s"), ("n_docs", "i"), ("clean_chars", "i"), ("distinct_cleaned", "i"),),
     "doc_contamination": (("source", "s"), ("n_docs", "i"), ("n_contaminated", "i"),),
@@ -221,6 +223,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     "doc_pipeline_suite": (
         "doc_training_pipeline", "doc_contamination",
         "doc_train_test_split", "doc_chunks", "doc_cdc_dedup",
+        "doc_incremental_dedup",
     ),
     # A12/A13 + deterministic sampling/mixture family
     "sampling_suite": (
@@ -247,7 +250,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     # skew-salted join, MERGE upsert, data-quality checks
     "warehouse_ops_suite": (
         "salted_join_revenue", "customer_balance_upsert",
-        "star_quality_checks",
+        "star_quality_checks", "doc_export_manifest",
     ),
     # B10 take with presort + NULL position
     "take_suite": ("take_top2_per_order", "take_nulls_first_events"),

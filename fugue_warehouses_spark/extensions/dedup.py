@@ -727,3 +727,37 @@ def duplicate_span_coverage(
             F.sum("__c") / F.greatest(F.sum("__n"), F.lit(1)), 6
         ).alias("dup_token_frac"),
     )
+
+
+# ---------------- incremental (continuous-ingest) dedup -----------
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuous-ingest dedup: keep only the ``new_df`` rows whose
+    normalized-text fingerprint appears nowhere in ``history_df`` AND
+    is the min-id representative within the new batch itself.
+
+    This is the shape every rolling corpus build needs — the history
+    side reduces to its distinct fingerprint set (at 100 TB you
+    materialize that set once and reuse it per batch; it is ~16 bytes
+    a document, not the corpus), then one left_anti join removes
+    already-seen content and the usual fingerprint groupBy dedups the
+    batch internally. Two shuffles total, both on the 16-byte
+    fingerprint, never on text."""
+    fp = fingerprint(text_col)
+    seen = history_df.select(fp.alias("__fp")).distinct()
+    fresh = (
+        new_df.withColumn("__fp", fp)
+        .join(seen, on="__fp", how="left_anti")
+    )
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )

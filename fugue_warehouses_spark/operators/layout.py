@@ -130,3 +130,73 @@ def zorder_write(
         .format(fmt)
         .save(path)
     )
+
+
+# ---------------- deterministic sharded export --------------------
+
+
+def shard_assignment(
+    df: DataFrame, id_col: str, n_shards: int
+) -> DataFrame:
+    """Add a ``shard`` column: a deterministic hash-mod of ``id_col``.
+
+    The draw is the same 32-bit md5 prefix the deterministic-sampling
+    family uses (extensions/sampling.py), so the assignment is a pure
+    function of the data — stable across runs, partitionings, Spark
+    versions, AND engines (md5 exists everywhere), unlike
+    ``spark_partition_id`` or ``monotonically_increasing_id``, which
+    depend on physical placement. Narrow (no shuffle)."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    draw = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+    return df.withColumn(
+        "shard", (draw.cast("bigint") % F.lit(n_shards)).cast("int")
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Write ``df`` as ``n_shards`` deterministic hash shards
+    (``path/shard=K/``) and return the manifest: one row per shard
+    with row count and an order-independent content checksum of the
+    ids — what a training dataloader needs to consume, resume, and
+    audit the export (shards are stable, so a re-export after an
+    upstream fix only changes the shards whose rows changed).
+
+    One shuffle (repartition by shard so each shard is one file write
+    group); the manifest is a second pass over the written data — read
+    back from ``path`` so it certifies what is actually on disk, not
+    what the plan intended.
+    """
+    sharded = shard_assignment(df, id_col, n_shards)
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.partitionBy("shard")
+        .format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )
+    back = df.sparkSession.read.format(fmt).load(path)
+    return shard_manifest(back, id_col)
+
+
+def shard_manifest(sharded: DataFrame, id_col: str) -> DataFrame:
+    """Per-shard accounting over a frame that already has ``shard``:
+    (shard, n_rows, id_checksum) with the checksum an order-independent
+    sum of 32-bit md5 draws mod 2^31-1 — cheap to recompute on any
+    engine to verify an export."""
+    draw = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 9, 8), 16, 10)
+    return (
+        sharded.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.sum(draw.cast("bigint")) % F.lit((1 << 31) - 1)).alias(
+                "id_checksum"
+            ),
+        )
+    )

@@ -35,6 +35,7 @@ from fugue_warehouses_spark.extensions import sketches as SK
 from fugue_warehouses_spark.extensions import clustering as CL
 from fugue_warehouses_spark.extensions import quality as QL
 from fugue_warehouses_spark.functions import text as TX
+from fugue_warehouses_spark.operators import layout as LY
 from fugue_warehouses_spark.operators import timeseries as TSO
 from fugue_warehouses_spark.operators.take import take
 from fugue_warehouses_spark.sources import load_star_table, register_star_views
@@ -2813,6 +2814,65 @@ def doc_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(TX.bpe_token_estimate("text")).cast("long").alias("est_tokens"),
+    )
+
+
+_INCR_DEDUP_SQL = r"""
+    WITH split AS (SELECT max(doc_id) // 2 AS t FROM documents),
+    hist AS (
+      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS fp
+      FROM documents WHERE doc_id < (SELECT t FROM split)),
+    batch AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents WHERE doc_id >= (SELECT t FROM split))
+    SELECT doc_id, source FROM batch
+    WHERE fp NOT IN (SELECT fp FROM hist)
+    QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) = 1
+    """
+
+
+@_q("doc_incremental_dedup", _INCR_DEDUP_SQL)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup (dedup.incremental_dedup): treat the
+    lower half of doc_ids as the already-ingested corpus and the upper
+    half as today's batch; keep only batch docs whose fingerprint is
+    new vs history AND unique within the batch. Both shuffles ride the
+    16-byte fingerprint — at 100 TB the history side is a materialized
+    fingerprint set, not a rescan."""
+    docs = _t(spark, sf_dir, "documents")
+    thr = docs.agg(F.max("doc_id")).collect()[0][0] // 2  # O(1) scalar
+    hist = docs.filter(F.col("doc_id") < thr)
+    batch = docs.filter(F.col("doc_id") >= thr)
+    return DD.incremental_dedup(batch, hist, "text", "doc_id").select(
+        "doc_id", "source"
+    )
+
+
+_EXPORT_MANIFEST_SQL = """
+    SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 8)::INT
+             AS shard,
+           count(*) AS n_rows,
+           (sum(('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::UBIGINT)
+            % 2147483647)::BIGINT AS id_checksum
+    FROM documents
+    GROUP BY 1
+    """
+
+
+@_q("doc_export_manifest", _EXPORT_MANIFEST_SQL)
+def doc_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard manifest (layout.shard_assignment +
+    shard_manifest): the per-shard (row count, order-independent id
+    checksum) accounting a training dataloader uses to consume and
+    audit an export. Shard = md5-mod of the id — a pure function of
+    the data, identical on any engine and any partitioning; the actual
+    partitioned write (layout.export_shards) is pytest-verified
+    against this manifest."""
+    docs = _t(spark, sf_dir, "documents")
+    return LY.shard_manifest(
+        LY.shard_assignment(docs, "doc_id", 8), "doc_id"
     )
 
 

@@ -206,3 +206,21 @@ def test_duplicate_spans_within_doc_repeat_not_cross_doc(spark):
         "doc_id long, text string",
     )
     assert D.duplicate_spans(df, window=8).count() == 0
+
+
+def test_incremental_dedup_drops_seen_and_batch_dups(spark):
+    hist = spark.createDataFrame(
+        [(0, "seen before text"), (1, "also already ingested")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Seen  Before   text"),   # dup of history after normalize
+            (11, "brand new document"),
+            (12, "brand NEW    document"), # dup within batch -> keep min id
+            (13, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in D.incremental_dedup(batch, hist).collect()}
+    assert kept == {11, 13}
