@@ -114,6 +114,10 @@ BENCH_QUERIES = [
     "events_impute_value",
     "orders_status_islands",
     "doc_bm25_search",
+    "doc_tfidf_keywords",
+    "embedding_outliers",
+    "doc_incremental_dedup",
+    "doc_export_manifest",
     "events_anomaly_mad",
     "doc_train_test_split",
     "orders_recursive_month_spine",

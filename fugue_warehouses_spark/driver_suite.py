@@ -74,6 +74,8 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_unigram_surprisal": (("source", "s"), ("n_docs", "i"), ("avg_surprisal", "f"), ("min_surprisal", "f"), ("max_surprisal", "f"),),
     "dropna_events": (("event_id", "i"), ("v", "f"),),
     "embedding_norms_by_label": (("label", "i"), ("n", "i"), ("avg_norm", "f"),),
+    "embedding_outliers": (("label", "i"), ("n_vecs", "i"), ("n_outliers", "i"), ("avg_cos_centroid", "f"),),
+    "doc_tfidf_keywords": (("source", "s"), ("token", "s"), ("tf", "i"), ("score", "f"),),
     "embedding_semantic_dedup": (("label", "i"), ("n_vecs", "i"), ("n_kept", "i"), ("n_dropped", "i"),),
     "events_anomaly_mad": (("user_id", "i"), ("n_values", "i"), ("n_anomalies", "i"), ("median_value", "f"), ("mad_value", "f"),),
     "events_cms_user_counts": (("user_id", "i"), ("est_count", "i"),),
@@ -213,6 +215,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     "doc_text_analysis_suite": (
         "doc_token_stats", "doc_bpe_token_budget", "doc_top_tokens",
         "doc_bigram_lift", "doc_unigram_surprisal", "doc_lang_confusion",
+        "doc_tfidf_keywords",
     ),
     # corpus-quality family
     "doc_quality_suite": (
@@ -244,6 +247,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     ),
     "embedding_misc_suite": (
         "embedding_norms_by_label", "embedding_semantic_dedup",
+        "embedding_outliers",
     ),
     # funnel/cohort analytics
     "behavior_suite": ("events_cohort_retention", "events_funnel_stages"),

@@ -210,3 +210,58 @@ def semantic_dedup(
         "cidx",
         F.coalesce("__dup", F.lit(False)).alias("is_dup"),
     )
+
+
+def label_centroid_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    threshold: float = 0.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-label semantic outlier gate: score every vector by cosine to
+    its OWN label's centroid and count the ones below ``threshold`` —
+    the standard mislabel/noise screen before contrastive training (a
+    vector pointing away from its class centroid is either mislabeled
+    or garbage).
+
+    Output: (label, n_vecs, n_outliers, avg_cos_centroid).
+
+    Plan: posexplode to (label, dim, x) -> per-dim avg (ONE shuffle on
+    (label, dim), map-side partial agg — the centroid never exists as
+    a driver object) -> re-assemble the centroid array per label
+    (k·dim rows — tiny) -> broadcast-join centroids back and score
+    with a pure JVM zip_with/aggregate cosine -> final k-row agg.
+    Centroid components round at ``round_digits`` BEFORE scoring so
+    the whole chain is reproducible cross-engine despite avg()'s
+    summation order."""
+    d = df.select(
+        F.col(label_col).alias("__lbl"),
+        F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
+    )
+    cent = d.groupBy("__lbl", "__pos").agg(
+        F.round(F.avg(F.col("__x").cast("double")), round_digits).alias("__c")
+    )
+    cvec = cent.groupBy("__lbl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__c"))),
+            lambda s: s["__c"],
+        ).alias("__cv")
+    )
+    scored = df.join(
+        F.broadcast(cvec), F.col(label_col) == F.col("__lbl")
+    ).withColumn(
+        "__cos",
+        F.round(
+            cosine(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.col("__cv"),
+            ),
+            round_digits,
+        ),
+    )
+    return scored.groupBy(F.col(label_col)).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("__cos") < threshold).cast("bigint")).alias("n_outliers"),
+        F.round(F.avg("__cos"), round_digits).alias("avg_cos_centroid"),
+    )

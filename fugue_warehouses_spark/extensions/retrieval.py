@@ -107,3 +107,58 @@ def bm25_sql(
     ORDER BY round(score, 6) DESC, doc_id
     LIMIT {top_n}
     """
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per group — the cheap descriptive
+    profile of what distinguishes each slice of a corpus (and the
+    building block of sparse retrieval beside BM25).
+
+    tf = term count within the group; idf = ln(N_groups / df) with df
+    the number of groups containing the term. Scores round before
+    ranking and ties break on the token, so the top-k is deterministic
+    cross-engine. Plan: token explode -> (group, token) count with
+    map-side combine -> token-level df agg (bounded by vocabulary,
+    joined back broadcast) -> per-group window on the tiny
+    (group, token) frame. Nothing driver-side; the 1-row group count
+    rides a broadcast cross join."""
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(tokens(text_col)).alias("__tok"),
+    )
+    tf = toks.groupBy("__g", "__tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    ngroups = df.select(F.countDistinct(group_col).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "__tok")
+        .crossJoin(F.broadcast(ngroups))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("__n").cast("double") / F.col("__df")),
+                round_digits,
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__g").orderBy(
+        F.col("score").desc(), F.col("__tok").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__tok").alias("token"),
+            "tf",
+            "score",
+        )
+    )

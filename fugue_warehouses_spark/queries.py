@@ -1307,6 +1307,41 @@ def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OUTLIERS_SQL = """
+    WITH d AS (
+      SELECT label, g.i::INT AS pos, embedding[g.i]::DOUBLE AS x
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)),
+    cent AS (
+      SELECT label, pos, round(avg(x), 6) AS c FROM d GROUP BY label, pos),
+    cvec AS (
+      SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.label,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], cvec.cv), 6)
+               AS cos_c
+      FROM embeddings e JOIN cvec USING (label))
+    SELECT label, count(*) AS n_vecs,
+           sum((cos_c < 0.0)::BIGINT)::BIGINT AS n_outliers,
+           round(avg(cos_c), 6) AS avg_cos_centroid
+    FROM scored GROUP BY label
+    """
+
+
+@_q("embedding_outliers", _OUTLIERS_SQL)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic outlier gate (clustering.label_centroid_outliers):
+    score each vector by cosine to its own label's centroid, count the
+    ones pointing away (cos < 0) — the mislabel/noise screen run
+    before contrastive training. Centroids form via ONE (label, dim)
+    shuffle with map-side combine and never touch the driver; rounding
+    the components before scoring makes the chain exact cross-engine.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    return CL.label_centroid_outliers(
+        emb, "embedding", "label", threshold=0.0
+    )
+
+
 def _srp_lsh_sql(
     k: int = 10, dim: int = 64, n_planes: int = 4, n_tables: int = 16,
     seed: int = 42,
@@ -2329,8 +2364,15 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    # One exchange for the whole per-order chain: hash the fact on
+    # orderkey ONCE; HashPartitioning(ok) satisfies the (ok, sk)
+    # groupBy's clustering AND the ok window's, so neither re-shuffles
+    # (vs. the groupBy-first shape, whose (ok, sk) partitioning forces
+    # a second exchange for the window). AQE picks broadcast vs
+    # shuffle for the orders semi-probe from the runtime size.
     per = (
-        li.groupBy(
+        li.repartition("l_orderkey")
+        .groupBy(
             F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
         )
         .agg(
@@ -2338,7 +2380,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
             ).alias("_n_r")
         )
-        .join(o, F.col("_ok") == o.o_orderkey, "left_semi")
+        .join(
+            o.select("o_orderkey"),
+            F.col("_ok") == F.col("o_orderkey"),
+            "left_semi",
+        )
     )
     w = Window.partitionBy("_ok")
     per = per.withColumn("_nsupp", F.count(F.lit(1)).over(w)).withColumn(
@@ -4421,6 +4467,37 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 from fugue_warehouses_spark.extensions.retrieval import bm25_sql as _bm25_sql  # noqa: E402
 
 ORACLE["doc_bm25_search"] = _bm25_sql(_BM25_TERMS)
+
+
+_TFIDF_SQL = r"""
+    WITH toks AS (
+      SELECT source, tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS t(tok)),
+    tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY source, tok),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(DISTINCT source) AS n FROM documents),
+    scored AS (
+      SELECT tf.source, tf.tok AS token, tf.tf,
+             round(tf.tf * ln(n.n::DOUBLE / dfreq.df), 6) AS score
+      FROM tf JOIN dfreq USING (tok), n)
+    SELECT source, token, tf, score FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY source ORDER BY score DESC, token ASC) <= 3
+    """
+
+
+@_q("doc_tfidf_keywords", _TFIDF_SQL)
+def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TF-IDF keyword profile (retrieval.tfidf_keywords):
+    what distinguishes each corpus slice. df/N aggregates are bounded
+    by vocabulary and broadcast back; scores round before ranking with
+    token tie-break, so the top-3 matches the SQL twin exactly."""
+    from fugue_warehouses_spark.extensions import retrieval as RT
+
+    docs = _t(spark, sf_dir, "documents")
+    return RT.tfidf_keywords(docs, "source", "text", k=3)
 
 
 _MAD_SQL = """

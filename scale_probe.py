@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Scale probe: measure how the scale-sensitive operators behave as the
+corpus grows, on synthetic data larger than the driver fixtures.
+
+The per-round bench (bench.py) runs at sf0.1 where most queries are
+scheduling-floor-bound; this probe answers the question the bench
+can't: *does wall time grow like the design says it should* (≈linear
+for the banded/bucketed/blocked paths) when the data grows 4x and 16x?
+Results + commentary live in SCALE_NOTES.md.
+
+Usage: python scale_probe.py [--sizes 5000,20000,80000]
+Prints one JSON line: {"op": {"n": sec, ...}, ...}.
+
+Synthetic corpus (seeded, deterministic): ~250-token documents over a
+small vocabulary, 10% exact duplicates, 10% near-duplicates (5 token
+edits), plus 64-dim embeddings with 10 loose label clusters — the same
+shape as /root/testdata's documents/embeddings, so operator selectivity
+stays comparable while n scales.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fugue_warehouses_spark.session import get_spark  # noqa: E402
+
+VOCAB = [f"w{i}" for i in range(500)]
+
+
+def make_docs(spark, n: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    base = n - n // 5  # 80% originals
+    toks = rng.integers(0, len(VOCAB), size=(base, 250))
+    texts = [" ".join(VOCAB[t] for t in row) for row in toks]
+    # 10% exact dups, 10% near dups (5 token edits)
+    exact = list(rng.integers(0, base, size=n // 10))
+    near = list(rng.integers(0, base, size=n - base - len(exact)))
+    for src in exact:
+        texts.append(texts[src])
+    for src in near:
+        row = toks[src].copy()
+        pos = rng.integers(0, 250, size=5)
+        row[pos] = rng.integers(0, len(VOCAB), size=5)
+        texts.append(" ".join(VOCAB[t] for t in row))
+    rows = [(i, t, f"src{i % 20}") for i, t in enumerate(texts)]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def make_embeddings(spark, n: int, dim: int = 64, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(10, dim))
+    labels = rng.integers(0, 10, size=n)
+    vecs = centers[labels] + rng.normal(scale=2.0, size=(n, dim))
+    rows = [
+        (int(i), [float(x) for x in vecs[i]], int(labels[i]))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def probe(spark, sizes):
+    from fugue_warehouses_spark.extensions import dedup as D
+    from fugue_warehouses_spark.extensions import similarity as S
+
+    out: dict[str, dict[int, float]] = {}
+
+    def timed(op, n, fn):
+        t0 = time.perf_counter()
+        fn()
+        dt = round(time.perf_counter() - t0, 2)
+        out.setdefault(op, {})[n] = dt
+        print(f"[probe] {op} n={n}: {dt}s", file=sys.stderr, flush=True)
+
+    for n in sizes:
+        docs = make_docs(spark, n).repartition(32).cache()
+        docs.count()
+        emb = make_embeddings(spark, n).repartition(32).cache()
+        emb.count()
+
+        timed("exact_dedup", n, lambda: D.fingerprint_dedup(docs, "text", "doc_id").count())
+        timed("minhash_near_dups", n, lambda: D.near_dup_pairs_minhash(docs, "doc_id", "text", threshold=0.6).count())
+        timed("duplicate_span_coverage", n, lambda: D.duplicate_span_coverage(docs, "doc_id", "text").count())
+        timed("incremental_dedup", n, lambda: D.incremental_dedup(
+            docs.filter(f"doc_id >= {n // 2}"), docs.filter(f"doc_id < {n // 2}")).count())
+        timed("similarity_pairs_block", n, lambda: S.similarity_pairs(
+            emb, threshold=0.35, method="block").count())
+        timed("ivf_topk_hash", n, lambda: S.ivf_topk_hash(
+            emb, emb.filter("vec_id < 10"), k=10).count())
+
+        docs.unpersist()
+        emb.unpersist()
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="5000,20000,80000")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+    spark = get_spark(
+        app_name="wf-scale-probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    out = probe(spark, sizes)
+    spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

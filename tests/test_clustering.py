@@ -131,3 +131,21 @@ def test_kmeans_drops_empty_cluster_from_duplicate_init(spark):
     # keeps its ORIGINAL label even though the matrix shrank to 2 rows
     assert len(cmat) == 2
     assert got == {0: 0, 1: 0, 2: 2, 3: 2}
+
+
+def test_label_centroid_outliers_flags_flipped_vector(spark):
+    from fugue_warehouses_spark.extensions.clustering import (
+        label_centroid_outliers,
+    )
+
+    rows = [
+        (0, [1.0, 0.1], 0),
+        (1, [1.0, -0.1], 0),
+        (2, [-1.0, 0.0], 0),   # points away from label-0 centroid
+        (3, [0.0, 1.0], 1),
+        (4, [0.1, 1.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in label_centroid_outliers(df).collect()}
+    assert out[0]["n_vecs"] == 3 and out[0]["n_outliers"] == 1
+    assert out[1]["n_vecs"] == 2 and out[1]["n_outliers"] == 0

@@ -100,3 +100,22 @@ def test_bm25_ranking_properties(spark):
     assert all(s > 0 for s in got.values())
     with pytest.raises(ValueError, match="non-empty"):
         bm25_scores(df, "doc_id", "text", [])
+
+
+def test_tfidf_keywords_ranks_distinctive_terms(spark):
+    from fugue_warehouses_spark.extensions.retrieval import tfidf_keywords
+
+    rows = [
+        ("a", "shared shared unique_a unique_a unique_a"),
+        ("b", "shared shared unique_b"),
+        ("c", "shared other other"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = tfidf_keywords(df, "source", "text", k=2).collect()
+    top = {}
+    for r in out:
+        top.setdefault(r["source"], []).append((r["token"], r["score"]))
+    # group-unique terms outrank the corpus-wide 'shared' (idf = ln(1) = 0)
+    assert top["a"][0][0] == "unique_a"
+    assert top["b"][0][0] == "unique_b"
+    assert all(s == 0.0 for g in top.values() for t, s in g if t == "shared")
