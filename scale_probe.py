@@ -12,10 +12,11 @@ Usage: python scale_probe.py [--sizes 5000,20000,80000]
 Prints one JSON line: {"op": {"n": sec, ...}, ...}.
 
 Synthetic corpus (seeded, deterministic): ~250-token documents over a
-small vocabulary, 10% exact duplicates, 10% near-duplicates (5 token
-edits), plus 64-dim embeddings with 10 loose label clusters — the same
-shape as /root/testdata's documents/embeddings, so operator selectivity
-stays comparable while n scales.
+50k-word vocabulary (unrelated docs share few shingles, like a real
+corpus), 10% exact duplicates, 10% near-duplicates (5 token edits),
+plus 64-dim embeddings with 10 loose label clusters. The capped
+minhash run covers the adversarial regime (boilerplate-heavy corpora
+whose buckets balloon) via the mega-bucket guard.
 """
 
 from __future__ import annotations
@@ -32,7 +33,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from fugue_warehouses_spark.session import get_spark  # noqa: E402
 
-VOCAB = [f"w{i}" for i in range(500)]
+# 50k-word vocabulary: unrelated docs then share few shingles (like a
+# real corpus); the tiny driver-fixture vocab is a separate regime —
+# there, cross-doc Jaccard is high and the mega-bucket cap is the lever
+# (probed separately as minhash_near_dups_capped).
+VOCAB = [f"w{i}" for i in range(50_000)]
 
 
 def make_docs(spark, n: int, seed: int = 42):
@@ -89,6 +94,8 @@ def probe(spark, sizes):
 
         timed("exact_dedup", n, lambda: D.fingerprint_dedup(docs, "text", "doc_id").count())
         timed("minhash_near_dups", n, lambda: D.near_dup_pairs_minhash(docs, "doc_id", "text", threshold=0.6).count())
+        timed("minhash_near_dups_capped", n, lambda: D.near_dup_pairs_minhash(
+            docs, "doc_id", "text", threshold=0.6, max_bucket_size=64).count())
         timed("duplicate_span_coverage", n, lambda: D.duplicate_span_coverage(docs, "doc_id", "text").count())
         timed("incremental_dedup", n, lambda: D.incremental_dedup(
             docs.filter(f"doc_id >= {n // 2}"), docs.filter(f"doc_id < {n // 2}")).count())

@@ -279,3 +279,38 @@ def test_plan_report_counts_shuffles(spark):
     rep = plan_report(df, run=True)
     assert rep.n_exchanges >= 1  # one shuffle for the aggregate
     assert rep.n_nested_loop_joins == 0
+
+
+def test_duplicate_spans_no_cartesian_dup_set_broadcast(spark, sf_dir):
+    """Span dedup: the duplicated-span set joins back via broadcast
+    (it's the small side); no cartesian/nested-loop anywhere."""
+    plan = _plan(QUERIES["doc_duplicate_spans"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_single_fact_exchange_chain(spark, sf_dir):
+    """Q21: the orderkey repartition feeds BOTH the (ok, sk) groupBy
+    and the ok window without re-exchanging — at most the fact
+    exchange + the orders probe side + the final tiny agg."""
+    plan = _simple(QUERIES["q21_waiting_suppliers"](spark, sf_dir))
+    n_shuffle = plan.count("Exchange hashpartitioning")
+    assert n_shuffle <= 3, plan
+
+
+def test_tfidf_keywords_broadcasts_df_and_n(spark, sf_dir):
+    """TF-IDF: token df table and the 1-row group count both ride
+    broadcasts; the only hash shuffles are the two token aggregations
+    and the per-group window."""
+    plan = _plan(QUERIES["doc_tfidf_keywords"](spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_no_corpus_shuffle_before_candidates(spark, sf_dir):
+    """Hard-negative mining: the corpus streams straight into the
+    Arrow-batch scorer — exactly one exchange (the final top-k
+    window over the k*|queries| candidate set)."""
+    plan = _simple(QUERIES["embedding_hard_negatives"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
