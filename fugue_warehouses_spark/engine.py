@@ -289,17 +289,34 @@ class SparkWarehouseEngine:
         how: str,
         on: list[str] | None = None,
         broadcast_right: bool = False,
+        strategy: str | None = None,
     ) -> WarehouseFrame:
         """All Fugue join types. Key default = same-named columns
         (SURVEY.md A11). semi/anti are Spark-native left_semi/left_anti
         — result carries the left schema only, right side implicitly
         dedup'd, matching the reference's rewrite semantics without the
         rewrite. ``broadcast_right`` hints Catalyst for small dims (it
-        also auto-broadcasts under the size threshold / AQE)."""
+        also auto-broadcasts under the size threshold / AQE).
+
+        ``strategy`` pins the physical join when the optimizer's choice
+        must be overridden: ``"broadcast"`` | ``"merge"`` (sort-merge,
+        e.g. to let bucketed tables join shuffle-free instead of being
+        masked by a broadcast) | ``"shuffle_hash"`` |
+        ``"shuffle_replicate_nl"``. Hints are placement preferences,
+        not semantics — results are identical either way; leave None
+        (AQE decides from runtime sizes) unless a plan test or a skew
+        profile says otherwise."""
         a, b = _n(df1), _n(df2)
         how_norm = _JOIN_HOW.get(how.lower().replace(" ", "_"))
         if how_norm is None:
             raise ValueError(f"unknown join type {how!r}")
+        if strategy is not None:
+            valid = {"broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl"}
+            if strategy not in valid:
+                raise ValueError(
+                    f"unknown join strategy {strategy!r}; pick from {sorted(valid)}"
+                )
+            b = b.hint(strategy)
         if broadcast_right:
             b = F.broadcast(b)
         if how_norm == "cross":

@@ -68,3 +68,56 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         .count()
     )
     assert abs(row["approx_custkeys"] - exact) / exact < 0.05
+
+
+def test_duplicate_spans_empty_and_all_short(spark):
+    from fugue_warehouses_spark.extensions import dedup as D
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert D.duplicate_spans(empty).count() == 0
+    assert D.duplicate_span_coverage(empty).count() == 0
+    short = spark.createDataFrame(
+        [(0, "too short", "s"), (1, "also tiny", "s")],
+        "doc_id long, text string, source string",
+    )
+    assert D.duplicate_spans(short, window=8).count() == 0
+    row = D.duplicate_span_coverage(short, window=8).collect()[0]
+    assert row["n_docs"] == 2 and row["dup_tokens"] == 0
+
+
+def test_tfidf_keywords_single_group_all_zero_idf(spark):
+    """With one group every term's idf is ln(1)=0: scores all zero,
+    ranking falls back to token order — still deterministic, k rows."""
+    from fugue_warehouses_spark.extensions.retrieval import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [("only", "alpha beta beta gamma")], "source string, text string"
+    )
+    rows = tfidf_keywords(df, "source", "text", k=2).collect()
+    assert [r["token"] for r in rows] == ["alpha", "beta"]
+    assert all(r["score"] == 0.0 for r in rows)
+
+
+def test_centroid_outliers_single_member_labels(spark):
+    """A 1-vector label IS its centroid: cos=1, never an outlier."""
+    from fugue_warehouses_spark.extensions.clustering import (
+        label_centroid_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0], 0), (1, [-3.0, 0.5], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    for r in label_centroid_outliers(df).collect():
+        assert r["n_vecs"] == 1 and r["n_outliers"] == 0
+        assert r["avg_cos_centroid"] == 1.0
+
+
+def test_incremental_dedup_empty_history_passthrough(spark):
+    from fugue_warehouses_spark.extensions import dedup as D
+
+    hist = spark.createDataFrame([], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "a doc"), (2, "b doc")], "doc_id long, text string"
+    )
+    assert D.incremental_dedup(batch, hist).count() == 2

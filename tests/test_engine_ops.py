@@ -271,3 +271,32 @@ def test_load_table_sample_pushdown(eng, spark):
         assert agg_pos >= 0 and sample_pos > agg_pos  # Sample deeper (below)
     finally:
         spark.sql("DROP TABLE IF EXISTS sample_push_src")
+
+
+def test_join_strategy_hints_pin_physical_plan(spark, sf_dir, eng):
+    """strategy= pins the physical join without changing results."""
+    from fugue_warehouses_spark.sources import load_star_table
+
+    o = load_star_table(spark, sf_dir, "orders")
+    c = load_star_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    merged = eng.join(o, c, "inner", on=["o_custkey"], strategy="merge")
+    plan = merged.native._sc._jvm.PythonSQLUtils.explainString(
+        merged.native._jdf.queryExecution(), "simple"
+    )
+    assert "SortMergeJoin" in plan
+    bcast = eng.join(o, c, "inner", on=["o_custkey"], strategy="broadcast")
+    plan_b = bcast.native._sc._jvm.PythonSQLUtils.explainString(
+        bcast.native._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastHashJoin" in plan_b
+    assert merged.count() == bcast.count()
+
+
+def test_join_strategy_rejects_unknown(spark, eng):
+    import pytest as _pytest
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError, match="unknown join strategy"):
+        eng.join(df, df, "inner", on=["id"], strategy="hash_loop")
