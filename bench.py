@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "orders_status_islands",
     "doc_bm25_search",
     "doc_tfidf_keywords",
+    "lineitem_weighted_discount",
     "embedding_outliers",
     "doc_incremental_dedup",
     "doc_export_manifest",

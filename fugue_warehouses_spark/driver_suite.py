@@ -97,6 +97,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "fillna_low_values": (("event_id", "i"), ("value_clean", "f"),),
     "intersect_segment_buyers": (("c_custkey", "i"),),
     "lineitem_bag_setops": (("op", "s"), ("n", "i"),),
+    "lineitem_weighted_discount": (("l_returnflag", "s"), ("wavg_disc", "f"), ("n", "i"),),
     "lineitem_grouping_sets": (("rf", "s"), ("ls", "s"), ("gid", "i"), ("n", "i"), ("qty", "f"),),
     "lineitem_percentiles": (("l_returnflag", "s"), ("p50", "f"), ("p90", "f"), ("p99", "f"),),
     "lineitem_stats_suite": (("l_returnflag", "s"), ("n", "i"), ("qty_price_corr", "f"), ("qty_price_covar", "f"), ("qty_disc_covar_pop", "f"), ("price_stddev", "f"), ("qty_stddev_pop", "f"), ("disc_var", "f"), ("qty_median", "f"),),
@@ -183,7 +184,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     # B11 grouping extensions
     "grouping_suite": (
         "rollup_order_stats", "cube_lineitem_flags",
-        "lineitem_grouping_sets",
+        "lineitem_grouping_sets", "lineitem_weighted_discount",
     ),
     # §2.C window-function surface (rank/lag/rolling/range/islands)
     "window_functions_suite": (

@@ -154,6 +154,29 @@ class WarehouseFrame:
         fast = _metadata_count(self._df)
         return fast if fast is not None else self._df.count()
 
+    def column_stats(self, column: str) -> dict[str, Any]:
+        """(min, max, null_count, n_rows) for one column — served from
+        parquet row-group statistics with NO Spark job when the frame
+        is a bare local parquet scan and the column's physical type
+        carries exact footer stats (numeric/date/timestamp; string
+        min/max may be truncated in footers, so strings always take
+        the job path). The 100 TB payoff is the same as the count
+        shortcut: a handful of footer reads instead of a full-column
+        cluster scan. Every other shape falls back to a single
+        min/max/count aggregate job (which parquet still serves mostly
+        from statistics via predicate/aggregate pushdown)."""
+        fast = _metadata_column_stats(self._df, column)
+        if fast is not None:
+            return fast
+        row = self._df.agg(
+            F.min(column), F.max(column),
+            F.sum(F.col(column).isNull().cast("long")), F.count(F.lit(1)),
+        ).collect()[0]
+        return {
+            "min": row[0], "max": row[1],
+            "null_count": row[2] or 0, "n_rows": row[3],
+        }
+
     def show(self, n: int = 20) -> None:
         self._df.show(n)
 
@@ -370,3 +393,44 @@ def assert_eq(
         arows = sorted(arows, key=repr)
         erows = sorted(erows, key=repr)
     assert arows == erows, f"frames differ:\n actual={arows}\n expect={erows}"
+
+
+# physical parquet types whose footer min/max are exact (strings may be
+# truncated by writers; nested/binary carry none; INT96 timestamp stats
+# are writer-inconsistent and deprecated — excluded)
+_STATS_EXACT_PHYSICAL = {"INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN"}
+
+
+def _metadata_column_stats(df: DataFrame, column: str) -> dict | None:
+    """Row-group-statistics min/max/null_count for bare parquet scans;
+    None when any file/row-group lacks exact stats for the column."""
+    try:
+        paths = _local_scan_files(df, _COUNT_SAFE_NODES)
+        if paths is None or column not in df.columns:
+            return None
+        import pyarrow.parquet as pq
+
+        mn = mx = None
+        nulls = 0
+        rows = 0
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            try:
+                idx = md.schema.names.index(column)
+            except ValueError:
+                return None
+            if md.schema.column(idx).physical_type not in _STATS_EXACT_PHYSICAL:
+                return None
+            rows += md.num_rows
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max or st.null_count is None:
+                    return None
+                nulls += st.null_count
+                if st.min is not None:
+                    mn = st.min if mn is None else min(mn, st.min)
+                if st.max is not None:
+                    mx = st.max if mx is None else max(mx, st.max)
+        return {"min": mn, "max": mx, "null_count": nulls, "n_rows": rows}
+    except Exception:
+        return None

@@ -607,6 +607,42 @@ def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "lineitem_weighted_discount",
+    """
+    SELECT l_returnflag,
+           round(sum(l_discount * l_quantity) / sum(l_quantity), 6)
+             AS wavg_disc,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_weighted_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom pandas UDAF (transform.pandas_agg): quantity-weighted
+    mean discount as a GROUPED_AGG pandas UDF participating in a real
+    HashAggregate beside a built-in count — the B12-adjacent UDAF
+    surface. (The statistic is deliberately SQL-expressible so the
+    UDAF itself is oracle-checked; genuinely custom reductions ride
+    the same path.)"""
+    import pandas as pd
+
+    from fugue_warehouses_spark.transform import pandas_agg
+
+    def wmean(d: pd.Series, q: pd.Series) -> float:
+        return float((d * q).sum() / q.sum())
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = pandas_agg(
+        li,
+        ["l_returnflag"],
+        {"__w": (wmean, "double", ["l_discount", "l_quantity"])},
+        builtin={"n": F.count(F.lit(1))},
+    ).native
+    return out.select(
+        "l_returnflag", F.round("__w", 6).alias("wavg_disc"), "n"
+    )
+
+
+@_q(
     "orders_interval_arithmetic",
     """
     SELECT strftime(date_trunc('month', o_orderdate + INTERVAL 90 DAY),

@@ -35,6 +35,7 @@ from typing import Any, Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fugue_warehouses_spark.frame import WarehouseFrame
@@ -196,3 +197,53 @@ def out_transform(
 
         out = native.mapInPandas(map_partition, schema)
     out.count()
+
+
+def pandas_agg(
+    df: WarehouseFrame | DataFrame,
+    by: list[str],
+    aggs: dict[str, tuple[Callable, str, list[str]]],
+    builtin: dict[str, Any] | None = None,
+) -> WarehouseFrame:
+    """Custom vectorized aggregates (the pandas GROUPED_AGG / UDAF
+    surface): each entry is ``out_name -> (fn, return_ddl, input_cols)``
+    where ``fn(*cols: pd.Series) -> scalar`` reduces each group.
+
+    Unlike ``transform(partition_by=...)`` (whole group as a
+    DataFrame), a grouped-agg UDF participates in a real HashAggregate:
+    Spark evaluates it per group inside the aggregation operator with
+    Arrow-batched columns — the idiomatic way to add one custom
+    statistic next to built-in aggs without materializing groups.
+    ``builtin`` adds ordinary Column aggregates (``F.count``/``F.sum``
+    ...) to the result. Spark forbids mixing group-agg pandas UDFs
+    with non-pandas aggregates inside one Aggregate operator
+    (INVALID_PANDAS_UDF_PLACEMENT), so they run as a second aggregate
+    over the same grouping and join back on the group key — both
+    sides come out hash-partitioned on that key, so the join adds no
+    exchange (it does read the input twice; persist upstream if that
+    scan is expensive).
+
+    Note partial (map-side) aggregation does NOT apply to pandas
+    UDAFs — the group's rows shuffle to one task, so at 100 TB prefer
+    built-in aggregates when one expresses the statistic; this surface
+    is for the genuinely custom ones."""
+    import warnings
+
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    native = df.native if isinstance(df, WarehouseFrame) else df
+    exprs = []
+    for out_name, (fn, ddl, cols) in aggs.items():
+        # eval type pinned explicitly: type-hint inference needs the
+        # caller's module to have pandas as a resolvable global, which
+        # a library can't assume (PandasUDFType is soft-deprecated but
+        # is the only hint-free spelling of GROUPED_AGG).
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)
+            udf = F.pandas_udf(fn, ddl, PandasUDFType.GROUPED_AGG)
+        exprs.append(udf(*[F.col(c) for c in cols]).alias(out_name))
+    out = native.groupBy(*by).agg(*exprs)
+    if builtin:
+        bexprs = [col.alias(name) for name, col in builtin.items()]
+        out = out.join(native.groupBy(*by).agg(*bexprs), on=by)
+    return WarehouseFrame(out)

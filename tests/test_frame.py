@@ -214,3 +214,36 @@ def test_alter_columns_bytes_decimal_interval(spark):
         "SELECT DATE'2024-01-01' + INTERVAL '2' DAY AS d2"
     ).collect()[0]["d2"]
     assert iv == dt.date(2024, 1, 3)
+
+
+def test_column_stats_footer_fast_path_no_job(spark, sf_dir):
+    """Bare parquet scan: column min/max/null_count come from row-group
+    statistics with NO Spark job; values equal the aggregate answer."""
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.frame import WarehouseFrame
+
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    st = WarehouseFrame(raw).column_stats("o_totalprice")
+    assert tracker.getJobIdsForGroup(None) == before  # footer-only
+    row = raw.agg(
+        F.min("o_totalprice"), F.max("o_totalprice"), F.count(F.lit(1))
+    ).collect()[0]
+    assert st["min"] == row[0] and st["max"] == row[1]
+    assert st["n_rows"] == row[2] and st["null_count"] == 0
+
+
+def test_column_stats_falls_back_for_filters_and_strings(spark, sf_dir):
+    """Filtered plans and string columns (footer min/max may be
+    truncated) take the aggregate-job path and stay correct."""
+    from fugue_warehouses_spark.frame import WarehouseFrame
+
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    st = WarehouseFrame(raw.filter("o_orderkey < 100")).column_stats(
+        "o_totalprice"
+    )
+    assert st["n_rows"] == raw.filter("o_orderkey < 100").count()
+    sst = WarehouseFrame(raw).column_stats("o_orderstatus")
+    assert sst["min"] <= sst["max"] and sst["n_rows"] == raw.count()

@@ -82,3 +82,36 @@ def test_cotransform(spark):
 def test_out_transform_runs(spark):
     wf = frame_from_local(spark, [["a", 1], ["b", 2]], "a:str,b:long")
     out_transform(wf, lambda pdf: None)
+
+
+def test_pandas_agg_custom_udaf_beside_builtin(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.transform import pandas_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def wmean(d, q):
+        return float((d * q).sum() / q.sum())
+
+    out = pandas_agg(
+        li,
+        ["l_returnflag"],
+        {"w": (wmean, "double", ["l_discount", "l_quantity"])},
+        builtin={"n": F.count(F.lit(1))},
+    ).native.collect()
+    expect = {
+        r["l_returnflag"]: (r["w"], r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            (F.sum(F.col("l_discount") * F.col("l_quantity"))
+             / F.sum("l_quantity")).alias("w"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert len(out) == len(expect)
+    for r in out:
+        w, n = expect[r["l_returnflag"]]
+        assert abs(r["w"] - w) < 1e-9 and r["n"] == n
