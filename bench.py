@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "doc_incremental_dedup",
     "doc_export_manifest",
     "events_anomaly_mad",
+    "events_ewma",
     "doc_train_test_split",
     "orders_recursive_month_spine",
     "lineitem_winsorized",

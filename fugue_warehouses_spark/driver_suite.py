@@ -77,6 +77,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "embedding_outliers": (("label", "i"), ("n_vecs", "i"), ("n_outliers", "i"), ("avg_cos_centroid", "f"),),
     "doc_tfidf_keywords": (("source", "s"), ("token", "s"), ("tf", "i"), ("score", "f"),),
     "embedding_semantic_dedup": (("label", "i"), ("n_vecs", "i"), ("n_kept", "i"), ("n_dropped", "i"),),
+    "events_ewma": (("user_id", "i"), ("n_events", "i"), ("ewma_value", "f"),),
     "events_anomaly_mad": (("user_id", "i"), ("n_values", "i"), ("n_anomalies", "i"), ("median_value", "f"), ("mad_value", "f"),),
     "events_cms_user_counts": (("user_id", "i"), ("est_count", "i"),),
     "events_cohort_retention": (("cohort", "s"), ("day_offset", "i"), ("active_users", "i"),),
@@ -205,7 +206,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     "events_timeseries_suite": (
         "events_hourly_stats", "events_in_error_hours",
         "events_gapfill_5m", "events_impute_value",
-        "events_anomaly_mad", "events_rollup_cascade",
+        "events_anomaly_mad", "events_rollup_cascade", "events_ewma",
     ),
     # §2.D batch twins of the streaming window shapes
     "streaming_window_shapes": (

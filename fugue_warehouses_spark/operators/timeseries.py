@@ -238,3 +238,53 @@ def rollup_cascade(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def ewma_last(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exponentially weighted moving average per key — the final
+    smoothed value after folding the key's series in time order:
+    ``ewma_t = alpha*x_t + (1-alpha)*ewma_{t-1}``, seeded with the
+    first observation.
+
+    Neither Spark nor DuckDB has this built in (the recurrence isn't a
+    frame-based window aggregate), but a per-group ordered fold
+    expresses it exactly in both (`F.aggregate` here, `list_reduce`
+    there) — and because BOTH engines run the identical sequence of
+    IEEE ops in the identical order, the result is bit-deterministic
+    cross-engine, no rounding hedge required (the registry twin rounds
+    anyway, out of registry-wide convention).
+
+    Scale shape: one shuffle on the key; each group materializes its
+    value sequence as an array (fine for bounded per-key series — the
+    asof/session regime). For unbounded streams use the stateful
+    streaming path (streaming/stateful.py), which carries the same
+    recurrence as running state.
+
+    ``order_cols`` breaks timestamp ties deterministically.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    seq = F.array_sort(
+        F.collect_list(F.struct(ts_col, *order_cols, value_col))
+    )
+    vals = F.transform(seq, lambda s: s[value_col])
+    a = F.lit(float(alpha))
+    one_minus = F.lit(float(1.0 - alpha))
+    fold = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: a * x + one_minus * acc,
+    )
+    return df.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        fold.alias("__ewma"),
+    ).select(
+        key_col, "n_events", F.round("__ewma", 6).alias("ewma_value")
+    )

@@ -4554,6 +4554,31 @@ _MAD_SQL = """
     """
 
 
+_EWMA_SQL = """
+    WITH s AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id)
+    SELECT user_id, len(vs)::BIGINT AS n_events,
+           round(list_reduce(vs, (acc, x) -> 0.25 * x + 0.75 * acc), 6)
+             AS ewma_value
+    FROM s
+    """
+
+
+@_q("events_ewma", _EWMA_SQL)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential smoothing (timeseries.ewma_last): the
+    recurrence isn't a frame-based window aggregate in either engine,
+    but an ordered per-group fold runs the identical IEEE op sequence
+    in both (F.aggregate / list_reduce), so the smoothed value is
+    bit-deterministic cross-engine. One shuffle on the key."""
+    events = _t(spark, sf_dir, "events")
+    return TSO.ewma_last(
+        events, "user_id", "ts", "value", alpha=0.25,
+        order_cols=("event_id",),
+    )
+
+
 @_q("events_anomaly_mad", _MAD_SQL)
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust anomaly detection: flag values more than 3 median-

@@ -191,3 +191,25 @@ def test_refresh_rollup_ignores_incomplete_version(spark, tmp_path):
         .agg(F.count("*").alias("n_events"), F.sum("v").alias("sum_value"))
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ewma_last_recurrence_and_validation(spark):
+    import pytest as _pytest
+
+    from fugue_warehouses_spark.operators.timeseries import ewma_last
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10.0),
+        (1, "2024-01-01 00:01:00", 20.0),
+        (1, "2024-01-01 00:02:00", 30.0),
+        (2, "2024-01-01 00:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["f"]).to_timestamp("ts"))
+    out = {r["user_id"]: r for r in ewma_last(df, "user_id", "ts", "value", 0.5).collect()}
+    # seed 10 -> 0.5*20+0.5*10=15 -> 0.5*30+0.5*15=22.5
+    assert out[1]["ewma_value"] == 22.5 and out[1]["n_events"] == 3
+    assert out[2]["ewma_value"] == 5.0 and out[2]["n_events"] == 1
+    with _pytest.raises(ValueError, match="alpha"):
+        ewma_last(df, "user_id", "ts", "value", alpha=0.0)
