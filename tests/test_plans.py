@@ -314,3 +314,22 @@ def test_hard_negatives_no_corpus_shuffle_before_candidates(spark, sf_dir):
     window over the k*|queries| candidate set)."""
     plan = _simple(QUERIES["embedding_hard_negatives"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_no_registry_query_plans_a_cartesian_product(spark, sf_dir):
+    """Global scale guard: NO query in the full facet registry may
+    plan a CartesianProduct. Deliberate cross joins in the registry
+    are all 1-row-or-tiny broadcast sides (scalar stats, plane
+    matrices), which Spark plans as BroadcastNestedLoopJoin — a real
+    CartesianProduct node means an unbounded pair blowup shipped a
+    full shuffle, which no operator here should ever need. (Analysis
+    only for most queries; a few build-time collects run tiny jobs.)"""
+    from fugue_warehouses_spark.queries import QUERIES as ALL
+
+    offenders = []
+    for name, fn in ALL.items():
+        df = fn(spark, sf_dir)
+        plan = _simple(df)
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders

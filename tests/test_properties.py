@@ -155,3 +155,79 @@ def test_stratified_sample_quota_and_subset(spark, keys, quota):
     full = Counter(s for s, _ in rows)
     for s, n in full.items():
         assert per[s] == min(quota, n)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=14
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    window=st.integers(min_value=2, max_value=5),
+)
+@settings(max_examples=8, deadline=None)
+def test_span_coverage_invariants(spark, docs, window):
+    """dup_tokens <= total_tokens; a doc counted as having dups implies
+    dup_tokens > 0; totals equal the raw token counts."""
+    from fugue_warehouses_spark.extensions.dedup import duplicate_span_coverage
+
+    rows = [(i, " ".join(toks), "s") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = duplicate_span_coverage(df, window=window).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert 0 <= r["dup_tokens"] <= r["total_tokens"]
+    assert r["n_docs"] == len(docs)
+    assert r["total_tokens"] == sum(len(t) for t in docs)
+    assert (r["n_docs_with_dup"] > 0) == (r["dup_tokens"] > 0)
+
+
+@given(
+    series=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1,
+        max_size=12,
+    ),
+    alpha=st.sampled_from([0.25, 0.5, 0.75, 1.0]),
+)
+@settings(max_examples=8, deadline=None)
+def test_ewma_stays_within_series_range(spark, series, alpha):
+    """EWMA is a convex combination of observations: result must lie in
+    [min(x), max(x)] and equal the Python recurrence exactly."""
+    from fugue_warehouses_spark.operators.timeseries import ewma_last
+
+    rows = [
+        (1, f"2024-01-01 00:{i:02d}:00", float(v))
+        for i, v in enumerate(series)
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = ewma_last(df, "user_id", "ts", "value", alpha).collect()[0]
+    acc = series[0]
+    for x in series[1:]:
+        acc = alpha * x + (1.0 - alpha) * acc
+    assert got["ewma_value"] == round(acc, 6)
+    lo, hi = min(series), max(series)
+    assert lo - 1e-6 <= got["ewma_value"] <= hi + 1e-6
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    shards=st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=8, deadline=None)
+def test_shard_assignment_total_and_range(spark, n, shards):
+    from fugue_warehouses_spark.operators.layout import (
+        shard_assignment,
+        shard_manifest,
+    )
+
+    df = spark.range(0, n).withColumnRenamed("id", "k")
+    m = shard_manifest(shard_assignment(df, "k", shards), "k").collect()
+    assert sum(r["n_rows"] for r in m) == n
+    assert all(0 <= r["shard"] < shards for r in m)
