@@ -124,6 +124,12 @@ BENCH_QUERIES = [
     "doc_train_test_split",
     "orders_recursive_month_spine",
     "lineitem_winsorized",
+    "orders_snapshot_diff",
+    "events_scd2_user_state",
+    "events_latest_state",
+    "events_time_weighted_avg",
+    "orders_equidepth_histogram",
+    "embedding_matryoshka_topk",
 ]
 
 

@@ -116,6 +116,12 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "orders_priority_pivot": (("o_year", "i"), ("urgent", "f"), ("high", "f"), ("medium", "f"), ("other", "f"),),
     "orders_recursive_month_spine": (("month", "s"), ("n_orders", "i"), ("total", "f"),),
     "orders_sample_hash_fraction": (("o_orderkey", "i"), ("o_custkey", "i"), ("o_totalprice", "f"),),
+    "orders_snapshot_diff": (("change_type", "s"), ("n", "i"), ("key_sum", "i"), ("price_delta", "f"),),
+    "events_scd2_user_state": (("user_id", "i"), ("state", "s"), ("valid_from", "s"), ("valid_to", "s"), ("n_obs", "i"), ("is_current", "i"),),
+    "events_latest_state": (("user_id", "i"), ("event_id", "i"), ("event_type", "s"), ("ts_str", "s"), ("value", "f"),),
+    "events_time_weighted_avg": (("user_id", "i"), ("n_events", "i"), ("twa", "f"),),
+    "orders_equidepth_histogram": (("bucket", "i"), ("n", "i"), ("lo", "f"), ("hi", "f"), ("total", "f"),),
+    "embedding_matryoshka_topk": (("query_id", "i"), ("match_id", "i"), ("cosine_sim", "f"),),
     "orders_sample_n_exact": (("n", "i"),),
     "orders_scalar_subquery": (("o_orderkey", "i"), ("o_totalprice", "f"), ("n_items", "i"),),
     "orders_status_islands": (("o_custkey", "i"), ("o_orderstatus", "s"), ("n_runs", "i"), ("longest_run", "i"), ("first_run_start", "i"),),
@@ -207,6 +213,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "events_hourly_stats", "events_in_error_hours",
         "events_gapfill_5m", "events_impute_value",
         "events_anomaly_mad", "events_rollup_cascade", "events_ewma",
+        "events_time_weighted_avg",
     ),
     # §2.D batch twins of the streaming window shapes
     "streaming_window_shapes": (
@@ -245,11 +252,11 @@ SUITES: dict[str, tuple[str, ...]] = {
     "stats_suite": (
         "lineitem_percentiles", "lineitem_stats_suite",
         "orders_price_histogram", "orders_calendar_heatmap",
-        "lineitem_winsorized",
+        "lineitem_winsorized", "orders_equidepth_histogram",
     ),
     "embedding_misc_suite": (
         "embedding_norms_by_label", "embedding_semantic_dedup",
-        "embedding_outliers",
+        "embedding_outliers", "embedding_matryoshka_topk",
     ),
     # funnel/cohort analytics
     "behavior_suite": ("events_cohort_retention", "events_funnel_stages"),
@@ -257,6 +264,8 @@ SUITES: dict[str, tuple[str, ...]] = {
     "warehouse_ops_suite": (
         "salted_join_revenue", "customer_balance_upsert",
         "star_quality_checks", "doc_export_manifest",
+        "orders_snapshot_diff", "events_scd2_user_state",
+        "events_latest_state",
     ),
     # B10 take with presort + NULL position
     "take_suite": ("take_top2_per_order", "take_nulls_first_events"),

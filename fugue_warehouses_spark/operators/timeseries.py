@@ -288,3 +288,39 @@ def ewma_last(
     ).select(
         key_col, "n_events", F.round("__ewma", 6).alias("ewma_value")
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Time-weighted average per key (hypertable ``time_weight('locf')``
+    semantics): each observation's value is weighted by the duration it
+    was "current" — the gap to the next observation — so irregularly
+    sampled series average correctly (a value held for an hour counts
+    3600x one held for a second, where a plain avg() counts them
+    equally).
+
+    The last observation per key has no successor and contributes no
+    weight (standard LOCF-integral convention over the observed span).
+    Keys with a single observation have an empty integral -> NULL twa.
+
+    Output: ``<key>, n_events, twa`` (twa rounded to 6).
+    One shuffle: the lead() window and the groupBy share the same
+    key partitioning (the exchange is reused).
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    us = f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {ts_col})"
+    epoch = F.expr(us).cast("double")
+    dur_s = (F.lead(epoch).over(w) - epoch) / F.lit(1_000_000.0)
+    stepped = df.withColumn("__dur_s", dur_s)
+    return stepped.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col(value_col) * F.col("__dur_s")) / F.sum("__dur_s"), 6
+        ).alias("twa"),
+    )

@@ -4809,6 +4809,262 @@ def orders_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Table history: snapshot diff, SCD Type 2, changelog compaction,
+# time-weighted average, equi-depth histogram, matryoshka ANN (round 4)
+# =====================================================================
+
+
+_SNAPSHOT_DIFF_SQL = """
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice AS price, o_orderstatus
+      FROM orders WHERE o_orderkey % 7 <> 0),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS price,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 11 <> 0),
+    d AS (
+      SELECT coalesce(v2.o_orderkey, v1.o_orderkey) AS k,
+             CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                  WHEN v2.o_orderkey IS NULL THEN 'removed'
+                  WHEN v1.price IS NOT DISTINCT FROM v2.price
+                   AND v1.o_orderstatus IS NOT DISTINCT FROM v2.o_orderstatus
+                       THEN 'unchanged'
+                  ELSE 'changed' END AS change_type,
+             coalesce(v2.price, 0) - coalesce(v1.price, 0) AS delta
+      FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+    SELECT change_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS key_sum,
+           round(sum(delta), 2) AS price_delta
+    FROM d GROUP BY change_type
+    """
+
+
+@_q("orders_snapshot_diff", _SNAPSHOT_DIFF_SQL)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style reconciliation of two table snapshots
+    (operators/history.snapshot_diff): v1/v2 are deterministic slices
+    of orders (v2 drops every 11th key, adds back every 7th, bumps
+    every 5th price 10%); the diff classifies every key added/removed/
+    changed/unchanged via one full-outer join on the key — the shape of
+    a data-regression gate between pipeline runs. Aggregated to
+    per-class counts + key checksum + net price delta."""
+    from fugue_warehouses_spark.operators import history as H
+
+    orders = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    # raw doubles throughout: the bumped price is the same IEEE multiply
+    # on both engines, so change classification is bit-deterministic;
+    # rounding happens ONCE, on the final aggregated delta (pre-round
+    # prices hit engine-specific half-cent rounding at cent boundaries)
+    v1 = orders.filter(key % 7 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        "o_orderstatus",
+    )
+    bump = F.when(
+        key % 5 == 0, F.col("o_totalprice") * 1.1
+    ).otherwise(F.col("o_totalprice"))
+    v2 = orders.filter(key % 11 != 0).select(
+        "o_orderkey", bump.alias("price"), "o_orderstatus"
+    )
+    d = H.snapshot_diff(v1, v2, ["o_orderkey"], ["price", "o_orderstatus"])
+    return d.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.round(
+            F.sum(
+                F.coalesce(F.col("new_price"), F.lit(0.0))
+                - F.coalesce(F.col("old_price"), F.lit(0.0))
+            ),
+            2,
+        ).alias("price_delta"),
+    )
+
+
+_SCD2_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, ts
+      FROM events WHERE user_id < 40),
+    m AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg
+      FROM e),
+    r AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM m),
+    g AS (
+      SELECT user_id, run, min(event_type) AS state,
+             min(ts) AS vf, count(*)::BIGINT AS n_obs
+      FROM r GROUP BY 1, 2),
+    f AS (
+      SELECT user_id, state, vf,
+             lead(vf) OVER (PARTITION BY user_id ORDER BY run) AS vt, n_obs
+      FROM g)
+    SELECT user_id, state,
+           strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           n_obs, (vt IS NULL) AS is_current
+    FROM f
+    """
+
+
+@_q("events_scd2_user_state", _SCD2_SQL)
+def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build
+    (operators/history.scd2_intervals): the events log, read as
+    observations of each user's current event_type, collapses into
+    validity intervals (valid_from, valid_to, is_current) — the
+    standard dimension-table historization the reference's warehouses
+    express with MERGE + window SQL. One shuffle on user_id; the run
+    groupBy and both windows reuse the same partitioning."""
+    from fugue_warehouses_spark.operators import history as H
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    iv = H.scd2_intervals(ev, ["user_id"], "event_type", "ts", ("event_id",))
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return iv.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "n_obs",
+        "is_current",
+    )
+
+
+_LATEST_STATE_SQL = """
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+           round(value, 6) AS value
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """
+
+
+@_q("events_latest_state", _LATEST_STATE_SQL)
+def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins changelog compaction
+    (operators/history.latest_state): one row per user — the most
+    recent by (ts, event_id) — i.e. the materialized current-state
+    table a CDC consumer maintains. Spark plans a partial
+    WindowGroupLimit before the single exchange, so map tasks forward
+    one candidate per key, not whole partitions."""
+    from fugue_warehouses_spark.operators import history as H
+
+    ev = _t(spark, sf_dir, "events")
+    latest = H.latest_state(ev, ["user_id"], ["ts", "event_id"])
+    return latest.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+_TWA_SQL = """
+    WITH e AS (
+      SELECT user_id, event_id, ts, value
+      FROM events WHERE user_id < 50 AND value IS NOT NULL),
+    s AS (
+      SELECT user_id, value,
+             (epoch_us(lead(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id))
+              - epoch_us(ts)) / 1000000.0 AS dur_s
+      FROM e)
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           round(sum(value * dur_s) / sum(dur_s), 6) AS twa
+    FROM s GROUP BY user_id
+    """
+
+
+@_q("events_time_weighted_avg", _TWA_SQL)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-weighted average
+    (operators/timeseries.time_weighted_avg): each value weighted by
+    how long it was current (gap to the next observation), so
+    irregularly sampled series average correctly. The lead() window
+    and the groupBy share one user_id partitioning — one shuffle."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("user_id") < 50) & F.col("value").isNotNull())
+    )
+    return TSO.time_weighted_avg(ev, "user_id", "ts", "value", ("event_id",))
+
+
+_EQUIDEPTH_SQL = """
+    WITH r AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+    SELECT bucket, count(*)::BIGINT AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(sum(o_totalprice), 2) AS total
+    FROM r GROUP BY bucket
+    """
+
+
+@_q("orders_equidepth_histogram", _EQUIDEPTH_SQL)
+def orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucket) histogram: decile boundaries by
+    exact ntile over a total order — the complement of
+    orders_price_histogram's fixed-width buckets. The exact form needs
+    a global sort (one SinglePartition window; fine for the
+    oracle-checkable profile at bench scale); at 100 TB the same
+    output shape comes from approx_percentile boundaries + a
+    broadcast range join — boundaries are O(1) to compute and the scan
+    stays fully parallel. Exact kept here because it hash-matches."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@_q(
+    "embedding_matryoshka_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v FROM embeddings)
+    SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+           round(list_cosine_similarity(q.v, c.v), 6) AS cosine_sim
+    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine_sim DESC, match_id ASC) <= 10
+    """,
+)
+def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncated retrieval: cosine top-k over the FIRST 16
+    of 64 dims (MRL-style embeddings front-load information, so
+    truncation is the cheap first-stage retriever; rerank with full
+    dims downstream). Same streamed Arrow-batch matmul as
+    embedding_topk — 4x less compute and memory bandwidth per pair,
+    corpus never shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sliced = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    queries = sliced.filter(F.col("vec_id") < 10)
+    return SS.brute_force_topk(sliced, queries, k=10, round_digits=6)
+
+
+# =====================================================================
 # entry points used by __spark_entry__.py
 # =====================================================================
 
