@@ -1,0 +1,137 @@
+"""Versioned table store: atomic multi-version writes + time travel.
+
+The Delta/Iceberg idea reduced to its load-bearing core, on plain
+parquet + rename atomicity (the discipline plans/checkpoint.py
+established): every write lands as a brand-new immutable version
+directory ``v_00001, v_00002, ...`` under one store root; readers
+discover the latest COMPLETE version by listing, so there is no
+pointer file whose swap could be half-seen. This gives the reference's
+persist / save_table surface (SURVEY §2 A6/A17) snapshot isolation,
+reproducible pinned reads ("train on exactly v_7"), and safe
+concurrent writers — properties a 100 TB pipeline needs and an
+overwrite-in-place sink cannot give:
+
+- **Writers** stage into ``__stage_<uuid>`` then rename to ``v_N``.
+  Hadoop rename into a non-existent destination is atomic; if a racer
+  claimed ``v_N`` first (rename "succeeds" by nesting, or fails), we
+  retry with N+1 — both writers keep their data, as distinct versions.
+- **Readers** never look at ``__stage_*`` and require the version's
+  ``_SUCCESS`` marker, so a crashed writer leaves garbage, never a
+  readable half-version. ``vacuum`` sweeps stage leftovers and old
+  versions (bounded storage), keeping at least ``keep_last``.
+- A version, once complete, is immutable — time travel is just
+  reading its directory.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_V_RE = re.compile(r"^v_(\d{5,})$")
+
+
+def _fs_and_path(spark: SparkSession, path_str: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _is_complete(spark: SparkSession, dir_str: str) -> bool:
+    fs, marker = _fs_and_path(spark, f"{dir_str}/_SUCCESS")
+    return fs.exists(marker)
+
+
+def list_versions(spark: SparkSession, store: str) -> list[int]:
+    """Complete (readable) versions, ascending. Empty if the store
+    doesn't exist yet."""
+    fs, root = _fs_and_path(spark, store)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        m = _V_RE.match(st.getPath().getName())
+        if m and _is_complete(spark, f"{store}/{st.getPath().getName()}"):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def latest_version(spark: SparkSession, store: str) -> int | None:
+    vs = list_versions(spark, store)
+    return vs[-1] if vs else None
+
+
+def write_version(
+    df: DataFrame, store: str, spark: SparkSession | None = None
+) -> int:
+    """Write ``df`` as the next version of ``store``; returns the
+    version number. Safe under concurrent writers (each write becomes
+    its own version; nobody's data is lost or half-visible)."""
+    spark = spark or df.sparkSession
+    stage_name = f"__stage_{uuid.uuid4().hex[:12]}"
+    stage = f"{store}/{stage_name}"
+    df.write.mode("overwrite").parquet(stage)
+    fs, _ = _fs_and_path(spark, store)
+    _, stage_path = _fs_and_path(spark, stage)
+    n = (latest_version(spark, store) or 0) + 1
+    while True:
+        dest_str = f"{store}/v_{n:05d}"
+        _, dest = _fs_and_path(spark, dest_str)
+        if not fs.exists(dest) and fs.rename(stage_path, dest):
+            # rename(src, EXISTING dir) "succeeds" by nesting src
+            # inside dest — detect a racer and fall through to retry
+            _, nested = _fs_and_path(spark, f"{dest_str}/{stage_name}")
+            if not fs.exists(nested):
+                return n
+            # racer owns v_n and our payload is nested inside it:
+            # pull it back out to a fresh stage and try the next slot
+            restaged = f"{store}/__stage_{uuid.uuid4().hex[:12]}"
+            _, restaged_path = _fs_and_path(spark, restaged)
+            fs.rename(nested, restaged_path)
+            stage_path = restaged_path
+            stage_name = restaged.rsplit("/", 1)[1]
+        n += 1
+
+
+def read_version(
+    spark: SparkSession, store: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: ``version=None`` reads the latest complete
+    version; a pinned version reads that immutable snapshot."""
+    if version is None:
+        version = latest_version(spark, store)
+        if version is None:
+            raise FileNotFoundError(f"no complete versions under {store}")
+    dir_str = f"{store}/v_{version:05d}"
+    if not _is_complete(spark, dir_str):
+        raise FileNotFoundError(
+            f"version {version} missing or incomplete under {store}"
+        )
+    return spark.read.parquet(dir_str)
+
+
+def vacuum(
+    spark: SparkSession, store: str, keep_last: int = 2
+) -> list[int]:
+    """Drop all but the newest ``keep_last`` versions and sweep stage
+    leftovers from crashed writers; returns removed version numbers.
+    The latest version is never removed (``keep_last`` min-clamps to
+    1)."""
+    keep_last = max(1, keep_last)
+    fs, root = _fs_and_path(spark, store)
+    if not fs.exists(root):
+        return []
+    removed = []
+    vs = list_versions(spark, store)
+    for v in vs[:-keep_last] if len(vs) > keep_last else []:
+        _, p = _fs_and_path(spark, f"{store}/v_{v:05d}")
+        fs.delete(p, True)
+        removed.append(v)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("__stage_"):
+            fs.delete(st.getPath(), True)
+    return removed

@@ -1,0 +1,148 @@
+"""Zone-map file pruning (sources/skipping.py) and the versioned
+table store (plans/versioned.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fugue_warehouses_spark.plans import versioned as V
+from fugue_warehouses_spark.sources import skipping as SK
+from fugue_warehouses_spark.sources import load_star_table
+
+
+@pytest.fixture(scope="module")
+def clustered_orders(spark, sf_dir, tmp_path_factory):
+    """Orders laid out date-clustered across 8 files (the layout
+    compact+z-order produce) — the shape zone maps exist to exploit."""
+    path = str(tmp_path_factory.mktemp("zm") / "orders_by_date")
+    orders = load_star_table(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def test_zone_map_covers_all_files(spark, clustered_orders):
+    zm = SK.build_zone_map(clustered_orders, ["o_orderdate", "o_totalprice"])
+    files = [f for f in os.listdir(clustered_orders) if f.endswith(".parquet")]
+    assert len(zm) == len(files) == 8
+    for e in zm:
+        assert e["o_orderdate_min"] <= e["o_orderdate_max"]
+        assert e["n_rows"] > 0
+
+
+def test_prune_files_skips_nonoverlapping(spark, clustered_orders):
+    zm = SK.build_zone_map(clustered_orders, ["o_orderdate"])
+    import datetime as dt
+
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1996, 3, 1)
+    kept = SK.prune_files(zm, "o_orderdate", lo, hi)
+    assert 0 < len(kept) < 8, "a narrow range must prune most files"
+
+
+def test_read_pruned_exact_vs_full_scan(spark, clustered_orders):
+    import datetime as dt
+
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1996, 3, 1)
+    pruned = SK.read_pruned(spark, clustered_orders, "o_orderdate", lo, hi)
+    full = spark.read.parquet(clustered_orders).filter(
+        (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") <= F.lit(hi))
+    )
+    got = pruned.agg(
+        F.count(F.lit(1)), F.sum("o_orderkey"), F.round(F.sum("o_totalprice"), 2)
+    ).collect()[0]
+    want = full.agg(
+        F.count(F.lit(1)), F.sum("o_orderkey"), F.round(F.sum("o_totalprice"), 2)
+    ).collect()[0]
+    assert tuple(got) == tuple(want)
+    # and the plan really reads fewer files
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+def test_read_pruned_empty_range(spark, clustered_orders):
+    import datetime as dt
+
+    out = SK.read_pruned(
+        spark, clustered_orders, "o_orderdate",
+        dt.datetime(2050, 1, 1), dt.datetime(2051, 1, 1),
+    )
+    assert out.count() == 0
+    assert "o_orderkey" in out.columns  # typed empty frame
+
+
+def test_distributed_builder_matches_driver(spark, clustered_orders):
+    a = SK.build_zone_map(clustered_orders, ["o_orderdate", "o_orderkey"])
+    b = SK.build_zone_map_distributed(
+        spark, clustered_orders, ["o_orderdate", "o_orderkey"]
+    )
+    assert a == b
+
+
+def test_string_column_rejected(clustered_orders):
+    with pytest.raises(TypeError, match="exact-stats"):
+        SK.build_zone_map(clustered_orders, ["o_orderstatus"])
+
+
+def test_prune_keeps_statless_files():
+    zm = [
+        {"file": "a", "x_min": 1, "x_max": 5},
+        {"file": "b", "x_min": None, "x_max": None},  # no stats
+        {"file": "c", "x_min": 10, "x_max": 20},
+    ]
+    assert SK.prune_files(zm, "x", 6, 8) == ["b"]
+    assert SK.prune_files(zm, "x", None, 3) == ["a", "b"]
+    assert SK.prune_files(zm, "x", 15, None) == ["b", "c"]
+
+
+# ------------------------------------------------------- versioned store
+
+
+def test_versioned_write_read_time_travel(spark, tmp_path):
+    store = str(tmp_path / "vstore")
+    df1 = spark.range(10).withColumn("tag", F.lit("v1"))
+    df2 = spark.range(20).withColumn("tag", F.lit("v2"))
+    assert V.write_version(df1, store) == 1
+    assert V.write_version(df2, store) == 2
+    assert V.list_versions(spark, store) == [1, 2]
+    assert V.read_version(spark, store).count() == 20  # latest
+    pinned = V.read_version(spark, store, 1)
+    assert pinned.count() == 10
+    assert pinned.select("tag").distinct().collect()[0][0] == "v1"
+
+
+def test_versioned_crashed_writer_invisible(spark, tmp_path):
+    store = str(tmp_path / "vstore2")
+    V.write_version(spark.range(5), store)
+    # simulate a crash: stage dir with data but never renamed/completed
+    spark.range(3).write.parquet(f"{store}/__stage_deadbeef")
+    # and a half-written version dir without _SUCCESS
+    os.makedirs(f"{store}/v_00009")
+    assert V.list_versions(spark, store) == [1]
+    assert V.read_version(spark, store).count() == 5
+    with pytest.raises(FileNotFoundError, match="incomplete"):
+        V.read_version(spark, store, 9)
+
+
+def test_versioned_vacuum(spark, tmp_path):
+    store = str(tmp_path / "vstore3")
+    for i in range(4):
+        V.write_version(spark.range(i + 1), store)
+    spark.range(1).write.parquet(f"{store}/__stage_leftover")
+    removed = V.vacuum(spark, store, keep_last=2)
+    assert removed == [1, 2]
+    assert V.list_versions(spark, store) == [3, 4]
+    assert not [
+        d for d in os.listdir(store) if d.startswith("__stage_")
+    ], "stage leftovers swept"
+    assert V.read_version(spark, store).count() == 4
+
+
+def test_versioned_empty_store_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="no complete versions"):
+        V.read_version(spark, str(tmp_path / "nope"))
