@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "events_time_weighted_avg",
     "orders_equidepth_histogram",
     "embedding_matryoshka_topk",
+    "doc_quality_logit",
 ]
 
 

@@ -65,6 +65,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_pack_sequences": (("source", "s"), ("seq_id", "i"), ("n_docs", "i"), ("seq_tokens", "i"), ("first_doc", "i"),),
     "doc_pii_redaction": (("source", "s"), ("n_docs", "i"), ("emails_redacted", "i"), ("phones_redacted", "i"), ("redacted_chars", "i"), ("chars_removed", "i"),),
     "doc_quality_by_source": (("source", "s"), ("avg_quality", "f"),),
+    "doc_quality_logit": (("source", "s"), ("n_docs", "i"), ("n_pass", "i"), ("avg_prob", "f"),),
     "doc_repetition_filter": (("source", "s"), ("n_docs", "i"), ("n_flagged", "i"), ("avg_dup_frac", "f"), ("avg_top_frac", "f"),),
     "doc_stratified_sample": (("lang", "s"), ("doc_id", "i"),),
     "doc_token_stats": (("lang", "s"), ("n_docs", "i"), ("total_tokens", "i"), ("avg_tokens", "f"), ("avg_chars", "f"),),
@@ -230,6 +231,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     "doc_quality_suite": (
         "doc_quality_by_source", "doc_repetition_filter",
         "doc_pii_redaction", "doc_clean_normalize",
+        "doc_quality_logit",
     ),
     # end-to-end pipeline hygiene: packing/chunking/decontamination
     "doc_pipeline_suite": (

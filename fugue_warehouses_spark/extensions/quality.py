@@ -126,3 +126,72 @@ def redact_pii(
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------
+# linear quality model: vectorized Arrow-batch inference
+# ---------------------------------------------------------------------
+
+# published toy weights of a fastText/sklearn-style linear quality
+# classifier over four cheap features; the values are fixed so the
+# DuckDB oracle can reproduce the score bit-for-bit
+QUALITY_LOGIT = {
+    "bias": -2.0,
+    "len": 2.5,      # f1 = min(n_tokens, 100) / 100
+    "mtl": 0.35,     # f2 = mean token length
+    "mtl_sq": -0.08, # f2² (too-long tokens = code/garbage)
+    "stop": 6.0,     # f3 = stopword ratio
+    "punct": -9.0,   # f4 = punctuation ratio
+}
+
+
+def quality_logit_scores(
+    df: DataFrame, text_col: str = "text", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Model-scoring stage: a linear quality classifier evaluated in
+    vectorized Arrow batches — the exact execution shape of any
+    fastText / sklearn-linear / distilled-classifier scorer in a
+    100 TB curation pipeline (features computed JVM-side in codegen;
+    the model itself runs as one numpy expression per Arrow batch in a
+    pandas UDF; swap the arithmetic for `model.predict` and nothing
+    about the plan changes). Per row: ``z`` (the logit — sign gives
+    the decision bit-deterministically) and ``prob`` (sigmoid).
+
+    No shuffle: scan -> feature projection -> batched UDF, all
+    pipelined.
+    """
+    from fugue_warehouses_spark.functions import text as TX
+
+    w = QUALITY_LOGIT
+
+    @F.pandas_udf("z double, prob double")
+    def score(f1, f2, f3, f4):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        a1, a2, a3, a4 = (s.to_numpy(dtype="float64") for s in (f1, f2, f3, f4))
+        # association order matters for bit-identical oracle replay:
+        # ((((bias + w1·f1) + w2·f2) - |w|·f2²) + w3·f3) + w4·f4
+        z = (
+            (
+                ((w["bias"] + w["len"] * a1) + w["mtl"] * a2)
+                + w["mtl_sq"] * (a2 * a2)
+            )
+            + w["stop"] * a3
+        ) + w["punct"] * a4
+        prob = 1.0 / (1.0 + np.exp(-z))
+        return pd.DataFrame({"z": z, "prob": prob})
+
+    feats = df.select(
+        *keep_cols,
+        (F.least(TX.token_count(text_col), F.lit(100)).cast("double") / F.lit(100.0)).alias("__f1"),
+        TX.mean_token_length(text_col).alias("__f2"),
+        TX.stopword_ratio(text_col).alias("__f3"),
+        TX.punct_ratio(text_col).alias("__f4"),
+    )
+    scored = feats.withColumn("__s", score("__f1", "__f2", "__f3", "__f4"))
+    return scored.select(
+        *keep_cols,
+        F.col("__s.z").alias("z"),
+        F.col("__s.prob").alias("prob"),
+    )

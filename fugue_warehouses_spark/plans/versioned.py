@@ -135,3 +135,27 @@ def vacuum(
         if name.startswith("__stage_"):
             fs.delete(st.getPath(), True)
     return removed
+
+
+def upsert_version(
+    spark: SparkSession,
+    store: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> int:
+    """MERGE-style upsert materialized as a NEW immutable version:
+    latest-version rows whose key is absent from ``updates`` survive,
+    update rows win on conflict, new keys append. Readers pinned to
+    the previous version are untouched (snapshot isolation for free);
+    a crashed upsert leaves only stage garbage.
+
+    One anti-join shuffle on the keys — the same cost as any MERGE —
+    plus the version write. On a first write (empty store) the updates
+    become v_00001.
+    """
+    try:
+        cur = read_version(spark, store)
+    except FileNotFoundError:
+        return write_version(updates, store, spark)
+    survivors = cur.join(updates.select(*keys), keys, "left_anti")
+    return write_version(updates.unionByName(survivors), store, spark)

@@ -5064,6 +5064,52 @@ def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.brute_force_topk(sliced, queries, k=10, round_digits=6)
 
 
+_QUALITY_LOGIT_SQL = f"""
+    WITH t AS (
+      SELECT source, text, {_TOKS} AS toks, len({_TOKS}) AS ntok
+      FROM documents),
+    f AS (
+      SELECT source,
+             CAST(least(ntok, 100) AS DOUBLE) / 100.0 AS f1,
+             (coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+               / greatest(ntok, 1))::DOUBLE AS f2,
+             (len(list_filter(toks, t ->
+               t IN ('the','a','an','and','of','to','in','is')))::DOUBLE
+               / greatest(ntok, 1)) AS f3,
+             (length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1)) AS f4
+      FROM t),
+    z AS (
+      SELECT source,
+             ((((-2.0 + 2.5 * f1) + 0.35 * f2) - 0.08 * (f2 * f2))
+              + 6.0 * f3) - 9.0 * f4 AS z
+      FROM f)
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum((z >= 0)::BIGINT)::BIGINT AS n_pass,
+           round(avg(1.0 / (1.0 + exp(-z))), 6) AS avg_prob
+    FROM z GROUP BY source
+    """
+
+
+@_q("doc_quality_logit", _QUALITY_LOGIT_SQL)
+def doc_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scoring inference stage (extensions/quality.
+    quality_logit_scores): a linear quality classifier with fixed
+    published weights, evaluated as one numpy expression per Arrow
+    batch inside a pandas UDF — the execution shape of every learned
+    quality/toxicity/language scorer in a curation pipeline. The
+    decision bit uses the logit's SIGN (z >= 0), which is
+    bit-deterministic cross-engine; the sigmoid is presentation,
+    rounded at 6."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = QL.quality_logit_scores(docs, "text", keep_cols=("source",))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("z") >= 0).cast("long")).alias("n_pass"),
+        F.round(F.avg(1.0 / (1.0 + F.exp(-F.col("z")))), 6).alias("avg_prob"),
+    )
+
+
 # =====================================================================
 # entry points used by __spark_entry__.py
 # =====================================================================

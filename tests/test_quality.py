@@ -99,3 +99,31 @@ def test_redact_pii_mixed_case_and_long_phone(spark):
     r = redact_pii(df, "t").collect()[0]
     assert (r["n_emails"], r["n_phones"]) == (1, 1)
     assert r["redacted"] == "<EMAIL> or <PHONE>"
+
+
+def test_quality_logit_scores_shape_and_sign(spark, sf_dir):
+    """z's sign is the decision; prob is sigmoid(z); good prose scores
+    above garbage."""
+    import math
+
+    import pytest
+
+    from fugue_warehouses_spark.extensions.quality import (
+        quality_logit_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog is in the house of a friend."),
+            (2, ";;;;; ::: !!!! ????? ;;;"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in quality_logit_scores(docs, "text", keep_cols=("doc_id",)).collect()
+    }
+    for r in rows.values():
+        assert r["prob"] == pytest.approx(1.0 / (1.0 + math.exp(-r["z"])))
+    assert rows[1]["z"] > rows[2]["z"]
+    assert rows[2]["prob"] < 0.5

@@ -146,3 +146,23 @@ def test_versioned_vacuum(spark, tmp_path):
 def test_versioned_empty_store_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="no complete versions"):
         V.read_version(spark, str(tmp_path / "nope"))
+
+
+def test_versioned_upsert(spark, tmp_path):
+    store = str(tmp_path / "vstore4")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, tag string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (3, "c", 30.0)], "k long, tag string, v double"
+    )
+    assert V.upsert_version(spark, store, base, ["k"]) == 1
+    assert V.upsert_version(spark, store, updates, ["k"]) == 2
+    latest = {
+        r["k"]: (r["tag"], r["v"])
+        for r in V.read_version(spark, store).collect()
+    }
+    assert latest == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0)}
+    # snapshot isolation: v1 unchanged
+    v1 = {r["k"]: r["tag"] for r in V.read_version(spark, store, 1).collect()}
+    assert v1 == {1: "a", 2: "b"}
