@@ -2,15 +2,16 @@
 
 ``entry(spark)`` runs the flagship query on sf0.001;
 ``queries()``/``oracle_sql()`` expose the CURATED driver registry from
-fugue_warehouses_spark/driver_suite.py — 46 entries, sized to the
-driver's 50-row correctness window while covering every operator
-family from SURVEY.md §2 plus the north-star extensions: 26 headline
-operators keep full-row hash checks, and 20 family "suite" entries
-fold the remaining facet queries into per-facet (n_rows, content-
-checksum) rows with exact DuckDB twins. The facet-level registry
-(fugue_warehouses_spark/queries.py, 121 queries) stays fully
-oracle-mirrored in tests/test_oracle_parity.py; every facet is either
-a driver keep or a member of exactly one suite
+fugue_warehouses_spark/driver_suite.py — 48 entries (29 headline
+keeps + 19 family suites; tests/test_driver_suite.py re-counts and
+enforces <= 50), sized to the driver's 50-row correctness window
+while covering every operator family from SURVEY.md §2 plus the
+north-star extensions: headline operators keep full-row hash checks,
+and family "suite" entries fold the remaining facet queries into
+per-facet (n_rows, content-checksum) rows with exact DuckDB twins.
+The facet-level registry (fugue_warehouses_spark/queries.py) stays
+fully oracle-mirrored in tests/test_oracle_parity.py; every facet is
+either a driver keep or a member of exactly one suite
 (tests/test_driver_suite.py enforces the closure).
 """
 

@@ -79,14 +79,18 @@ def quantized_topk(
     order as the expression path, so scores stay bit-identical to the
     DuckDB twin."""
     import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
-    from pyspark.sql.window import Window
+
+    from fugue_warehouses_spark.extensions.similarity import _topk_scaffold
 
     rows = queries.select(id_col, vec_col).collect()
     qids = np.asarray([r[0] for r in rows])
-    qmat = np.array([list(r[1]) for r in rows], dtype="float64")
-    qint, qscales = _quantize_numpy(qmat)
+    if len(rows) == 0:
+        qint = np.zeros((0, 0), dtype="int64")
+        qscales = np.zeros((0,), dtype="float64")
+    else:
+        qmat = np.array([list(r[1]) for r in rows], dtype="float64")
+        qint, qscales = _quantize_numpy(qmat)
     schema = T.StructType(
         [
             T.StructField("query_id", queries.schema[id_col].dataType),
@@ -94,40 +98,24 @@ def quantized_topk(
             T.StructField("q_dot", T.DoubleType()),
         ]
     )
-    kk = k
 
-    def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf[id_col].to_numpy()
-            cmat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            cint, cscales = _quantize_numpy(cmat)
-            idot = cint @ qint.T  # (batch, n_q) exact int64
-            # same association as quantized_dot: (idot * s_query) * s_corpus
-            sims = (idot.astype("float64") * qscales[None, :]) * cscales[:, None]
-            sims = np.round(sims, round_digits)
-            out_q, out_m, out_s = [], [], []
-            for j in range(len(qids)):
-                col = sims[:, j]
-                cand = np.nonzero(ids != qids[j])[0]
-                if len(cand) == 0:
-                    continue
-                order = np.lexsort((ids[cand], -col[cand]))[:kk]
-                sel = cand[order]
-                out_q.extend([qids[j]] * len(sel))
-                out_m.extend(ids[sel].tolist())
-                out_s.extend(col[sel].tolist())
-            yield pd.DataFrame(
-                {"query_id": out_q, "match_id": out_m, "q_dot": out_s}
-            )
+    def compute(pdf):
+        ids = pdf[id_col].to_numpy()
+        cmat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        cint, cscales = _quantize_numpy(cmat)
+        idot = cint @ qint.T  # (batch, n_q) exact int64
+        # same association as quantized_dot: (idot * s_query) * s_corpus
+        sims = (idot.astype("float64") * qscales[None, :]) * cscales[:, None]
+        return ids, sims, {}
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("q_dot").desc(), F.col("match_id").asc()
-    )
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= kk)
-        .drop("_rk")
+    return _topk_scaffold(
+        corpus,
+        [id_col, vec_col],
+        schema,
+        "q_dot",
+        qids,
+        k,
+        round_digits,
+        compute,
+        lambda j, ids, extras: ids != qids[j],
     )

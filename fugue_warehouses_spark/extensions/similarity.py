@@ -36,10 +36,74 @@ def _collect_query_matrix(queries: DataFrame, query_id: str, query_vec: str):
     rows = queries.select(query_id, query_vec).collect()
     # no dtype coercion on ids: string/decimal id columns must survive
     ids = np.asarray([r[0] for r in rows])
+    if len(rows) == 0:
+        return ids, np.zeros((0, 0), dtype="float64")
     mat = np.array([list(r[1]) for r in rows], dtype="float64")
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return ids, mat / norms
+
+
+def _topk_scaffold(
+    corpus: DataFrame,
+    corpus_select: list,
+    schema,
+    score_field: str,
+    qids,
+    k: int,
+    round_digits: int | None,
+    batch_compute,
+    candidate_mask,
+    extra_fields: tuple = (),
+) -> DataFrame:
+    """Shared collect/score/rank pipeline behind ``brute_force_topk``,
+    ``hard_negative_topk`` and ``quantization.quantized_topk`` (one
+    implementation so empty-input and masking semantics can't drift):
+    the corpus streams through one Arrow ``mapInPandas`` pass;
+    ``batch_compute(pdf) -> (ids, sims[batch, n_q], extras)`` scores a
+    batch, ``candidate_mask(j, ids, extras)`` picks the valid
+    candidates for query ``j``; each batch emits its local top-k per
+    query (deterministic (-score, id) lexsort) and a final window
+    keeps the global top-k. An empty query set short-circuits to an
+    empty-but-typed frame (no job)."""
+    import numpy as np
+    import pandas as pd
+
+    out_names = [f.name for f in schema.fields]
+    if len(qids) == 0:
+        return corpus.sparkSession.createDataFrame([], schema)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, sims, extras = batch_compute(pdf)
+            if round_digits is not None:
+                sims = np.round(sims, round_digits)
+            cols: dict = {name: [] for name in out_names}
+            for j in range(len(qids)):
+                col = sims[:, j]
+                cand = np.nonzero(candidate_mask(j, ids, extras))[0]
+                if len(cand) == 0:
+                    continue
+                order = np.lexsort((ids[cand], -col[cand]))[:k]
+                sel = cand[order]
+                cols["query_id"].extend([qids[j]] * len(sel))
+                cols["match_id"].extend(ids[sel].tolist())
+                for name in extra_fields:
+                    cols[name].extend(extras[name][sel].tolist())
+                cols[score_field].extend(col[sel].tolist())
+            yield pd.DataFrame(cols)
+
+    scored = corpus.select(*corpus_select).mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_field).desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(*out_names)
+    )
 
 
 def brute_force_topk(
@@ -112,7 +176,6 @@ def _topk_numpy(
     round_digits: int | None,
 ) -> DataFrame:
     import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
     qids, qmat = _collect_query_matrix(queries, query_id, query_vec)
@@ -123,44 +186,24 @@ def _topk_numpy(
             T.StructField("cosine_sim", T.DoubleType()),
         ]
     )
-    kk = k
 
-    def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf[corpus_id].to_numpy()
-            mat = np.stack(pdf[corpus_vec].to_numpy()).astype("float64")
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            sims = (mat / norms) @ qmat.T  # (batch, n_q)
-            if round_digits is not None:
-                sims = np.round(sims, round_digits)
-            out_q, out_m, out_s = [], [], []
-            for j in range(len(qids)):
-                col = sims[:, j]
-                mask = ids != qids[j]
-                cand = np.nonzero(mask)[0]
-                if len(cand) == 0:
-                    continue
-                # local top-k: order by (-sim, id) for deterministic ties
-                order = np.lexsort((ids[cand], -col[cand]))[:kk]
-                sel = cand[order]
-                out_q.extend([qids[j]] * len(sel))
-                out_m.extend(ids[sel].tolist())
-                out_s.extend(col[sel].tolist())
-            yield pd.DataFrame(
-                {"query_id": out_q, "match_id": out_m, "cosine_sim": out_s}
-            )
+    def compute(pdf):
+        ids = pdf[corpus_id].to_numpy()
+        mat = np.stack(pdf[corpus_vec].to_numpy()).astype("float64")
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return ids, (mat / norms) @ qmat.T, {}
 
-    scored = corpus.select(corpus_id, corpus_vec).mapInPandas(score, schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("match_id").asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= kk)
-        .select("query_id", "match_id", "cosine_sim")
+    return _topk_scaffold(
+        corpus,
+        [corpus_id, corpus_vec],
+        schema,
+        "cosine_sim",
+        qids,
+        k,
+        round_digits,
+        compute,
+        lambda j, ids, extras: ids != qids[j],
     )
 
 
@@ -818,11 +861,14 @@ def hard_negative_topk(
 
     rows = queries.select(id_col, vec_col, label_col).collect()
     qids = np.asarray([r[0] for r in rows])
-    qlabels = np.asarray([r[2] for r in rows])
-    qmat = np.array([list(r[1]) for r in rows], dtype="float64")
-    norms = np.linalg.norm(qmat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    qmat = qmat / norms
+    qlabels = [r[2] for r in rows]
+    if len(rows) == 0:
+        qmat = np.zeros((0, 0), dtype="float64")
+    else:
+        qmat = np.array([list(r[1]) for r in rows], dtype="float64")
+        norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        qmat = qmat / norms
 
     schema = T.StructType(
         [
@@ -832,50 +878,37 @@ def hard_negative_topk(
             T.StructField("cosine_sim", T.DoubleType()),
         ]
     )
-    kk = k
 
-    def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf[id_col].to_numpy()
-            labels = pdf[label_col].to_numpy()
-            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            cn = np.linalg.norm(mat, axis=1, keepdims=True)
-            cn[cn == 0] = 1.0
-            sims = (mat / cn) @ qmat.T  # (batch, n_q)
-            if round_digits is not None:
-                sims = np.round(sims, round_digits)
-            out_q, out_m, out_l, out_s = [], [], [], []
-            for j in range(len(qids)):
-                col = sims[:, j]
-                mask = (ids != qids[j]) & (labels != qlabels[j])
-                cand = np.nonzero(mask)[0]
-                if len(cand) == 0:
-                    continue
-                order = np.lexsort((ids[cand], -col[cand]))[:kk]
-                sel = cand[order]
-                out_q.extend([qids[j]] * len(sel))
-                out_m.extend(ids[sel].tolist())
-                out_l.extend(labels[sel].tolist())
-                out_s.extend(col[sel].tolist())
-            yield pd.DataFrame(
-                {
-                    "query_id": out_q,
-                    "match_id": out_m,
-                    "match_label": out_l,
-                    "cosine_sim": out_s,
-                }
-            )
+    def compute(pdf):
+        ids = pdf[id_col].to_numpy()
+        labels = pdf[label_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        cn = np.linalg.norm(mat, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        return ids, (mat / cn) @ qmat.T, {"match_label": labels}
 
-    scored = corpus.select(id_col, vec_col, label_col).mapInPandas(
-        score, schema
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("match_id").asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= kk)
-        .select("query_id", "match_id", "match_label", "cosine_sim")
+    def mask(j, ids, extras):
+        # SQL `q.label <> c.label` semantics: NULL/NaN on EITHER side
+        # excludes the pair (a missing label is not a known-different
+        # label, so it must not be mined as a negative)
+        labels = extras["match_label"]
+        ql = qlabels[j]
+        if pd.isna(ql):
+            return np.zeros(len(ids), dtype=bool)
+        valid = ~pd.isna(labels)
+        differs = np.zeros(len(ids), dtype=bool)
+        differs[valid] = labels[valid] != ql
+        return (ids != qids[j]) & differs
+
+    return _topk_scaffold(
+        corpus,
+        [id_col, vec_col, label_col],
+        schema,
+        "cosine_sim",
+        qids,
+        k,
+        round_digits,
+        compute,
+        mask,
+        extra_fields=("match_label",),
     )

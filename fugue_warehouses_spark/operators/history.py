@@ -52,18 +52,23 @@ def snapshot_diff(
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("__o_present"),
     )
     n = new.select(
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("__n_present"),
     )
+    # null-safe key equality + explicit presence markers: a NULL natural
+    # key must match its counterpart across snapshots and must not be
+    # misread as "absent" (key.isNotNull() would misclassify it)
     cond = None
     for k in keys:
-        e = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        e = F.col(f"__ok_{k}").eqNullSafe(F.col(f"__nk_{k}"))
         cond = e if cond is None else cond & e
     j = o.join(n, cond, "full_outer")
-    in_old = F.col(f"__ok_{keys[0]}").isNotNull()
-    in_new = F.col(f"__nk_{keys[0]}").isNotNull()
+    in_old = F.col("__o_present").isNotNull()
+    in_new = F.col("__n_present").isNotNull()
     same = F.lit(True)
     for c in compare_cols:
         same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))

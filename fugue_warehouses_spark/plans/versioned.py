@@ -78,6 +78,14 @@ def write_version(
     _, stage_path = _fs_and_path(spark, stage)
     n = (latest_version(spark, store) or 0) + 1
     while True:
+        if not fs.exists(stage_path):
+            # a concurrent vacuum() swept our stage (it was younger than
+            # the TTL only if the caller forced stage_ttl_s=0) — the data
+            # is gone, so fail loudly instead of spinning on rename
+            raise IOError(
+                f"staged write {stage_path} disappeared before commit "
+                f"(concurrent vacuum with stage_ttl_s too low?)"
+            )
         dest_str = f"{store}/v_{n:05d}"
         _, dest = _fs_and_path(spark, dest_str)
         if not fs.exists(dest) and fs.rename(stage_path, dest):
@@ -114,12 +122,24 @@ def read_version(
 
 
 def vacuum(
-    spark: SparkSession, store: str, keep_last: int = 2
+    spark: SparkSession,
+    store: str,
+    keep_last: int = 2,
+    stage_ttl_s: float = 86400.0,
 ) -> list[int]:
     """Drop all but the newest ``keep_last`` versions and sweep stage
     leftovers from crashed writers; returns removed version numbers.
     The latest version is never removed (``keep_last`` min-clamps to
-    1)."""
+    1).
+
+    Stage directories are only swept once older than ``stage_ttl_s``
+    (by filesystem modification time, default 24 h) so a concurrent
+    writer that is between its parquet write and its commit rename is
+    never destroyed — the same leftover-vs-in-flight discipline as
+    Delta's ``VACUUM ... RETAIN``. Pass ``stage_ttl_s=0`` to force-
+    sweep everything (only safe when no writer can be in flight)."""
+    import time
+
     keep_last = max(1, keep_last)
     fs, root = _fs_and_path(spark, store)
     if not fs.exists(root):
@@ -130,9 +150,12 @@ def vacuum(
         _, p = _fs_and_path(spark, f"{store}/v_{v:05d}")
         fs.delete(p, True)
         removed.append(v)
+    now_ms = time.time() * 1000.0
     for st in fs.listStatus(root):
         name = st.getPath().getName()
-        if name.startswith("__stage_"):
+        if name.startswith("__stage_") and (
+            now_ms - st.getModificationTime() >= stage_ttl_s * 1000.0
+        ):
             fs.delete(st.getPath(), True)
     return removed
 

@@ -142,34 +142,39 @@ def build_zone_map_distributed(
         .mapInPandas(read_footers, schema)
         .collect()
     )
-    # parse back to the native python type of a driver-side probe entry
+    # parse back to native python types, keyed off the column's ARROW
+    # TYPE (schema is identical across files), never off the first
+    # file's stat VALUES — a first file whose stats happen to be
+    # missing (all-NULL chunk) must not leave every other file's
+    # min/max stringly-typed
     import datetime as _dt
 
-    probe = _file_zone_entry(files[0], cols)
+    import pyarrow.parquet as pq
 
-    def parse(v: str | None, ref: Any) -> Any:
-        if v is None or ref is None:
-            return v
-        if isinstance(ref, bool):
-            return v == "True"
-        if isinstance(ref, int):
-            return int(v)
-        if isinstance(ref, float):
-            return float(v)
-        if isinstance(ref, _dt.datetime):
-            return _dt.datetime.fromisoformat(v)
-        if isinstance(ref, _dt.date):
-            return _dt.date.fromisoformat(v)
-        return v
+    schema_arrow = pq.ParquetFile(files[0]).schema_arrow
 
+    def parser_for(col: str):
+        t = str(schema_arrow.field(col).type)
+        if t == "bool":
+            return lambda v: v == "True"
+        if t.startswith(("int", "uint")):
+            return int
+        if t in ("float", "double", "halffloat"):
+            return float
+        if t.startswith("timestamp"):
+            return _dt.datetime.fromisoformat
+        if t.startswith("date"):
+            return _dt.date.fromisoformat
+        return lambda v: v
+
+    parsers = {c: parser_for(c) for c in cols}
     entries = []
     for r in out:
         d = r.asDict()
         for c in cols:
             for side in ("min", "max"):
-                d[f"{c}_{side}"] = parse(
-                    d[f"{c}_{side}"], probe[f"{c}_{side}"]
-                )
+                v = d[f"{c}_{side}"]
+                d[f"{c}_{side}"] = None if v is None else parsers[c](v)
         entries.append(d)
     return sorted(entries, key=lambda e: e["file"])
 

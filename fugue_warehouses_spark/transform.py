@@ -218,10 +218,11 @@ def pandas_agg(
     ...) to the result. Spark forbids mixing group-agg pandas UDFs
     with non-pandas aggregates inside one Aggregate operator
     (INVALID_PANDAS_UDF_PLACEMENT), so they run as a second aggregate
-    over the same grouping and join back on the group key — both
-    sides come out hash-partitioned on that key, so the join adds no
-    exchange (it does read the input twice; persist upstream if that
-    scan is expensive).
+    over the same grouping and join back on the group key with
+    null-safe equality (groupBy emits a NULL-key group; a plain
+    equi-join would drop it). Both sides come out hash-partitioned on
+    the key; it does read the input twice — persist upstream if that
+    scan is expensive.
 
     Note partial (map-side) aggregation does NOT apply to pandas
     UDAFs — the group's rows shuffle to one task, so at 100 TB prefer
@@ -245,5 +246,15 @@ def pandas_agg(
     out = native.groupBy(*by).agg(*exprs)
     if builtin:
         bexprs = [col.alias(name) for name, col in builtin.items()]
-        out = out.join(native.groupBy(*by).agg(*bexprs), on=by)
+        other = native.groupBy(*by).agg(*bexprs)
+        # null-safe key equality: groupBy emits a NULL-key group, and a
+        # plain on=by equi-join (NULL != NULL) would silently drop it
+        renamed = other
+        for k in by:
+            renamed = renamed.withColumnRenamed(k, f"__rhs_{k}")
+        cond = None
+        for k in by:
+            c = out[k].eqNullSafe(renamed[f"__rhs_{k}"])
+            cond = c if cond is None else (cond & c)
+        out = out.join(renamed, cond).drop(*[f"__rhs_{k}" for k in by])
     return WarehouseFrame(out)

@@ -196,3 +196,31 @@ def test_time_weighted_avg_single_obs_null(spark):
     )
     row = time_weighted_avg(obs, "k", "t", "v").collect()[0]
     assert row["n_events"] == 1 and row["twa"] is None
+
+
+def test_snapshot_diff_null_key_rows(spark):
+    from fugue_warehouses_spark.operators.history import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a"), (None, "x")], "k int, v string")
+    new = spark.createDataFrame([(1, "a"), (None, "x2")], "k int, v string")
+    out = {
+        (r["k"], r["change_type"]): (r["old_v"], r["new_v"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    # NULL key matches NULL key (null-safe join) and is compared, not
+    # misclassified as added/removed
+    assert out == {
+        (1, "unchanged"): ("a", "a"),
+        (None, "changed"): ("x", "x2"),
+    }
+
+
+def test_snapshot_diff_null_key_removed(spark):
+    from fugue_warehouses_spark.operators.history import snapshot_diff
+
+    old = spark.createDataFrame([(None, "gone")], "k int, v string")
+    new = spark.createDataFrame([(2, "b")], "k int, v string")
+    out = {
+        (r["k"], r["change_type"]) for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert out == {(None, "removed"), (2, "added")}

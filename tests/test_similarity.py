@@ -191,3 +191,43 @@ def test_hard_negative_topk_all_same_label_empty(spark):
         "vec_id long, embedding array<float>, label int",
     )
     assert S.hard_negative_topk(df, df, k=3, label_col="label").count() == 0
+
+
+def test_topk_empty_query_set_returns_typed_empty(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    none = emb.filter("vec_id < 0")
+    out = S.brute_force_topk(emb, none, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "match_id", "cosine_sim"]
+    hn = S.hard_negative_topk(
+        emb.withColumn("label", F.lit(1)), none.withColumn("label", F.lit(1)),
+        k=3, label_col="label",
+    )
+    assert hn.count() == 0
+
+    from fugue_warehouses_spark.extensions.quantization import quantized_topk
+
+    qt = quantized_topk(emb, none, k=3, id_col="vec_id")
+    assert qt.count() == 0
+    assert qt.columns == ["query_id", "match_id", "q_dot"]
+
+
+def test_hard_negative_topk_null_labels_excluded(spark):
+    # SQL `q.label <> c.label`: NULL on either side excludes the pair
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.1], None), (3, [0.9, 0.1], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    anchors = spark.createDataFrame(
+        [(10, [1.0, 0.0], 0), (11, [1.0, 0.0], None)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    rows = S.hard_negative_topk(corpus, anchors, k=5, label_col="label").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["match_id"])
+    # anchor 10 (label 0): only corpus 3 (label 1) qualifies — 1 has the
+    # same label, 2 has NULL; anchor 11 (NULL label) mines nothing
+    assert by_q == {10: {3}}

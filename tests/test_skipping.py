@@ -134,12 +134,18 @@ def test_versioned_vacuum(spark, tmp_path):
     for i in range(4):
         V.write_version(spark.range(i + 1), store)
     spark.range(1).write.parquet(f"{store}/__stage_leftover")
+    # default TTL (24h) protects a possibly-in-flight writer's stage
     removed = V.vacuum(spark, store, keep_last=2)
     assert removed == [1, 2]
     assert V.list_versions(spark, store) == [3, 4]
+    assert [
+        d for d in os.listdir(store) if d.startswith("__stage_")
+    ], "fresh stage survives default vacuum (in-flight writer safety)"
+    # forced sweep (stage_ttl_s=0) removes leftovers
+    V.vacuum(spark, store, keep_last=2, stage_ttl_s=0)
     assert not [
         d for d in os.listdir(store) if d.startswith("__stage_")
-    ], "stage leftovers swept"
+    ], "stage leftovers swept when forced"
     assert V.read_version(spark, store).count() == 4
 
 
@@ -166,3 +172,30 @@ def test_versioned_upsert(spark, tmp_path):
     # snapshot isolation: v1 unchanged
     v1 = {r["k"]: r["tag"] for r in V.read_version(spark, store, 1).collect()}
     assert v1 == {1: "a", 2: "b"}
+
+
+def test_distributed_zone_map_first_file_without_stats(spark, tmp_path):
+    """Type restore must key off the arrow schema, not the first file's
+    stat values: a first file whose indexed column is all-NULL (no
+    min/max stats) must not leave other files' bounds stringly-typed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "zm_nullfirst"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"x": pa.array([None, None], type=pa.int64())}),
+        str(d / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table({"x": pa.array([100, 200], type=pa.int64())}),
+        str(d / "b.parquet"),
+    )
+    zm = SK.build_zone_map_distributed(spark, str(d), ["x"])
+    assert zm[0]["x_min"] is None and zm[0]["x_max"] is None
+    assert zm[1]["x_min"] == 100 and isinstance(zm[1]["x_min"], int)
+    # pruning with int bounds must neither raise nor compare as strings
+    kept = SK.prune_files(zm, "x", 150, None)
+    assert [k.rsplit("/", 1)[1] for k in kept] == ["a.parquet", "b.parquet"]
+    kept2 = SK.prune_files(zm, "x", 250, None)
+    assert [k.rsplit("/", 1)[1] for k in kept2] == ["a.parquet"]

@@ -115,3 +115,30 @@ def test_pandas_agg_custom_udaf_beside_builtin(spark, sf_dir):
     for r in out:
         w, n = expect[r["l_returnflag"]]
         assert abs(r["w"] - w) < 1e-9 and r["n"] == n
+
+
+def test_pandas_agg_builtin_keeps_null_key_group(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.transform import pandas_agg
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 5.0), (None, 7.0)],
+        "k string, v double",
+    )
+
+    def vmean(v: pd.Series) -> float:
+        return float(v.mean())
+
+    out = {
+        r["k"]: (r["m"], r["n"])
+        for r in pandas_agg(
+            df,
+            ["k"],
+            {"m": (vmean, "double", ["v"])},
+            builtin={"n": F.count(F.lit(1))},
+        ).native.collect()
+    }
+    # the NULL-key group must survive the join with the builtin side
+    assert out == {"a": (2.0, 2), None: (6.0, 2)}
