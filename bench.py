@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "lineitem_weighted_discount",
     "embedding_outliers",
     "doc_incremental_dedup",
+    "doc_incremental_near_dedup",
     "doc_export_manifest",
     "events_anomaly_mad",
     "events_ewma",

@@ -56,6 +56,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_bpe_token_budget": (("source", "s"), ("est_tokens", "i"), ("n_docs", "i"),),
     "doc_cdc_dedup": (("source", "s"), ("n_chunks", "i"), ("n_distinct_chunks", "i"), ("total_chunk_chars", "i"), ("distinct_chunk_chars", "i"),),
     "doc_incremental_dedup": (("doc_id", "i"), ("source", "s"),),
+    "doc_incremental_near_dedup": (("id_new", "i"), ("id_match", "i"), ("jaccard_sim", "f"),),
     "doc_export_manifest": (("shard", "i"), ("n_rows", "i"), ("id_checksum", "i"),),
     "doc_chunks": (("doc_id", "i"), ("chunk_idx", "i"), ("chunk_md5", "s"), ("n_tokens", "i"),),
     "doc_clean_normalize": (("source", "s"), ("n_docs", "i"), ("clean_chars", "i"), ("distinct_cleaned", "i"),),
@@ -237,7 +238,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     "doc_pipeline_suite": (
         "doc_training_pipeline", "doc_contamination",
         "doc_train_test_split", "doc_chunks", "doc_cdc_dedup",
-        "doc_incremental_dedup",
+        "doc_incremental_dedup", "doc_incremental_near_dedup",
     ),
     # A12/A13 + deterministic sampling/mixture family
     "sampling_suite": (

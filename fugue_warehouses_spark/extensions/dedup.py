@@ -164,20 +164,7 @@ def lsh_candidate_pairs(
     chances, and degenerate boilerplate is usually better handled by
     exact dedup first. Default off (exact recall preserved).
     """
-    banded = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("__id", "bb.band", "bb.bucket")
+    banded = _band_buckets(df, id_col, bands, rows_per_band, sig_col)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket")
         banded = (
@@ -760,4 +747,138 @@ def incremental_dedup(
         fresh.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__fp")
+    )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle: int = 5,
+) -> DataFrame:
+    """Persistable MinHash signature index for incremental near-dedup:
+    one row per document with ``(id, __grams array<long>, __sig
+    array<long>)``. Write it once (e.g. ``plans.versioned.
+    write_version``) and every later crawl batch dedups against it via
+    :func:`near_dup_pairs_against_index` WITHOUT re-reading or
+    re-signing the historical corpus — the index is ~8·(num_hashes +
+    |shingle set|) bytes per doc, not the text.
+
+    Same signature family as :func:`near_dup_pairs_minhash`
+    (seeded multiply-add permutations over base-257 byte shingles), so
+    index and batch signatures are directly comparable.
+    """
+    return _shingle_minhash_numpy(df, id_col, text_col, num_hashes, shingle)
+
+
+def _band_buckets(
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    sig_col: str = "__sig",
+) -> DataFrame:
+    """(id, band, bucket) — one row per (doc, band slice); the shared
+    LSH banding explode behind :func:`lsh_candidate_pairs` and
+    :func:`near_dup_pairs_against_index`."""
+    return sig_df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            F.col(sig_col), b * rows_per_band + 1, rows_per_band
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", "bb.band", "bb.bucket")
+
+
+def near_dup_pairs_against_index(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    shingle: int = 5,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-dedup: MinHash-LSH pairs between a NEW batch
+    and a persisted signature index (:func:`build_minhash_index`),
+    plus pairs within the new batch itself — the rolling-corpus shape
+    where only the new crawl pays the shingle/signature cost.
+
+    Returns ``(id_new, id_match, jaccard_sim)`` with ``id_match <
+    id_new`` for within-batch pairs (earlier doc is the survivor, the
+    same min-id convention as :func:`incremental_dedup`); index ids
+    must be disjoint from batch ids. Exact shingle-Jaccard
+    verification runs only on bucket collisions, exactly like
+    :func:`near_dup_pairs_minhash`.
+
+    Scale shape: the index side contributes only its STORED signatures
+    to the banding explode (no text is read) and only colliding docs'
+    stored shingle arrays to the verify join; both sides band into one
+    frame so ``max_bucket_size`` caps the TRUE bucket population
+    (batch + index) before the self-join. Candidate pairs are tiny
+    relative to the index, so AQE broadcasts them into the grams join
+    rather than shuffling the index.
+    """
+    rows_per_band = max(1, num_hashes // bands)
+    new_sig = _shingle_minhash_numpy(
+        new_df, id_col, text_col, num_hashes, shingle
+    ).localCheckpoint(eager=False)
+    banded = (
+        _band_buckets(new_sig, id_col, bands, rows_per_band)
+        .withColumn("__new", F.lit(True))
+        .unionByName(
+            _band_buckets(index_df, id_col, bands, rows_per_band)
+            .withColumn("__new", F.lit(False))
+        )
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, on=["band", "bucket"], how="inner")
+        # left side is always the new doc; right side is an index doc
+        # or an earlier (smaller-id) doc of the same batch
+        .filter(
+            F.col("a.__new")
+            & (~F.col("b.__new") | (F.col("b.__id") < F.col("a.__id")))
+        )
+        .select(
+            F.col("a.__id").alias("id_new"), F.col("b.__id").alias("id_match")
+        )
+        .distinct()
+    )
+    grams_all = new_sig.select(
+        F.col(id_col), F.col("__grams")
+    ).unionByName(index_df.select(F.col(id_col), F.col("__grams")))
+    ga = grams_all.select(
+        F.col(id_col).alias("id_new"), F.col("__grams").alias("__ga")
+    )
+    gb = grams_all.select(
+        F.col(id_col).alias("id_match"), F.col("__grams").alias("__gb")
+    )
+    na, nb = F.size(F.col("__ga")), F.size(F.col("__gb"))
+    return (
+        pairs.join(ga, "id_new")
+        .join(gb, "id_match")
+        .filter(F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb))
+        .withColumn("jaccard_sim", jaccard(F.col("__ga"), F.col("__gb")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_new", "id_match", "jaccard_sim")
     )

@@ -2932,6 +2932,55 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCR_NEAR_DEDUP_SQL = """
+    WITH g AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(length(text) - 4, 1)),
+        i -> substring(text, i, 5))) AS grams
+      FROM documents)
+    SELECT id_new, id_match, jaccard_sim FROM (
+      SELECT a.doc_id AS id_new, b.doc_id AS id_match,
+             round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                   / (len(a.grams) + len(b.grams)
+                      - len(list_intersect(a.grams, b.grams))), 6) AS jaccard_sim
+      FROM g a JOIN g b
+        ON a.doc_id % 5 = 4
+       AND (b.doc_id % 5 <> 4 OR b.doc_id < a.doc_id))
+    WHERE jaccard_sim >= 0.6
+    """
+
+
+@_q("doc_incremental_near_dedup", _INCR_NEAR_DEDUP_SQL)
+def doc_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup against a persisted MinHash index
+    (dedup.build_minhash_index + near_dup_pairs_against_index): docs
+    with doc_id % 5 == 4 play today's crawl batch, the rest the
+    already-indexed corpus. Only the batch is shingled/signed; the
+    index side contributes stored signatures to the banding and stored
+    shingle arrays to verification — at 100 TB the index is a
+    signature table maintained across runs (plans/versioned), never a
+    corpus rescan. Oracle = exact all-pairs Jaccard restricted to
+    pairs whose left side is a batch doc (the same recall-1 argument
+    as doc_minhash_near_dups: every true pair sits far above the
+    banding knee at the fixture similarity profile)."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    # lazy localCheckpoint: the index frame feeds three plan branches
+    # (banding + both verify sides); in the real workflow it is a
+    # parquet scan of the persisted signature table, so the checkpoint
+    # stands in for that materialization
+    idx = DD.build_minhash_index(hist, "doc_id", "text").localCheckpoint(
+        eager=False
+    )
+    pairs = DD.near_dup_pairs_against_index(
+        new, idx, "doc_id", "text", threshold=0.6
+    )
+    return pairs.select(
+        "id_new", "id_match", F.round("jaccard_sim", 6).alias("jaccard_sim")
+    )
+
+
 _EXPORT_MANIFEST_SQL = """
     SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 8)::INT
              AS shard,

@@ -224,3 +224,61 @@ def test_incremental_dedup_drops_seen_and_batch_dups(spark):
     )
     kept = {r["doc_id"] for r in D.incremental_dedup(batch, hist).collect()}
     assert kept == {11, 13}
+
+
+# --------------------------------------------- incremental LSH index
+
+
+def test_near_dup_against_index_matches_full_pipeline(spark, tables):
+    """Batch-vs-index pairs == full-corpus near-dup pairs restricted to
+    pairs whose left side is a batch doc."""
+    docs = tables["documents"]
+    hist = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    idx = D.build_minhash_index(hist, "doc_id", "text")
+    got = {
+        (r["id_new"], r["id_match"], round(r["jaccard_sim"], 6))
+        for r in D.near_dup_pairs_against_index(
+            new, idx, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    full = D.near_dup_pairs_minhash(docs, "doc_id", "text", threshold=0.6)
+    want = set()
+    for r in full.collect():
+        a, b, j = r["id_a"], r["id_b"], round(r["jaccard_sim"], 6)
+        # full pipeline emits id_a < id_b; restrict to pairs with a
+        # batch doc on at least one side and orient batch-side left
+        if b % 5 == 4:
+            want.add((b, a, j))
+        elif a % 5 == 4:
+            want.add((a, b, j))
+    assert got == want and got, "expected some cross/batch pairs"
+
+
+def test_near_dup_against_persisted_index(spark, tables, tmp_path):
+    """The real rolling-corpus loop: index persisted via the versioned
+    store, reloaded, and used for batch dedup — no corpus rescan."""
+    from fugue_warehouses_spark.plans import versioned as V
+
+    docs = tables["documents"]
+    hist = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    store = str(tmp_path / "minhash_index")
+    V.write_version(D.build_minhash_index(hist, "doc_id", "text"), store)
+    idx = V.read_version(spark, store)
+    live = D.near_dup_pairs_against_index(
+        new, D.build_minhash_index(hist, "doc_id", "text"),
+        "doc_id", "text", threshold=0.6,
+    )
+    persisted = D.near_dup_pairs_against_index(
+        new, idx, "doc_id", "text", threshold=0.6
+    )
+    as_set = lambda df: {
+        (r["id_new"], r["id_match"], round(r["jaccard_sim"], 6))
+        for r in df.collect()
+    }
+    assert as_set(persisted) == as_set(live)
+    # the persisted path must not read the documents table at all on
+    # the index side (signatures + grams come from the store)
+    files = set(persisted.inputFiles())
+    assert any("minhash_index" in f for f in files)
