@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "customer_fuzzy_match",
     "orders_kmv_rollup",
     "doc_unigram_surprisal",
+    "doc_bigram_logprob",
     "lineitem_stats_suite",
     "orders_calendar_heatmap",
     "events_impute_value",

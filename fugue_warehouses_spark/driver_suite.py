@@ -53,6 +53,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "cube_lineitem_flags": (("l_returnflag", "s"), ("l_linestatus", "s"), ("n", "i"), ("qty", "f"),),
     "customer_balance_upsert": (("action", "s"), ("n", "i"), ("total_bal", "f"),),
     "doc_bigram_lift": (("bigram", "s"), ("n_pair", "i"), ("lift", "f"),),
+    "doc_bigram_logprob": (("source", "s"), ("n_docs", "i"), ("avg_logprob", "f"), ("min_logprob", "f"), ("max_logprob", "f"),),
     "doc_bpe_token_budget": (("source", "s"), ("est_tokens", "i"), ("n_docs", "i"),),
     "doc_cdc_dedup": (("source", "s"), ("n_chunks", "i"), ("n_distinct_chunks", "i"), ("total_chunk_chars", "i"), ("distinct_chunk_chars", "i"),),
     "doc_incremental_dedup": (("doc_id", "i"), ("source", "s"),),
@@ -232,7 +233,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     "doc_quality_suite": (
         "doc_quality_by_source", "doc_repetition_filter",
         "doc_pii_redaction", "doc_clean_normalize",
-        "doc_quality_logit",
+        "doc_quality_logit", "doc_bigram_logprob",
     ),
     # end-to-end pipeline hygiene: packing/chunking/decontamination
     "doc_pipeline_suite": (

@@ -195,3 +195,65 @@ def quality_logit_scores(
         F.col("__s.z").alias("z"),
         F.col("__s.prob").alias("prob"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep_cols: tuple[str, ...] = (),
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document mean log p(w_i | w_{i-1}) under the corpus's own
+    add-k-smoothed bigram model — the KenLM/CCNet-style perplexity
+    filter one step up from :func:`unigram_surprisal`: repetitive or
+    template text scores high (predictable), shuffled/garbled text
+    scores low, even when its unigram mix looks normal.
+
+    p(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V) with V = |vocab|;
+    documents with fewer than two tokens are dropped (no bigrams).
+
+    Plan shape: bigrams come from zipping the token array with its
+    own tail (no positional self-join); one shuffle builds the bigram
+    count table and one key-shuffle joins it back (AQE broadcasts it
+    when small); the left-context counts and the vocab size are
+    unigram-scale and broadcast outright; then one per-doc aggregate.
+    At 100 TB the bigram table is the only corpus-proportional side —
+    it shuffles on the 2-token key, never on documents.
+
+    Output: (id, *keep_cols, n_bigrams, mean_logprob).
+    """
+    tl = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        tokens(text_col).alias("__ts"),
+    )
+    n = F.size(F.col("__ts"))
+    bg = tl.filter(n >= 2).select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("__ts"), 1, n - 1),
+                F.slice(F.col("__ts"), 2, n - 1),
+            )
+        ).alias("__bg"),
+    ).select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.col("__bg.0").alias("__w1"), F.col("__bg.1").alias("__w2"),
+    )
+    c2 = bg.groupBy("__w1", "__w2").agg(F.count("*").alias("__c12"))
+    c1 = bg.groupBy("__w1").agg(F.count("*").alias("__c1"))
+    vocab = tl.select(F.explode("__ts").alias("__tok")).agg(
+        F.countDistinct("__tok").alias("__v")
+    )
+    scored = (
+        bg.join(c2, ["__w1", "__w2"])
+        .join(F.broadcast(c1), "__w1")
+        .join(F.broadcast(vocab))
+    )
+    lp = F.log(F.col("__c12") + F.lit(k)) - F.log(
+        F.col("__c1") + F.lit(k) * F.col("__v")
+    )
+    return scored.groupBy(id_col, *[F.col(c) for c in keep_cols]).agg(
+        F.count("*").alias("n_bigrams"),
+        F.avg(lp).alias("mean_logprob"),
+    )

@@ -2932,6 +2932,52 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAM_LOGPROB_SQL = r"""
+    WITH tl AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t <> '') AS ts
+      FROM documents),
+    bg AS (
+      SELECT doc_id, source, ts[i] AS w1, ts[i + 1] AS w2
+      FROM tl, UNNEST(generate_series(1, len(ts) - 1)) AS g(i)
+      WHERE len(ts) >= 2),
+    c2 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1w FROM bg GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS vsz
+          FROM (SELECT unnest(ts) AS tok FROM tl)),
+    per_doc AS (
+      SELECT bg.doc_id, bg.source,
+             avg(ln(c2.c12 + 0.5)
+                 - ln(c1.c1w + 0.5 * (SELECT vsz FROM v))) AS lp
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY bg.doc_id, bg.source)
+    SELECT source, count(*)::BIGINT AS n_docs,
+           round(avg(lp), 6) AS avg_logprob,
+           round(min(lp), 6) AS min_logprob,
+           round(max(lp), 6) AS max_logprob
+    FROM per_doc GROUP BY source
+    """
+
+
+@_q("doc_bigram_logprob", _BIGRAM_LOGPROB_SQL)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity filter (quality.bigram_logprob): mean
+    log p(w_i | w_{i-1}) per doc under the corpus's add-0.5-smoothed
+    bigram model — the KenLM/CCNet-style quality gate — rolled up per
+    source. Bigrams come from zipping each token array with its own
+    tail, so there is no positional self-join; the bigram count table
+    is the only corpus-proportional shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = QL.bigram_logprob(docs, "doc_id", "text", keep_cols=("source",))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("mean_logprob"), 6).alias("avg_logprob"),
+        F.round(F.min("mean_logprob"), 6).alias("min_logprob"),
+        F.round(F.max("mean_logprob"), 6).alias("max_logprob"),
+    )
+
+
 _INCR_NEAR_DEDUP_SQL = """
     WITH g AS (
       SELECT doc_id, list_distinct(list_transform(

@@ -127,3 +127,41 @@ def test_quality_logit_scores_shape_and_sign(spark, sf_dir):
         assert r["prob"] == pytest.approx(1.0 / (1.0 + math.exp(-r["z"])))
     assert rows[1]["z"] > rows[2]["z"]
     assert rows[2]["prob"] < 0.5
+
+
+def test_bigram_logprob_hand_checked(spark):
+    import math
+
+    from fugue_warehouses_spark.extensions.quality import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")],  # doc 3: no bigrams
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(df, "doc_id", "text").collect()}
+    # corpus bigrams: doc1: (a,b),(b,a),(a,b); doc2: (a,b)
+    # c(a b)=3, c(b a)=1, c(a .)=3, c(b .)=1, V=|{a,b,x}|=3, k=0.5
+    p_ab = math.log(3 + 0.5) - math.log(3 + 0.5 * 3)
+    p_ba = math.log(1 + 0.5) - math.log(1 + 0.5 * 3)
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["mean_logprob"] - (2 * p_ab + p_ba) / 3) < 1e-12
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["mean_logprob"] - p_ab) < 1e-12
+    assert 3 not in out, "single-token doc has no bigrams"
+
+
+def test_bigram_logprob_ranks_garbled_below_natural(spark):
+    from fugue_warehouses_spark.extensions.quality import bigram_logprob
+
+    natural = "the cat sat on the mat and the cat sat on the mat again"
+    garbled = "mat the on cat again sat the mat on the and cat sat the"
+    df = spark.createDataFrame(
+        [(1, natural), (2, natural), (3, garbled)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in bigram_logprob(df, "doc_id", "text").collect()
+    }
+    # same unigram mix, but the garbled doc's transitions are rarer
+    assert out[3] < out[1]
