@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "take_top2_per_order",
     "events_hourly_stats",
     "events_json_props",
+    "events_variant_props",
     "events_sessionization",
     "events_tumbling_15m",
     "events_sliding_30m_15m",
@@ -72,6 +73,7 @@ BENCH_QUERIES = [
     "doc_top_tokens",
     "multimodal_features",
     "doc_chunks",
+    "doc_context_windows",
     "doc_training_pipeline",
     "events_props_map",
     "events_running_totals",

@@ -60,6 +60,8 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_incremental_near_dedup": (("id_new", "i"), ("id_match", "i"), ("jaccard_sim", "f"),),
     "doc_export_manifest": (("shard", "i"), ("n_rows", "i"), ("id_checksum", "i"),),
     "doc_chunks": (("doc_id", "i"), ("chunk_idx", "i"), ("chunk_md5", "s"), ("n_tokens", "i"),),
+    "doc_context_windows": (("doc_id", "i"), ("win_idx", "i"), ("n_tokens", "i"), ("win_md5", "s"),),
+    "events_variant_props": (("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("max_k", "i"),),
     "doc_clean_normalize": (("source", "s"), ("n_docs", "i"), ("clean_chars", "i"), ("distinct_cleaned", "i"),),
     "doc_contamination": (("source", "s"), ("n_docs", "i"), ("n_contaminated", "i"),),
     "doc_domain_mixture": (("lang", "s"), ("n_docs", "i"), ("id_sum", "i"),),
@@ -209,6 +211,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "orders_interval_arithmetic", "nation_customer_roster",
         "events_json_props", "events_props_map",
         "orders_approx_distinct_check", "orders_recursive_month_spine",
+        "events_variant_props",
     ),
     # hypertable family: bucketing, gapfill/LOCF, imputation, anomaly,
     # rollup cascade
@@ -240,6 +243,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "doc_training_pipeline", "doc_contamination",
         "doc_train_test_split", "doc_chunks", "doc_cdc_dedup",
         "doc_incremental_dedup", "doc_incremental_near_dedup",
+        "doc_context_windows",
     ),
     # A12/A13 + deterministic sampling/mixture family
     "sampling_suite": (

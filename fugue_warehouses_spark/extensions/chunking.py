@@ -200,3 +200,52 @@ def cdc_sql(
            CAST(sum(l) AS BIGINT) AS distinct_chunk_chars
     FROM ph GROUP BY 1
     """
+
+
+def context_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Overlapping fixed-length token windows — the GPT-style training
+    prep step that slices each document into ``window``-token contexts
+    every ``stride`` tokens (the tail window may be shorter). Returns
+    ``(id, win_idx, n_tokens, win_text)``.
+
+    Implemented as a Spark 4 Python UDTF (table function) applied with
+    a LATERAL join — the idiomatic fan-out surface when one input row
+    yields a variable number of typed output rows; ``useArrow=True``
+    batches rows over Arrow rather than pickling one at a time. The
+    UDTF is per-row work with no shuffle; whatever aggregation follows
+    sees ~len/stride rows per document.
+
+    (Python tokenization here is intentionally the same
+    whitespace-split as functions.text.tokens, so SQL twins can
+    reproduce windows with list_slice arithmetic.)
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="win_idx int, n_tokens int, win_text string",
+          useArrow=True)
+    class _Windows:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").strip().split() if t]
+            n = len(toks)
+            if n == 0:
+                return
+            idx = 0
+            for s in range(0, n, stride):
+                w = toks[s:s + window]
+                yield idx, len(w), " ".join(w)
+                idx += 1
+
+    spark = df.sparkSession
+    spark.udtf.register("__context_windows", _Windows)
+    view = f"__cw_{abs(hash((id_col, text_col, window, stride))) % 10**8}"
+    df.select(F.col(id_col), F.col(text_col)).createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT t.`{id_col}`, c.win_idx, c.n_tokens, c.win_text "
+        f"FROM {view} t, LATERAL __context_windows(t.`{text_col}`) c"
+    )

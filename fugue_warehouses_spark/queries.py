@@ -2932,6 +2932,71 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTEXT_WINDOWS_SQL = r"""
+    WITH tl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t <> '') AS ts
+      FROM documents),
+    w AS (
+      SELECT doc_id,
+             (s - 1) // 8 AS win_idx,
+             least(s + 15, len(ts)) - s + 1 AS n_tokens,
+             array_to_string(list_slice(ts, s, least(s + 15, len(ts))), ' ')
+               AS win_text
+      FROM tl, UNNEST(generate_series(1, len(ts), 8)) AS g(s)
+      WHERE len(ts) > 0)
+    SELECT doc_id, win_idx, CAST(n_tokens AS BIGINT) AS n_tokens,
+           md5(win_text) AS win_md5
+    FROM w
+    """
+
+
+@_q("doc_context_windows", _CONTEXT_WINDOWS_SQL)
+def doc_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style context windowing (chunking.context_windows): every
+    document sliced into overlapping 16-token windows at stride 8 via
+    a Spark 4 Python UDTF (Arrow-batched table function + LATERAL
+    join) — the idiomatic one-row-to-many fan-out surface. Windows are
+    content-checked by md5 so the oracle verifies exact token
+    boundaries, not just counts."""
+    docs = _t(spark, sf_dir, "documents")
+    wins = CH.context_windows(docs, "doc_id", "text", window=16, stride=8)
+    return wins.select(
+        "doc_id",
+        "win_idx",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5("win_text").alias("win_md5"),
+    )
+
+
+_VARIANT_PROPS_SQL = """
+    SELECT event_type,
+           count(*)::BIGINT AS n,
+           sum(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k,
+           max(CAST(props->>'$.k' AS BIGINT))::BIGINT AS max_k
+    FROM events GROUP BY event_type
+    """
+
+
+@_q("events_variant_props", _VARIANT_PROPS_SQL)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: the
+    JSON props column is parsed ONCE into the binary variant encoding
+    (``parse_json``) and fields are extracted with typed
+    ``variant_get`` — the scale path for repeated multi-field access,
+    vs per-field ``get_json_object`` string re-parsing
+    (events_json_props keeps that classic path for contrast)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 _BIGRAM_LOGPROB_SQL = r"""
     WITH tl AS (
       SELECT doc_id, source,

@@ -88,3 +88,22 @@ def test_expected_chunk_length(spark):
     chunks = CH.cdc_chunks(df, divisor=64).collect()
     mean = len(text) / len(chunks)
     assert 64 / 3 < mean < 64 * 3
+
+
+def test_context_windows_exact_slices(spark):
+    from fugue_warehouses_spark.extensions.chunking import context_windows
+
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["win_idx"]): (r["n_tokens"], r["win_text"])
+        for r in context_windows(df, window=4, stride=2).collect()
+    }
+    assert out[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert out[(1, 1)] == (4, "t2 t3 t4 t5")
+    assert out[(1, 4)] == (2, "t8 t9")  # tail window, shorter
+    assert out[(2, 0)] == (2, "a b")
+    assert (3, 0) not in out, "empty doc yields no windows"
+    assert max(i for d, i in out if d == 1) == 4
