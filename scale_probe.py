@@ -99,6 +99,15 @@ def probe(spark, sizes):
         timed("duplicate_span_coverage", n, lambda: D.duplicate_span_coverage(docs, "doc_id", "text").count())
         timed("incremental_dedup", n, lambda: D.incremental_dedup(
             docs.filter(f"doc_id >= {n // 2}"), docs.filter(f"doc_id < {n // 2}")).count())
+        # incremental NEAR-dedup: index built once OUTSIDE the timed
+        # region (that is the point — the rolling-corpus loop pays only
+        # the batch signing per run), batch = the newest 20%
+        idx = D.build_minhash_index(
+            docs.filter(f"doc_id < {n - n // 5}"), "doc_id", "text"
+        ).localCheckpoint()
+        timed("near_dedup_against_index", n, lambda: D.near_dup_pairs_against_index(
+            docs.filter(f"doc_id >= {n - n // 5}"), idx, "doc_id", "text",
+            threshold=0.6, max_bucket_size=64).count())
         timed("similarity_pairs_block", n, lambda: S.similarity_pairs(
             emb, threshold=0.35, method="block").count())
         timed("ivf_topk_hash", n, lambda: S.ivf_topk_hash(

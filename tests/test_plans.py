@@ -333,3 +333,40 @@ def test_no_registry_query_plans_a_cartesian_product(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """DPP: when the fact table is hive-partitioned on the join key and
+    the dimension side carries a selective filter, Spark must inject a
+    runtime dynamicpruning subquery into the fact scan — at 100 TB
+    this is what turns 'join a year of partitions with one region'
+    into reading only that region's partitions."""
+    fact = (
+        load_star_table(spark, sf_dir, "orders")
+        .withColumn("cust_bucket", F.pmod(F.col("o_custkey"), F.lit(16)))
+    )
+    path = str(tmp_path / "orders_by_bucket")
+    fact.write.partitionBy("cust_bucket").parquet(path)
+    dim = (
+        spark.range(16)
+        .withColumnRenamed("id", "cust_bucket")
+        .withColumn("keep", F.col("cust_bucket") < 2)
+        .filter("keep")
+    )
+    j = spark.read.parquet(path).join(dim, "cust_bucket")
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and it computes the right answer over the pruned partitions
+    expected = fact.filter(F.col("cust_bucket") < 2).count()
+    assert j.count() == expected
+
+
+def test_bigram_logprob_broadcasts_small_sides(spark, sf_dir):
+    """The unigram-scale context counts and the vocab scalar must ride
+    broadcasts; only the bigram count table may shuffle-join."""
+    from fugue_warehouses_spark.extensions.quality import bigram_logprob
+
+    docs = load_star_table(spark, sf_dir, "documents")
+    plan = _plan(bigram_logprob(docs, "doc_id", "text"))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
