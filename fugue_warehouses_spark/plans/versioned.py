@@ -174,11 +174,15 @@ def upsert_version(
 
     One anti-join shuffle on the keys — the same cost as any MERGE —
     plus the version write. On a first write (empty store) the updates
-    become v_00001.
+    become v_00001. Schema evolution is merge-on-write: a column only
+    one side carries is null-filled on the other (``unionByName(
+    allowMissingColumns=True)``), so adding a column to the feed never
+    breaks the store — the Delta/Iceberg ``mergeSchema`` behavior.
     """
     try:
         cur = read_version(spark, store)
     except FileNotFoundError:
         return write_version(updates, store, spark)
     survivors = cur.join(updates.select(*keys), keys, "left_anti")
-    return write_version(updates.unionByName(survivors), store, spark)
+    merged = updates.unionByName(survivors, allowMissingColumns=True)
+    return write_version(merged, store, spark)

@@ -199,3 +199,21 @@ def test_distributed_zone_map_first_file_without_stats(spark, tmp_path):
     assert [k.rsplit("/", 1)[1] for k in kept] == ["a.parquet", "b.parquet"]
     kept2 = SK.prune_files(zm, "x", 250, None)
     assert [k.rsplit("/", 1)[1] for k in kept2] == ["a.parquet"]
+
+
+def test_versioned_upsert_schema_evolution(spark, tmp_path):
+    """A new column arriving in the update feed merges on write: old
+    rows null-fill it, pinned old versions keep the old schema."""
+    store = str(tmp_path / "vstore5")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, tag string")
+    updates = spark.createDataFrame(
+        [(2, "b2", 9.0), (3, "c", 7.0)], "k long, tag string, score double"
+    )
+    V.upsert_version(spark, store, base, ["k"])
+    V.upsert_version(spark, store, updates, ["k"])
+    latest = {
+        r["k"]: (r["tag"], r["score"])
+        for r in V.read_version(spark, store).collect()
+    }
+    assert latest == {1: ("a", None), 2: ("b2", 9.0), 3: ("c", 7.0)}
+    assert V.read_version(spark, store, 1).columns == ["k", "tag"]
