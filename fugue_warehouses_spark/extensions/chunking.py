@@ -215,9 +215,12 @@ def context_windows(
     ``(id, win_idx, n_tokens, win_text)``.
 
     Implemented as a Spark 4 Python UDTF (table function) applied with
-    a LATERAL join — the idiomatic fan-out surface when one input row
-    yields a variable number of typed output rows; ``useArrow=True``
-    batches rows over Arrow rather than pickling one at a time. The
+    ``DataFrame.lateralJoin`` — the idiomatic fan-out surface when one
+    input row yields a variable number of typed output rows;
+    ``useArrow=True`` batches rows over Arrow rather than pickling one
+    at a time, and the DataFrame-native lateral join keeps the whole
+    thing out of the session catalog (no temp views or function
+    registrations to race or leak between concurrent callers). The
     UDTF is per-row work with no shuffle; whatever aggregation follows
     sees ~len/stride rows per document.
 
@@ -241,11 +244,6 @@ def context_windows(
                 yield idx, len(w), " ".join(w)
                 idx += 1
 
-    spark = df.sparkSession
-    spark.udtf.register("__context_windows", _Windows)
-    view = f"__cw_{abs(hash((id_col, text_col, window, stride))) % 10**8}"
-    df.select(F.col(id_col), F.col(text_col)).createOrReplaceTempView(view)
-    return spark.sql(
-        f"SELECT t.`{id_col}`, c.win_idx, c.n_tokens, c.win_text "
-        f"FROM {view} t, LATERAL __context_windows(t.`{text_col}`) c"
-    )
+    return df.select(F.col(id_col), F.col(text_col)).lateralJoin(
+        _Windows(F.col(text_col).outer())
+    ).select(id_col, "win_idx", "n_tokens", "win_text")

@@ -164,14 +164,10 @@ def lsh_candidate_pairs(
     chances, and degenerate boilerplate is usually better handled by
     exact dedup first. Default off (exact recall preserved).
     """
-    banded = _band_buckets(df, id_col, bands, rows_per_band, sig_col)
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
+    banded = _cap_buckets(
+        _band_buckets(df, id_col, bands, rows_per_band, sig_col),
+        max_bucket_size,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -179,6 +175,23 @@ def lsh_candidate_pairs(
         .filter(F.col("a.__id") < F.col("b.__id"))
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
+    )
+
+
+def _cap_buckets(
+    banded: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Mega-bucket guard shared by both LSH paths: drop (band, bucket)
+    groups above the cap BEFORE the self-join (one window over the
+    already-shuffled key, no extra shuffle). See lsh_candidate_pairs'
+    docstring for the recall trade-off."""
+    if max_bucket_size is None:
+        return banded
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
     )
 
 
@@ -778,10 +791,30 @@ def _band_buckets(
     bands: int,
     rows_per_band: int,
     sig_col: str = "__sig",
+    expected_len: int | None = None,
 ) -> DataFrame:
     """(id, band, bucket) — one row per (doc, band slice); the shared
     LSH banding explode behind :func:`lsh_candidate_pairs` and
-    :func:`near_dup_pairs_against_index`."""
+    :func:`near_dup_pairs_against_index`.
+
+    ``expected_len`` adds an in-plan guard (a per-row ``when`` on the
+    signature length feeding ``raise_error``) used when the signatures
+    come from a PERSISTED index: banding a stored signature shorter
+    than ``num_hashes`` would silently hash empty slices and miss
+    every cross pair, so a mismatch must fail the job loudly. The
+    guard is lazy on purpose — an eager one-row probe would force a
+    blocking materialization of lazily-checkpointed inputs."""
+    if expected_len is not None:
+        msg = (
+            f"stored signature length != num_hashes={expected_len} — "
+            "rebuild the index or pass the num_hashes it was built with"
+        )
+        sig_df = sig_df.withColumn(
+            sig_col,
+            F.when(
+                F.size(F.col(sig_col)) == expected_len, F.col(sig_col)
+            ).otherwise(F.raise_error(F.lit(msg))),
+        )
     return sig_df.select(
         F.col(id_col).alias("__id"),
         F.explode(
@@ -830,6 +863,11 @@ def near_dup_pairs_against_index(
     (batch + index) before the self-join. Candidate pairs are tiny
     relative to the index, so AQE broadcasts them into the grams join
     rather than shuffling the index.
+
+    The index's stored signature length must equal ``num_hashes`` —
+    banding a shorter stored signature would silently hash empty
+    slices on the index side and miss every cross pair, so an in-plan
+    guard fails the job on the first mismatching row.
     """
     rows_per_band = max(1, num_hashes // bands)
     new_sig = _shingle_minhash_numpy(
@@ -839,17 +877,13 @@ def near_dup_pairs_against_index(
         _band_buckets(new_sig, id_col, bands, rows_per_band)
         .withColumn("__new", F.lit(True))
         .unionByName(
-            _band_buckets(index_df, id_col, bands, rows_per_band)
-            .withColumn("__new", F.lit(False))
+            _band_buckets(
+                index_df, id_col, bands, rows_per_band,
+                expected_len=num_hashes,
+            ).withColumn("__new", F.lit(False))
         )
     )
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
+    banded = _cap_buckets(banded, max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, on=["band", "bucket"], how="inner")
@@ -864,15 +898,16 @@ def near_dup_pairs_against_index(
         )
         .distinct()
     )
-    grams_all = new_sig.select(
-        F.col(id_col), F.col("__grams")
-    ).unionByName(index_df.select(F.col(id_col), F.col("__grams")))
-    ga = grams_all.select(
+    # id_new is always a batch doc, so the left verify side joins the
+    # batch grams only; only id_match (index doc or earlier batch doc)
+    # needs the batch+index union — the stored index shingle arrays
+    # (the dominant index bytes) are read once, not twice
+    ga = new_sig.select(
         F.col(id_col).alias("id_new"), F.col("__grams").alias("__ga")
     )
-    gb = grams_all.select(
-        F.col(id_col).alias("id_match"), F.col("__grams").alias("__gb")
-    )
+    gb = new_sig.select(F.col(id_col), F.col("__grams")).unionByName(
+        index_df.select(F.col(id_col), F.col("__grams"))
+    ).select(F.col(id_col).alias("id_match"), F.col("__grams").alias("__gb"))
     na, nb = F.size(F.col("__ga")), F.size(F.col("__gb"))
     return (
         pairs.join(ga, "id_new")

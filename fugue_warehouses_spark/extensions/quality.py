@@ -239,7 +239,12 @@ def bigram_logprob(
     ).select(
         F.col(id_col), *[F.col(c) for c in keep_cols],
         F.col("__bg.0").alias("__w1"), F.col("__bg.1").alias("__w2"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ lazy barrier: bg feeds three branches (c2, c1, scored) — without
+    # it the explode subtree re-runs per branch. tl (scan + split) is
+    # deliberately NOT checkpointed: its two consumers re-run a pruned
+    # one-column scan + codegen split, which measures cheaper than
+    # materializing corpus-sized token arrays (0.94s vs 1.57s at sf0.1).
     c2 = bg.groupBy("__w1", "__w2").agg(F.count("*").alias("__c12"))
     c1 = bg.groupBy("__w1").agg(F.count("*").alias("__c1"))
     vocab = tl.select(F.explode("__ts").alias("__tok")).agg(

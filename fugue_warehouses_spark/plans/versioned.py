@@ -165,6 +165,7 @@ def upsert_version(
     store: str,
     updates: DataFrame,
     keys: list[str],
+    allow_missing_update_columns: bool = False,
 ) -> int:
     """MERGE-style upsert materialized as a NEW immutable version:
     latest-version rows whose key is absent from ``updates`` survive,
@@ -174,15 +175,25 @@ def upsert_version(
 
     One anti-join shuffle on the keys — the same cost as any MERGE —
     plus the version write. On a first write (empty store) the updates
-    become v_00001. Schema evolution is merge-on-write: a column only
-    one side carries is null-filled on the other (``unionByName(
-    allowMissingColumns=True)``), so adding a column to the feed never
-    breaks the store — the Delta/Iceberg ``mergeSchema`` behavior.
+    become v_00001. Schema evolution is ADD-only merge-on-write: a NEW
+    column in the feed null-fills surviving old rows (the
+    Delta/Iceberg ``mergeSchema`` behavior). A feed MISSING columns
+    the store has fails loudly — silently null-filling existing data
+    because upstream dropped (or typo-renamed) a column would corrupt
+    the new latest snapshot; pass
+    ``allow_missing_update_columns=True`` to opt in deliberately.
     """
     try:
         cur = read_version(spark, store)
     except FileNotFoundError:
         return write_version(updates, store, spark)
+    dropped = set(cur.columns) - set(updates.columns)
+    if dropped and not allow_missing_update_columns:
+        raise ValueError(
+            f"update feed is missing store columns {sorted(dropped)}; "
+            "add them, or pass allow_missing_update_columns=True to "
+            "null-fill them on updated rows deliberately"
+        )
     survivors = cur.join(updates.select(*keys), keys, "left_anti")
     merged = updates.unionByName(survivors, allowMissingColumns=True)
     return write_version(merged, store, spark)

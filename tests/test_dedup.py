@@ -282,3 +282,10 @@ def test_near_dup_against_persisted_index(spark, tables, tmp_path):
     # the index side (signatures + grams come from the store)
     files = set(persisted.inputFiles())
     assert any("minhash_index" in f for f in files)
+
+
+def test_near_dup_against_index_rejects_num_hashes_mismatch(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    idx = D.build_minhash_index(df, num_hashes=32)
+    with pytest.raises(Exception, match="num_hashes=64"):
+        D.near_dup_pairs_against_index(df, idx, num_hashes=64).count()

@@ -217,3 +217,18 @@ def test_versioned_upsert_schema_evolution(spark, tmp_path):
     }
     assert latest == {1: ("a", None), 2: ("b2", 9.0), 3: ("c", 7.0)}
     assert V.read_version(spark, store, 1).columns == ["k", "tag"]
+
+
+def test_versioned_upsert_rejects_dropped_columns(spark, tmp_path):
+    store = str(tmp_path / "vstore6")
+    base = spark.createDataFrame([(1, "a", 1.0)], "k long, tag string, v double")
+    V.upsert_version(spark, store, base, ["k"])
+    narrower = spark.createDataFrame([(2, "b")], "k long, tag string")
+    with pytest.raises(ValueError, match="missing store columns"):
+        V.upsert_version(spark, store, narrower, ["k"])
+    # explicit opt-in null-fills deliberately
+    V.upsert_version(
+        spark, store, narrower, ["k"], allow_missing_update_columns=True
+    )
+    latest = {r["k"]: r["v"] for r in V.read_version(spark, store).collect()}
+    assert latest == {1: 1.0, 2: None}
