@@ -25,7 +25,10 @@ from fugue_warehouses_spark.streaming.windows import (
     sliding_agg,
     tumbling_agg,
 )
-from fugue_warehouses_spark.streaming.dedup import dedup_within_watermark
+from fugue_warehouses_spark.streaming.dedup import (
+    dedup_within_watermark,
+    incremental_ingest_dedup,
+)
 from fugue_warehouses_spark.streaming.joins import interval_join
 from fugue_warehouses_spark.streaming.stateful import bucket_locf, running_totals
 
@@ -38,6 +41,7 @@ __all__ = [
     "sliding_agg",
     "session_agg",
     "dedup_within_watermark",
+    "incremental_ingest_dedup",
     "bucket_locf",
     "running_totals",
 ]

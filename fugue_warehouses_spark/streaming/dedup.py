@@ -34,3 +34,49 @@ def dedup_within_watermark(
     if ntz:
         out = out.withColumn(time_col, F.col(time_col).cast("timestamp_ntz"))
     return out
+
+
+def incremental_ingest_dedup(
+    stream_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Continuous-ingest content dedup as a STREAMING job: each
+    arriving document is dropped if its normalized-text fingerprint
+    (functions.text.fingerprint — the same 16-byte key the batch
+    pipeline shuffles) is already in the static history table, or was
+    already seen on the stream within the watermark horizon.
+
+    The history side is a stream-static ``left_anti`` join — Spark
+    re-plans the static side per micro-batch, so the history frame can
+    point at the versioned fingerprint store and new versions are
+    picked up without restarting the query. Within-stream dedup is
+    ``dropDuplicatesWithinWatermark`` on the fingerprint: state holds
+    one 16-byte key per unseen document within the horizon, evicted as
+    the watermark passes — bounded regardless of stream length.
+
+    On a batch frame this degrades to exactly
+    ``extensions.dedup.incremental_dedup`` (min-id representative) —
+    the batch twin the oracle checks.
+    """
+    from fugue_warehouses_spark.extensions.dedup import incremental_dedup
+    from fugue_warehouses_spark.functions.text import fingerprint
+
+    if not stream_df.isStreaming:
+        return incremental_dedup(stream_df, history_df, text_col, id_col)
+    seen = history_df.select(fingerprint(text_col).alias("__fp")).distinct()
+    fresh = stream_df.withColumn("__fp", fingerprint(text_col)).join(
+        seen, "__fp", "left_anti"
+    )
+    ntz = dict(stream_df.dtypes).get(time_col) == "timestamp_ntz"
+    if ntz:
+        fresh = fresh.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    out = fresh.withWatermark(time_col, delay).dropDuplicatesWithinWatermark(
+        ["__fp"]
+    )
+    if ntz:
+        out = out.withColumn(time_col, F.col(time_col).cast("timestamp_ntz"))
+    return out.drop("__fp")

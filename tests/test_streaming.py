@@ -382,3 +382,37 @@ def test_bucket_locf_batch_equals_oracle_checked_gapfill(spark, events_path):
     via_batch = gapfill_locf(batch, "user_id", "ts", "value", 300_000_000)
     cols = ["user_id", "bucket", "n_events", "locf_sum"]
     assert _sorted_rows(via_stateful, cols) == _sorted_rows(via_batch, cols)
+
+
+def test_incremental_ingest_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming continuous-ingest dedup: the fingerprints surviving
+    the streamed run equal the batch incremental_dedup twin's (ids may
+    differ on within-stream ties — first-arrival vs min-id — so the
+    contract is over content, which is what dedup is about)."""
+    from fugue_warehouses_spark.functions.text import fingerprint
+    from fugue_warehouses_spark.streaming import incremental_ingest_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    thr = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    history = docs.filter(F.col("doc_id") < thr)
+    batch_feed = docs.filter(F.col("doc_id") >= thr).withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    feed_path = str(tmp_path / "feed")
+    batch_feed.write.parquet(feed_path)
+
+    stream = read_parquet_stream(spark, feed_path)
+    kept_stream = run_available_now(
+        incremental_ingest_dedup(stream, history, "text", "doc_id", "ts")
+    )
+    kept_batch = incremental_ingest_dedup(
+        spark.read.parquet(feed_path), history, "text", "doc_id", "ts"
+    )
+    fps = lambda df: sorted(
+        r[0] for r in df.select(fingerprint("text")).distinct().collect()
+    )
+    assert fps(kept_stream) == fps(kept_batch)
+    assert kept_stream.count() == kept_batch.count() > 0
+    # nothing kept may collide with history content
+    hist_fps = set(fps(history))
+    assert not set(fps(kept_stream)) & hist_fps
