@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "doc_exact_dedup",
     "doc_pack_sequences",
     "doc_stratified_sample",
+    "doc_alpha_mixture",
     "doc_clean_normalize",
     "doc_contamination",
     "customer_balance_upsert",

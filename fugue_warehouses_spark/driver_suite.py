@@ -64,6 +64,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "events_variant_props": (("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("max_k", "i"),),
     "doc_clean_normalize": (("source", "s"), ("n_docs", "i"), ("clean_chars", "i"), ("distinct_cleaned", "i"),),
     "doc_contamination": (("source", "s"), ("n_docs", "i"), ("n_contaminated", "i"),),
+    "doc_alpha_mixture": (("lang", "s"), ("n_docs", "i"), ("id_sum", "i"),),
     "doc_domain_mixture": (("lang", "s"), ("n_docs", "i"), ("id_sum", "i"),),
     "doc_lang_confusion": (("lang_label", "s"), ("lang_pred", "s"), ("n", "i"),),
     "doc_pack_sequences": (("source", "s"), ("seq_id", "i"), ("n_docs", "i"), ("seq_tokens", "i"), ("first_doc", "i"),),
@@ -249,7 +250,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     "sampling_suite": (
         "orders_sample_n_exact", "orders_sample_hash_fraction",
         "orders_weighted_sample", "doc_stratified_sample",
-        "doc_domain_mixture", "doc_pack_sequences",
+        "doc_domain_mixture", "doc_alpha_mixture", "doc_pack_sequences",
     ),
     # mergeable sketches
     "sketch_suite": (

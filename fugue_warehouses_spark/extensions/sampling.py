@@ -100,3 +100,52 @@ def weighted_bernoulli_sample(
         * F.lit(float(2**32))
     )
     return df.filter(draw < thresh)
+
+
+def alpha_flatten_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture flattening (the multilingual
+    "alpha-sampling" of mBERT/XLM-R and data-mixture work): keep each
+    domain at rate ``(n_min / n_domain)^(1-alpha)`` — relative keep
+    rates ∝ n^(alpha-1), so domain sizes after sampling ∝ n^alpha.
+    ``alpha=1`` keeps everything (natural mixture), ``alpha=0`` would
+    equalize all domains to the smallest, 0.5 is the common middle.
+    The smallest domain anchors at rate 1 (this samples, never
+    replicates).
+
+    Inclusion is the same key-hash threshold as the other samplers —
+    a pure function of the data — and the rate derivation stays IN the
+    plan (counts aggregate + two broadcasts), no driver collect, so
+    the whole thing is one narrow filter behind two tiny joins at any
+    scale.
+
+    Cross-engine exactness: for ``alpha=0.5`` the rate is
+    ``sqrt(n_min/n)`` — integer division then sqrt, both correctly
+    rounded under IEEE-754, so the kept row set is bit-identical in
+    the DuckDB oracle. Other alphas go through ``pow``, which may
+    differ by 1 ulp across libm implementations (a ~2^-20 per-domain
+    chance of one boundary row flipping); prefer 0.5 when the sample
+    must be oracle-exact.
+    """
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError("alpha must be in [0, 1]")
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    ratio = F.col("__nmin").cast("double") / F.col("__n").cast("double")
+    if alpha == 0.5:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    with_rate = (
+        df.join(F.broadcast(counts), domain_col)
+        .join(F.broadcast(nmin))
+        .withColumn("__thresh", F.floor(rate * F.lit(float(2**32))))
+    )
+    draw = F.conv(F.substring(_key_hash(key_col), 1, 8), 16, 10).cast("long")
+    return with_rate.filter(draw < F.col("__thresh")).drop(
+        "__n", "__nmin", "__thresh"
+    )

@@ -2899,6 +2899,44 @@ def doc_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ALPHA_MIXTURE_SQL = """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS nmin FROM c),
+    r AS (
+      SELECT lang,
+             CAST(floor(sqrt(CAST((SELECT nmin FROM m) AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                        * 4294967296.0) AS BIGINT) AS thresh
+      FROM c),
+    kept AS (
+      SELECT d.lang, d.doc_id
+      FROM documents d JOIN r USING (lang)
+      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+            < r.thresh)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM kept GROUP BY lang
+    """
+
+
+@_q("doc_alpha_mixture", _ALPHA_MIXTURE_SQL)
+def doc_alpha_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixture
+    (sampling.alpha_flatten_sample, alpha=0.5): keep rate per lang =
+    sqrt(n_min/n), so post-sample sizes ∝ sqrt(n) — the multilingual
+    rebalancing step. sqrt is correctly rounded on both engines, so
+    the kept row SET is bit-identical to the oracle (asserted via
+    per-lang id_sum)."""
+    from fugue_warehouses_spark.extensions.sampling import alpha_flatten_sample
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    kept = alpha_flatten_sample(docs, "lang", "doc_id", alpha=0.5)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
 _INCR_DEDUP_SQL = r"""
     WITH split AS (SELECT max(doc_id) // 2 AS t FROM documents),
     hist AS (

@@ -287,3 +287,35 @@ def test_weighted_bernoulli_sample_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_alpha_flatten_sample_rates_and_determinism(spark):
+    from fugue_warehouses_spark.extensions.sampling import alpha_flatten_sample
+
+    rows = (
+        [(i, "big") for i in range(4000)]
+        + [(i + 10_000, "mid") for i in range(1000)]
+        + [(i + 20_000, "small") for i in range(250)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = alpha_flatten_sample(df, "lang", "doc_id", alpha=0.5)
+    counts = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # smallest domain anchors at rate 1 (every row kept)
+    assert counts["small"] == 250
+    # expected rates: mid sqrt(250/1000)=0.5, big sqrt(250/4000)=0.25
+    assert abs(counts["mid"] / 1000 - 0.5) < 0.06
+    assert abs(counts["big"] / 4000 - 0.25) < 0.04
+    # deterministic: same rows regardless of partitioning
+    ids_a = sorted(r["doc_id"] for r in kept.collect())
+    ids_b = sorted(
+        r["doc_id"]
+        for r in alpha_flatten_sample(
+            df.repartition(17), "lang", "doc_id", alpha=0.5
+        ).collect()
+    )
+    assert ids_a == ids_b
+    # alpha=1 keeps the natural mixture (everything)
+    assert alpha_flatten_sample(df, "lang", "doc_id", alpha=1.0).count() == len(rows)
