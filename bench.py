@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "orders_window_suite",
     "customer_fuzzy_match",
     "orders_kmv_rollup",
+    "orders_kmv_set_ops",
     "doc_unigram_surprisal",
     "doc_bigram_logprob",
     "lineitem_stats_suite",

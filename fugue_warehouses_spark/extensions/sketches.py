@@ -292,3 +292,101 @@ def cms_sql(
     FROM probe LEFT JOIN sk USING (r, bucket)
     GROUP BY 1
     """
+
+
+def kmv_set_estimates(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Set-operation estimates from two KMV sketches — the Theta-sketch
+    algebra (Druid/DataSketches) on the KMV register set: A, B, A∪B
+    and A∩B cardinalities, all computed from at most ``k`` hashes per
+    side, never from the raw sets.
+
+    - union: the k smallest of the combined registers are exactly what
+      a fresh sketch of A∪B would hold — standard estimate.
+    - intersection: theta = min(theta_A, theta_B) where theta_X is the
+      sketch's k-th min hash (or the full hash space when the sketch
+      is under capacity and therefore exact). Registers below theta
+      present in BOTH sketches form a uniform sample of A∩B at rate
+      theta/2^60, so |A∩B| ≈ |sample| * 2^60 / theta. Under-capacity
+      sketches make the estimate exact.
+
+    Everything after the two sketch builds operates on ≤ 2k register
+    rows (broadcast-sized at any corpus scale); md5-derived registers
+    make every estimate hash-identical in the DuckDB oracle.
+
+    Output rows: (op ∈ 'A' | 'B' | 'UNION' | 'INTERSECT',
+    est_distinct BIGINT, sample_size BIGINT, theta BIGINT).
+    """
+    ska = kmv_sketch(df_a, col, k).localCheckpoint(eager=False)
+    skb = kmv_sketch(df_b, col, k).localCheckpoint(eager=False)
+
+    def stats(sk, op):
+        return sk.agg(
+            F.count(F.lit(1)).alias("sketch_size"),
+            F.max("h").alias("kth"),
+        ).select(
+            F.lit(op).alias("op"),
+            "sketch_size",
+            F.when(F.col("sketch_size") < k, F.lit(_M60))
+            .otherwise(F.col("kth"))
+            .alias("theta"),
+            F.col("kth"),
+        )
+
+    sa, sb = stats(ska, "A"), stats(skb, "B")
+    numer = float((k - 1) * _M60)
+
+    def estimate(st):
+        est = F.when(
+            F.col("sketch_size") < k, F.col("sketch_size").cast("double")
+        ).otherwise(
+            F.lit(numer) / F.greatest(F.col("kth"), F.lit(1)).cast("double")
+        )
+        return st.select(
+            "op",
+            F.floor(est).cast("long").alias("est_distinct"),
+            F.col("sketch_size").cast("long").alias("sample_size"),
+            F.col("theta").cast("long").alias("theta"),
+        )
+
+    union_sk = ska.unionByName(skb).distinct().orderBy("h").limit(k)
+    union_row = estimate(stats(union_sk, "UNION"))
+
+    theta = (
+        sa.select(F.col("theta").alias("ta"))
+        .crossJoin(sb.select(F.col("theta").alias("tb")))
+        .select(F.least("ta", "tb").alias("theta"))
+    )
+    inter_sample = (
+        ska.join(skb, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("theta")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # theta group may be empty when no register collides: rebuild from
+    # the theta scalar so INTERSECT always emits one row
+    inter_row = (
+        theta.join(inter_sample, "theta", "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .select(
+            F.lit("INTERSECT").alias("op"),
+            F.floor(
+                F.col("c").cast("double")
+                * F.lit(float(_M60))
+                / F.col("theta").cast("double")
+            ).cast("long").alias("est_distinct"),
+            F.col("c").cast("long").alias("sample_size"),
+            F.col("theta").cast("long").alias("theta"),
+        )
+    )
+    return (
+        estimate(sa)
+        .unionByName(estimate(sb))
+        .unionByName(union_row)
+        .unionByName(inter_row)
+    )

@@ -4456,6 +4456,74 @@ def orders_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.kmv_rollup(orders, "o_orderpriority", "o_custkey", k=256)
 
 
+_KMV_SET_OPS_SQL = f"""
+    WITH ha AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+               ::UBIGINT AS h
+      FROM orders WHERE o_orderpriority = '1-URGENT'),
+    hb AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+               ::UBIGINT AS h
+      FROM orders WHERE o_orderpriority = '2-HIGH'),
+    ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+    un  AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+            ORDER BY h LIMIT 256),
+    sta AS (SELECT 'A' AS op, count(*) AS sz, CAST(max(h) AS BIGINT) AS kth
+            FROM ska),
+    stb AS (SELECT 'B' AS op, count(*) AS sz, CAST(max(h) AS BIGINT) AS kth
+            FROM skb),
+    stu AS (SELECT 'UNION' AS op, count(*) AS sz, CAST(max(h) AS BIGINT) AS kth
+            FROM un),
+    sts AS (
+      SELECT op, sz,
+             CASE WHEN sz < 256 THEN {1 << 60} ELSE kth END AS theta, kth
+      FROM (SELECT * FROM sta UNION ALL SELECT * FROM stb
+            UNION ALL SELECT * FROM stu)),
+    th AS (
+      SELECT least((SELECT theta FROM sts WHERE op = 'A'),
+                   (SELECT theta FROM sts WHERE op = 'B')) AS theta),
+    isect AS (
+      SELECT count(*) AS c FROM ska JOIN skb USING (h), th
+      WHERE CAST(h AS BIGINT) < th.theta),
+    base AS (
+      SELECT op,
+             CAST(floor(CASE WHEN sz < 256 THEN CAST(sz AS DOUBLE)
+                             ELSE {float(255 * (1 << 60))!r}
+                                  / CAST(greatest(kth, 1) AS DOUBLE) END)
+                  AS BIGINT) AS est_distinct,
+             CAST(sz AS BIGINT) AS sample_size,
+             CAST(theta AS BIGINT) AS theta
+      FROM sts),
+    inter AS (
+      SELECT 'INTERSECT' AS op,
+             CAST(floor((CAST(isect.c AS DOUBLE) * {float(1 << 60)!r})
+                        / CAST(th.theta AS DOUBLE)) AS BIGINT) AS est_distinct,
+             CAST(isect.c AS BIGINT) AS sample_size,
+             CAST(th.theta AS BIGINT) AS theta
+      FROM isect, th)
+    SELECT * FROM base UNION ALL SELECT * FROM inter
+    """
+
+
+@_q("orders_kmv_set_ops", _KMV_SET_OPS_SQL)
+def orders_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra on KMV registers
+    (sketches.kmv_set_estimates): estimated cardinalities of the
+    URGENT-priority customer set, the HIGH-priority customer set,
+    their union (register merge) and their intersection (registers
+    below the common theta present in both sketches) — all from ≤256
+    hashes per side, no raw-set rescans. md5-derived registers make
+    every estimate hash-identical in DuckDB."""
+    orders = _t(spark, sf_dir, "orders")
+    return SK.kmv_set_estimates(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        orders.filter(F.col("o_orderpriority") == "2-HIGH"),
+        "o_custkey",
+        k=256,
+    )
+
+
 _SURPRISAL_SQL = r"""
     WITH toks AS (
       SELECT d.doc_id, d.source, tok FROM documents d,

@@ -100,3 +100,42 @@ def test_kmv_rollup_merge_equals_fresh_sketch(spark):
     assert rows["ALL"]["kth_min_hash"] == fresh["kth_min_hash"]
     # estimates track truth within the usual ~1/sqrt(k) band
     assert abs(rows["ALL"]["est_distinct"] - 1900) / 1900 < 0.25
+
+
+def test_kmv_set_estimates_accuracy(spark):
+    from fugue_warehouses_spark.extensions.sketches import kmv_set_estimates
+
+    # A = {0..3999}, B = {2000..7999}: |A|=4000, |B|=6000,
+    # |A∪B|=8000, |A∩B|=2000
+    a = spark.range(0, 4000).withColumnRenamed("id", "v")
+    b = spark.range(2000, 8000).withColumnRenamed("id", "v")
+    est = {r["op"]: r for r in kmv_set_estimates(a, b, "v", k=256).collect()}
+    truth = {"A": 4000, "B": 6000, "UNION": 8000, "INTERSECT": 2000}
+    for op, t in truth.items():
+        e = est[op]["est_distinct"]
+        # KMV with k=256 has ~1/sqrt(k) ≈ 6% RSE; intersection compounds
+        # both sketches' error — allow 25%
+        tol = 0.25 if op == "INTERSECT" else 0.15
+        assert abs(e - t) / t < tol, (op, e, t)
+    assert est["INTERSECT"]["theta"] == min(est["A"]["theta"], est["B"]["theta"])
+
+
+def test_kmv_set_estimates_exact_under_capacity(spark):
+    from fugue_warehouses_spark.extensions.sketches import kmv_set_estimates
+
+    a = spark.range(0, 100).withColumnRenamed("id", "v")
+    b = spark.range(50, 150).withColumnRenamed("id", "v")
+    est = {r["op"]: r["est_distinct"]
+           for r in kmv_set_estimates(a, b, "v", k=256).collect()}
+    # both sketches under capacity -> all four estimates are EXACT
+    assert est == {"A": 100, "B": 100, "UNION": 150, "INTERSECT": 50}
+
+
+def test_kmv_set_estimates_disjoint_sets(spark):
+    from fugue_warehouses_spark.extensions.sketches import kmv_set_estimates
+
+    a = spark.range(0, 5000).withColumnRenamed("id", "v")
+    b = spark.range(100_000, 105_000).withColumnRenamed("id", "v")
+    est = {r["op"]: r for r in kmv_set_estimates(a, b, "v", k=128).collect()}
+    # INTERSECT row must exist with a (near-)zero estimate
+    assert est["INTERSECT"]["sample_size"] <= 2
