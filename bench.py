@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "customer_fuzzy_match",
     "orders_kmv_rollup",
     "orders_kmv_set_ops",
+    "events_sliding_distinct_users",
     "doc_unigram_surprisal",
     "doc_bigram_logprob",
     "lineitem_stats_suite",

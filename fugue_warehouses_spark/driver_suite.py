@@ -66,6 +66,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_contamination": (("source", "s"), ("n_docs", "i"), ("n_contaminated", "i"),),
     "doc_alpha_mixture": (("lang", "s"), ("n_docs", "i"), ("id_sum", "i"),),
     "orders_kmv_set_ops": (("op", "s"), ("est_distinct", "i"), ("sample_size", "i"), ("theta", "i"),),
+    "events_sliding_distinct_users": (("bucket", "i"), ("est_distinct", "i"), ("sketch_size", "i"), ("kth_min_hash", "i"),),
     "doc_domain_mixture": (("lang", "s"), ("n_docs", "i"), ("id_sum", "i"),),
     "doc_lang_confusion": (("lang_label", "s"), ("lang_pred", "s"), ("n", "i"),),
     "doc_pack_sequences": (("source", "s"), ("seq_id", "i"), ("n_docs", "i"), ("seq_tokens", "i"), ("first_doc", "i"),),
@@ -257,6 +258,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     "sketch_suite": (
         "orders_kmv_distinct", "orders_kmv_rollup",
         "events_cms_user_counts", "orders_kmv_set_ops",
+        "events_sliding_distinct_users",
     ),
     # distribution statistics family
     "stats_suite": (

@@ -390,3 +390,70 @@ def kmv_set_estimates(
         .unionByName(union_row)
         .unionByName(inter_row)
     )
+
+
+def kmv_trailing_rollup(
+    df: DataFrame,
+    bucket_col: str,
+    col: str,
+    k: int = 256,
+    trailing: int = 4,
+) -> DataFrame:
+    """Sliding distinct-count over time buckets from per-bucket KMV
+    sketches — "distinct users over the trailing hour, every 15
+    minutes" without ever holding a distinct set per window: each
+    bucket keeps its k smallest registers ONCE, every register
+    contributes to the ``trailing`` windows ending at or after its
+    bucket (an explode of k·trailing rows per bucket, independent of
+    data volume), and each window's k smallest merged registers yield
+    the estimate. Lossless merge: the k smallest of a union are each
+    among the k smallest of their own bucket.
+
+    Windows are emitted only for buckets present in the data; a
+    window's trailing range covers buckets (b-trailing+1 .. b) that
+    exist. Output per bucket: (bucket, est_distinct, sketch_size,
+    kth_min_hash) — under-capacity windows are exact, like every KMV
+    estimate here.
+    """
+    from pyspark.sql.window import Window
+
+    hs = df.select(
+        F.col(bucket_col).cast("long").alias("b"),
+        hash60(F.col(col)).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("b").orderBy("h")
+    sk = (
+        hs.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+    contrib = sk.select(
+        F.explode(
+            F.sequence(F.col("b"), F.col("b") + F.lit(trailing - 1))
+        ).alias("bucket"),
+        "h",
+    )
+    valid = hs.select(F.col("b").alias("bucket")).distinct()
+    cand = contrib.join(F.broadcast(valid), "bucket").distinct()
+    w2 = Window.partitionBy("bucket").orderBy("h")
+    merged = (
+        cand.withColumn("__r", F.row_number().over(w2))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+    per = merged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("sketch_size"),
+        F.max("h").alias("kth_min_hash"),
+    )
+    numer = float((k - 1) * _M60)
+    est = F.when(
+        F.col("sketch_size") < k, F.col("sketch_size").cast("double")
+    ).otherwise(
+        F.lit(numer) / F.greatest(F.col("kth_min_hash"), F.lit(1)).cast("double")
+    )
+    return per.select(
+        "bucket",
+        F.floor(est).cast("long").alias("est_distinct"),
+        F.col("sketch_size").cast("long").alias("sketch_size"),
+        F.col("kth_min_hash").cast("long").alias("kth_min_hash"),
+    )

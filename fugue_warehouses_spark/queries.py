@@ -4524,6 +4524,54 @@ def orders_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SLIDING_DISTINCT_SQL = f"""
+    WITH hs AS (
+      SELECT DISTINCT epoch_us(ts) // 900000000 AS b,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::UBIGINT AS h
+      FROM events),
+    sk AS (
+      SELECT b, h FROM (
+        SELECT b, h, row_number() OVER (PARTITION BY b ORDER BY h) AS rn
+        FROM hs) WHERE rn <= 32),
+    contrib AS (
+      SELECT b + o AS bucket, h
+      FROM sk, UNNEST(generate_series(0, 3)) AS g(o)),
+    valid AS (SELECT DISTINCT b AS bucket FROM hs),
+    cand AS (SELECT DISTINCT bucket, h FROM contrib JOIN valid USING (bucket)),
+    merged AS (
+      SELECT bucket, h FROM (
+        SELECT bucket, h,
+               row_number() OVER (PARTITION BY bucket ORDER BY h) AS rn
+        FROM cand) WHERE rn <= 32),
+    per AS (
+      SELECT bucket, count(*) AS sz, CAST(max(h) AS BIGINT) AS kth
+      FROM merged GROUP BY bucket)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(floor(CASE WHEN sz < 32 THEN CAST(sz AS DOUBLE)
+                           ELSE {float(31 * (1 << 60))!r}
+                                / CAST(greatest(kth, 1) AS DOUBLE) END)
+                AS BIGINT) AS est_distinct,
+           CAST(sz AS BIGINT) AS sketch_size,
+           kth AS kth_min_hash
+    FROM per
+    """
+
+
+@_q("events_sliding_distinct_users", _SLIDING_DISTINCT_SQL)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour distinct users every 15 minutes from per-bucket
+    KMV sketches (sketches.kmv_trailing_rollup): each 15-min bucket
+    keeps its 32 smallest user-hash registers once; a window's
+    estimate merges the 4 contributing buckets' registers — no
+    per-window distinct sets, shuffle bounded by k·trailing rows per
+    bucket regardless of event volume. md5 registers keep every
+    estimate hash-identical in DuckDB."""
+    ev = _t(spark, sf_dir, "events")
+    bucketed = ev.withColumn("__b", TSO.bucket_index("ts", 900_000_000))
+    return SK.kmv_trailing_rollup(bucketed, "__b", "user_id", k=32, trailing=4)
+
+
 _SURPRISAL_SQL = r"""
     WITH toks AS (
       SELECT d.doc_id, d.source, tok FROM documents d,

@@ -139,3 +139,30 @@ def test_kmv_set_estimates_disjoint_sets(spark):
     est = {r["op"]: r for r in kmv_set_estimates(a, b, "v", k=128).collect()}
     # INTERSECT row must exist with a (near-)zero estimate
     assert est["INTERSECT"]["sample_size"] <= 2
+
+
+def test_kmv_trailing_rollup_windows(spark):
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.extensions.sketches import kmv_trailing_rollup
+
+    # buckets 0..3, each with a disjoint set of 50 users; bucket 5
+    # exists too (gap at 4)
+    rows = [(b, b * 1000 + u) for b in (0, 1, 2, 3, 5) for u in range(50)]
+    df = spark.createDataFrame(rows, "b long, user long")
+    out = {r["bucket"]: r for r in
+           kmv_trailing_rollup(df, "b", "user", k=256, trailing=2).collect()}
+    # window at bucket b covers buckets (b-1, b); all under capacity -> exact
+    assert out[0]["est_distinct"] == 50          # only bucket 0
+    assert out[1]["est_distinct"] == 100         # 0 + 1
+    assert out[3]["est_distinct"] == 100         # 2 + 3
+    assert out[5]["est_distinct"] == 50          # gap: bucket 4 absent
+    assert 4 not in out, "windows only for buckets present in the data"
+    # with shared users the union dedups
+    df2 = spark.createDataFrame(
+        [(0, u) for u in range(50)] + [(1, u) for u in range(50)],
+        "b long, user long",
+    )
+    out2 = {r["bucket"]: r["est_distinct"] for r in
+            kmv_trailing_rollup(df2, "b", "user", k=256, trailing=2).collect()}
+    assert out2 == {0: 50, 1: 50}
