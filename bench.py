@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "events_impute_value",
     "orders_status_islands",
     "doc_bm25_search",
+    "doc_hybrid_search",
     "doc_tfidf_keywords",
     "lineitem_weighted_discount",
     "embedding_outliers",

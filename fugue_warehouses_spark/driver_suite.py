@@ -84,6 +84,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "embedding_norms_by_label": (("label", "i"), ("n", "i"), ("avg_norm", "f"),),
     "embedding_outliers": (("label", "i"), ("n_vecs", "i"), ("n_outliers", "i"), ("avg_cos_centroid", "f"),),
     "doc_tfidf_keywords": (("source", "s"), ("token", "s"), ("tf", "i"), ("score", "f"),),
+    "doc_hybrid_search": (("doc_id", "i"), ("rrf_score", "f"), ("r_lex", "i"), ("r_sem", "i"),),
     "embedding_semantic_dedup": (("label", "i"), ("n_vecs", "i"), ("n_kept", "i"), ("n_dropped", "i"),),
     "events_ewma": (("user_id", "i"), ("n_events", "i"), ("ewma_value", "f"),),
     "events_anomaly_mad": (("user_id", "i"), ("n_values", "i"), ("n_anomalies", "i"), ("median_value", "f"), ("mad_value", "f"),),
@@ -233,7 +234,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     "doc_text_analysis_suite": (
         "doc_token_stats", "doc_bpe_token_budget", "doc_top_tokens",
         "doc_bigram_lift", "doc_unigram_surprisal", "doc_lang_confusion",
-        "doc_tfidf_keywords",
+        "doc_tfidf_keywords", "doc_hybrid_search",
     ),
     # corpus-quality family
     "doc_quality_suite": (

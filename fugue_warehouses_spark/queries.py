@@ -4819,6 +4819,117 @@ from fugue_warehouses_spark.extensions.retrieval import bm25_sql as _bm25_sql  #
 ORACLE["doc_bm25_search"] = _bm25_sql(_BM25_TERMS)
 
 
+def _hybrid_sql() -> str:
+    """DuckDB twin of doc_hybrid_search: the bm25_sql CTE body (top-50
+    leg), a cosine leg anchored at vec 0, and the RRF fusion."""
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, tok FROM documents,
+        UNNEST(string_split_regex(trim(text), '\s+')) AS u(tok)
+      WHERE tok <> ''),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclen),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN ({terms}) GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(((SELECT n FROM stats) - dfreq.df + 0.5)
+                    / (dfreq.df + 0.5) + 1.0)
+                 * (tf.tf * (1.2 + 1.0))
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen.dl
+                                    / (SELECT avgdl FROM stats))))
+               AS score
+      FROM tf JOIN dfreq USING (tok) JOIN doclen USING (doc_id)
+      GROUP BY tf.doc_id),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+               AS r_lex
+      FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 50),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sem0 AS (
+      SELECT c.vec_id AS doc_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cs
+      FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id <> 0),
+    sem AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS r_sem
+      FROM sem0 ORDER BY cs DESC, doc_id LIMIT 50),
+    fused AS (
+      SELECT doc_id,
+             COALESCE(1.0 / (60 + l.r_lex), 0)
+               + COALESCE(1.0 / (60 + s.r_sem), 0) AS rrf,
+             l.r_lex, s.r_sem
+      FROM lex l FULL OUTER JOIN sem s USING (doc_id))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           round(rrf, 6) AS rrf_score,
+           CAST(r_lex AS BIGINT) AS r_lex,
+           CAST(r_sem AS BIGINT) AS r_sem
+    FROM fused ORDER BY round(rrf, 6) DESC, doc_id LIMIT 20
+    """
+
+
+@_q("doc_hybrid_search", _hybrid_sql())
+def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical
+    leg (same probe terms as doc_bm25_search) and a cosine semantic
+    leg (anchor = embedding 0, the same Arrow-batch matmul as
+    embedding_topk) each rank their top-50; RRF fuses as
+    sum(1/(60+rank)) — the standard hybrid-search combiner, exact in
+    doubles so the fused ordering is engine-identical. Both legs are
+    top-k pipelines whose ranked candidate sets are tiny regardless of
+    corpus size; the fusion join touches <= 100 rows."""
+    from pyspark.sql.window import Window as W
+
+    from fugue_warehouses_spark.extensions import retrieval as RT
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = RT.bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+    lex_order = [F.round("score", 6).desc(), F.col("doc_id").asc()]
+    lex = (
+        scored.withColumn("r_lex", F.row_number().over(W.orderBy(*lex_order)))
+        .orderBy(*lex_order)
+        .limit(50)
+        .select("doc_id", "r_lex")
+    )
+    anchor = emb.filter(F.col("vec_id") == 0)
+    sem = (
+        SS.brute_force_topk(emb, anchor, k=50, round_digits=6)
+        .withColumn(
+            "r_sem",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cosine_sim").desc(), F.col("match_id").asc()
+                )
+            ),
+        )
+        .select(F.col("match_id").alias("doc_id"), "r_sem")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_sem")), F.lit(0.0))
+        ).alias("rrf"),
+        "r_lex",
+        "r_sem",
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.col("r_lex").cast("long").alias("r_lex"),
+            F.col("r_sem").cast("long").alias("r_sem"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 _TFIDF_SQL = r"""
     WITH toks AS (
       SELECT source, tok
