@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "doc_pii_redaction",
     "embedding_kmeans",
     "embedding_semantic_dedup",
+    "embedding_ivf_persisted_topk",
     "events_rollup_cascade",
     "orders_weighted_sample",
     "star_quality_checks",

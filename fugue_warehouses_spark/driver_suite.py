@@ -85,6 +85,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "embedding_outliers": (("label", "i"), ("n_vecs", "i"), ("n_outliers", "i"), ("avg_cos_centroid", "f"),),
     "doc_tfidf_keywords": (("source", "s"), ("token", "s"), ("tf", "i"), ("score", "f"),),
     "doc_hybrid_search": (("doc_id", "i"), ("rrf_score", "f"), ("r_lex", "i"), ("r_sem", "i"),),
+    "embedding_ivf_persisted_topk": (("query_id", "i"), ("match_id", "i"), ("cosine_sim", "f"),),
     "embedding_semantic_dedup": (("label", "i"), ("n_vecs", "i"), ("n_kept", "i"), ("n_dropped", "i"),),
     "events_ewma": (("user_id", "i"), ("n_events", "i"), ("ewma_value", "f"),),
     "events_anomaly_mad": (("user_id", "i"), ("n_values", "i"), ("n_anomalies", "i"), ("median_value", "f"), ("mad_value", "f"),),
@@ -270,6 +271,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     "embedding_misc_suite": (
         "embedding_norms_by_label", "embedding_semantic_dedup",
         "embedding_outliers", "embedding_matryoshka_topk",
+        "embedding_ivf_persisted_topk",
     ),
     # funnel/cohort analytics
     "behavior_suite": ("events_cohort_retention", "events_funnel_stages"),

@@ -738,6 +738,34 @@ def ivf_topk_hash(
     shuffled before the candidate set; centroid vectors ride in the
     UDF closure (n_centroids * dim doubles).
     """
+    assigned, centroids = build_ivf_hash_index(
+        corpus, n_centroids, corpus_id, corpus_vec
+    )
+    return ivf_topk_from_index(
+        assigned, centroids, queries, k, n_probe,
+        corpus_id, corpus_vec, query_id, query_vec,
+    )
+
+
+def build_ivf_hash_index(
+    corpus: DataFrame,
+    n_centroids: int = 32,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """The build half of :func:`ivf_topk_hash`, split out so the index
+    PERSISTS across query batches (e.g. via plans/versioned): returns
+
+    - ``assigned``  — (id, vec, cidx): every corpus vector tagged with
+      its best hash-sampled centroid (one Arrow matmul pass), and
+    - ``centroids`` — (cidx, centroid array<double>): the tiny
+      centroid table.
+
+    Write both once; every later :func:`ivf_topk_from_index` call
+    probes WITHOUT re-scanning or re-assigning the corpus — the
+    embedding analog of the MinHash signature index
+    (dedup.build_minhash_index).
+    """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -752,32 +780,16 @@ def ivf_topk_hash(
     cn = np.linalg.norm(cmat, axis=1, keepdims=True)
     cn[cn == 0] = 1.0
     cmat_n = cmat / cn
-
-    # --- probes: rounded-cosine top-n_probe centroids per query ------
-    qids, qmat_n = _collect_query_matrix(queries, query_id, query_vec)
-    qsims = np.round(qmat_n @ cmat_n.T, 6)  # (n_q, n_c)
-    probe_pairs = []
-    for j, qid in enumerate(qids):
-        order = np.lexsort((np.arange(qsims.shape[1]), -qsims[j]))[:n_probe]
-        probe_pairs.extend((int(c), qid) for c in order)
     spark = corpus.sparkSession
-    probes = spark.createDataFrame(
-        pd.DataFrame(probe_pairs, columns=["cidx", "query_id"]).astype(
-            {"cidx": "int32"}
-        ),
-        schema=T.StructType(
-            [
-                T.StructField("cidx", T.IntegerType()),
-                T.StructField("query_id", queries.schema[query_id].dataType),
-            ]
-        ),
+    centroids = spark.createDataFrame(
+        [(int(i), [float(x) for x in cmat[i]]) for i in range(len(cmat))],
+        "cidx int, centroid array<double>",
     )
 
-    # --- assign: one Arrow pass over the corpus ----------------------
     out_schema = T.StructType(
         [
-            T.StructField("match_id", corpus.schema[corpus_id].dataType),
-            T.StructField("__cv", corpus.schema[corpus_vec].dataType),
+            T.StructField(corpus_id, corpus.schema[corpus_id].dataType),
+            T.StructField(corpus_vec, corpus.schema[corpus_vec].dataType),
             T.StructField("cidx", T.IntegerType()),
         ]
     )
@@ -792,14 +804,74 @@ def ivf_topk_hash(
             sims = np.round((m / nr) @ cmat_n.T, 6)
             yield pd.DataFrame(
                 {
-                    "match_id": pdf[corpus_id],
-                    "__cv": pdf[corpus_vec],
+                    corpus_id: pdf[corpus_id],
+                    corpus_vec: pdf[corpus_vec],
                     "cidx": sims.argmax(axis=1).astype("int32"),
                 }
             )
 
-    cb = corpus.select(corpus_id, corpus_vec).mapInPandas(assign, out_schema)
+    assigned = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        assign, out_schema
+    )
+    return assigned, centroids
 
+
+def ivf_topk_from_index(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """The probe half of :func:`ivf_topk_hash` over a (possibly
+    persisted) index from :func:`build_ivf_hash_index`: rank centroids
+    per query (rounded cosine, driver-side over the tiny centroid
+    table), broadcast the (cidx, query) probe pairs into the
+    assignment table, and exact-rerank only the probed cells'
+    vectors. The corpus-sized index is touched by one broadcast-join
+    scan; nothing re-assigns."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent_rows = centroids.orderBy("cidx").collect()
+    if cent_rows and [r["cidx"] for r in cent_rows] != list(
+        range(len(cent_rows))
+    ):
+        raise ValueError("centroid table must have contiguous cidx from 0")
+    cmat = np.array([list(r["centroid"]) for r in cent_rows], dtype="float64")
+    cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    cmat_n = cmat / cn
+
+    qids, qmat_n = _collect_query_matrix(queries, query_id, query_vec)
+    qsims = np.round(qmat_n @ cmat_n.T, 6)  # (n_q, n_c)
+    probe_pairs = []
+    for j, qid in enumerate(qids):
+        order = np.lexsort((np.arange(qsims.shape[1]), -qsims[j]))[:n_probe]
+        probe_pairs.extend((int(c), qid) for c in order)
+    spark = assigned.sparkSession
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_pairs, columns=["cidx", "query_id"]).astype(
+            {"cidx": "int32"}
+        ),
+        schema=T.StructType(
+            [
+                T.StructField("cidx", T.IntegerType()),
+                T.StructField("query_id", queries.schema[query_id].dataType),
+            ]
+        ),
+    )
+
+    cb = assigned.select(
+        F.col(corpus_id).alias("match_id"),
+        F.col(corpus_vec).alias("__cv"),
+        "cidx",
+    )
     qv = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
     )

@@ -1506,6 +1506,35 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.ivf_topk_hash(emb, queries, k=10, n_centroids=32, n_probe=8)
 
 
+@_q("embedding_ivf_persisted_topk", _ivf_hash_sql())
+def embedding_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index ANN workflow: the IVF assignment + centroid
+    tables (similarity.build_ivf_hash_index) are written to the
+    versioned store ONCE and every query batch probes the stored index
+    (ivf_topk_from_index) — no corpus re-scan, no re-assignment; the
+    embedding analog of the MinHash signature index. Same oracle as
+    embedding_ivf_topk because the probe result must be identical
+    whether the index is inline or persisted — that identity IS the
+    index-consistency check."""
+    import tempfile
+
+    from fugue_warehouses_spark.plans import versioned as V
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    assigned, centroids = SS.build_ivf_hash_index(emb, n_centroids=32)
+    store = tempfile.mkdtemp(prefix="wf_ivf_index_")
+    V.write_version(assigned, f"{store}/assigned", spark)
+    V.write_version(centroids, f"{store}/centroids", spark)
+    return SS.ivf_topk_from_index(
+        V.read_version(spark, f"{store}/assigned"),
+        V.read_version(spark, f"{store}/centroids"),
+        queries,
+        k=10,
+        n_probe=8,
+    )
+
+
 # The stub decode kernel is sha256-derived (multimodal.py:_fake_features:
 # feature j of the first digest = uint32 at hex offset 8j of
 # sha256(payload || uint32_be(0)), scaled by 2^-32), so DuckDB can

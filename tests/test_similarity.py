@@ -231,3 +231,30 @@ def test_hard_negative_topk_null_labels_excluded(spark):
     # anchor 10 (label 0): only corpus 3 (label 1) qualifies — 1 has the
     # same label, 2 has NULL; anchor 11 (NULL label) mines nothing
     assert by_q == {10: {3}}
+
+
+def test_ivf_persisted_index_matches_inline(spark, tmp_path):
+    from fugue_warehouses_spark.plans import versioned as V
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(int(i), [float(x) for x in rng.normal(size=16)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 5")
+    inline = S.ivf_topk_hash(emb, queries, k=5, n_centroids=16, n_probe=4)
+    assigned, centroids = S.build_ivf_hash_index(emb, n_centroids=16)
+    V.write_version(assigned, str(tmp_path / "a"), spark)
+    V.write_version(centroids, str(tmp_path / "c"), spark)
+    persisted = S.ivf_topk_from_index(
+        V.read_version(spark, str(tmp_path / "a")),
+        V.read_version(spark, str(tmp_path / "c")),
+        queries, k=5, n_probe=4,
+    )
+    key = lambda df: sorted(
+        (r["query_id"], r["match_id"], round(r["cosine_sim"], 6))
+        for r in df.collect()
+    )
+    assert key(inline) == key(persisted)
+    # the probe plan reads the stored index, not the raw embeddings
+    assert any("/a/" in f or "\\a\\" in f for f in persisted.inputFiles())
