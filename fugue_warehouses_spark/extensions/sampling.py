@@ -140,8 +140,16 @@ def alpha_flatten_sample(
         rate = F.sqrt(ratio)
     else:
         rate = F.pow(ratio, F.lit(1.0 - alpha))
+    # null-safe domain join: a NULL domain is a domain like any other
+    # (groupBy already counts it); a plain equi-join would silently
+    # drop its rows while its count still set __nmin
+    renamed = counts.withColumnRenamed(domain_col, "__dom")
     with_rate = (
-        df.join(F.broadcast(counts), domain_col)
+        df.join(
+            F.broadcast(renamed),
+            df[domain_col].eqNullSafe(renamed["__dom"]),
+        )
+        .drop("__dom")
         .join(F.broadcast(nmin))
         .withColumn("__thresh", F.floor(rate * F.lit(float(2**32))))
     )

@@ -355,6 +355,37 @@ def _pairs_blocked(
         norms[norms == 0] = 1.0
         return mat / norms
 
+    # Tile the per-group matmul: a full group-sims matrix at block size
+    # m is m^2 doubles (10k rows -> 800 MB, x3 with round+mask copies,
+    # x32 concurrent tasks -> memory-bandwidth collapse, measured ~2x
+    # at n=80k). A 2048-row slab bounds every allocation to
+    # 2048 x m, keeping all tasks inside cache-friendly working sets.
+    _SLAB = 2048
+
+    def _slab_pairs(ids_a, mat_a, ids_b, mat_b, same_block):
+        cols_a, cols_b, cols_s = [], [], []
+        for s in range(0, len(ids_a), _SLAB):
+            sims = mat_a[s:s + _SLAB] @ mat_b.T
+            if round_digits is not None:
+                np.round(sims, round_digits, out=sims)
+            mask = sims >= threshold
+            if same_block:
+                # strict upper triangle by id: each pair once
+                mask &= ids_a[s:s + _SLAB, None] < ids_b[None, :]
+            ri, cj = np.nonzero(mask)
+            if len(ri) == 0:
+                continue
+            cols_a.append(ids_a[s + ri])
+            cols_b.append(ids_b[cj])
+            cols_s.append(sims[ri, cj])
+        if not cols_a:
+            return None
+        return (
+            np.concatenate(cols_a),
+            np.concatenate(cols_b),
+            np.concatenate(cols_s),
+        )
+
     def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
         i, j = key
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
@@ -363,25 +394,24 @@ def _pairs_blocked(
         if i == j:
             ids = pdf["__id"].to_numpy()
             mat = _norm_mat(pdf)
-            sims = mat @ mat.T
-            if round_digits is not None:
-                sims = np.round(sims, round_digits)
-            # strict upper triangle by id: each same-block pair once
-            ri, cj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+            out = _slab_pairs(ids, mat, ids, mat, same_block=True)
+            if out is None:
+                return empty
             return pd.DataFrame(
-                {"id_a": ids[ri], "id_b": ids[cj], "cosine_sim": sims[ri, cj]}
+                {"id_a": out[0], "id_b": out[1], "cosine_sim": out[2]}
             )
         pa, pb = pdf[pdf["__blk"] == i], pdf[pdf["__blk"] == j]
         if len(pa) == 0 or len(pb) == 0:
             return empty
         ids_a, ids_b = pa["__id"].to_numpy(), pb["__id"].to_numpy()
-        sims = _norm_mat(pa) @ _norm_mat(pb).T
-        if round_digits is not None:
-            sims = np.round(sims, round_digits)
-        ri, cj = np.nonzero(sims >= threshold)
-        lo = np.minimum(ids_a[ri], ids_b[cj])
-        hi = np.maximum(ids_a[ri], ids_b[cj])
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine_sim": sims[ri, cj]})
+        out = _slab_pairs(
+            ids_a, _norm_mat(pa), ids_b, _norm_mat(pb), same_block=False
+        )
+        if out is None:
+            return empty
+        lo = np.minimum(out[0], out[1])
+        hi = np.maximum(out[0], out[1])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine_sim": out[2]})
 
     return grouped.groupBy("__gi", "__gj").applyInPandas(score, out_schema)
 
@@ -839,9 +869,9 @@ def ivf_topk_from_index(
     from pyspark.sql import types as T
 
     cent_rows = centroids.orderBy("cidx").collect()
-    if cent_rows and [r["cidx"] for r in cent_rows] != list(
-        range(len(cent_rows))
-    ):
+    if not cent_rows:
+        raise ValueError("empty centroid table (bad or empty index version?)")
+    if [r["cidx"] for r in cent_rows] != list(range(len(cent_rows))):
         raise ValueError("centroid table must have contiguous cidx from 0")
     cmat = np.array([list(r["centroid"]) for r in cent_rows], dtype="float64")
     cn = np.linalg.norm(cmat, axis=1, keepdims=True)

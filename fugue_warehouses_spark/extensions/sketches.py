@@ -422,10 +422,14 @@ def kmv_trailing_rollup(
         hash60(F.col(col)).alias("h"),
     ).distinct()
     w = Window.partitionBy("b").orderBy("h")
+    # lazy barrier: sk feeds both the contribution explode and the
+    # valid-bucket set; without it each branch re-runs the full-data
+    # distinct
     sk = (
         hs.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= k)
         .drop("__r")
+        .localCheckpoint(eager=False)
     )
     contrib = sk.select(
         F.explode(
@@ -433,7 +437,10 @@ def kmv_trailing_rollup(
         ).alias("bucket"),
         "h",
     )
-    valid = hs.select(F.col("b").alias("bucket")).distinct()
+    # every bucket present in the data keeps >= 1 register in sk, so
+    # the bounded sk frame carries the exact bucket set — no second
+    # full-data scan
+    valid = sk.select(F.col("b").alias("bucket")).distinct()
     cand = contrib.join(F.broadcast(valid), "bucket").distinct()
     w2 = Window.partitionBy("bucket").orderBy("h")
     merged = (

@@ -1506,29 +1506,54 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.ivf_topk_hash(emb, queries, k=10, n_centroids=32, n_probe=8)
 
 
+_IVF_STORES: dict = {}
+
+
+def _ivf_store_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build-and-persist ONCE per (process, sf_dir): later calls only
+    read the stored index — the amortized rolling workflow the
+    operator exists for (and what the bench should measure after
+    warmup). The per-process temp root is removed at exit."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from fugue_warehouses_spark.plans import versioned as V
+
+    store = _IVF_STORES.get(sf_dir)
+    if store is None:
+        store = tempfile.mkdtemp(prefix="wf_ivf_index_")
+        _IVF_STORES[sf_dir] = store
+        atexit.register(shutil.rmtree, store, ignore_errors=True)
+    if V.latest_version(spark, os.path.join(store, "assigned")) is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        assigned, centroids = SS.build_ivf_hash_index(emb, n_centroids=32)
+        V.write_version(assigned, os.path.join(store, "assigned"), spark)
+        V.write_version(centroids, os.path.join(store, "centroids"), spark)
+    return store
+
+
 @_q("embedding_ivf_persisted_topk", _ivf_hash_sql())
 def embedding_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-index ANN workflow: the IVF assignment + centroid
     tables (similarity.build_ivf_hash_index) are written to the
-    versioned store ONCE and every query batch probes the stored index
-    (ivf_topk_from_index) — no corpus re-scan, no re-assignment; the
-    embedding analog of the MinHash signature index. Same oracle as
-    embedding_ivf_topk because the probe result must be identical
-    whether the index is inline or persisted — that identity IS the
-    index-consistency check."""
-    import tempfile
+    versioned store ONCE per process and every query batch probes the
+    stored index (ivf_topk_from_index) — no corpus re-scan, no
+    re-assignment; the embedding analog of the MinHash signature
+    index. Same oracle as embedding_ivf_topk because the probe result
+    must be identical whether the index is inline or persisted — that
+    identity IS the index-consistency check."""
+    import os
 
     from fugue_warehouses_spark.plans import versioned as V
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    assigned, centroids = SS.build_ivf_hash_index(emb, n_centroids=32)
-    store = tempfile.mkdtemp(prefix="wf_ivf_index_")
-    V.write_version(assigned, f"{store}/assigned", spark)
-    V.write_version(centroids, f"{store}/centroids", spark)
+    store = _ivf_store_for(spark, sf_dir)
     return SS.ivf_topk_from_index(
-        V.read_version(spark, f"{store}/assigned"),
-        V.read_version(spark, f"{store}/centroids"),
+        V.read_version(spark, os.path.join(store, "assigned")),
+        V.read_version(spark, os.path.join(store, "centroids")),
         queries,
         k=10,
         n_probe=8,
@@ -4849,36 +4874,16 @@ ORACLE["doc_bm25_search"] = _bm25_sql(_BM25_TERMS)
 
 
 def _hybrid_sql() -> str:
-    """DuckDB twin of doc_hybrid_search: the bm25_sql CTE body (top-50
-    leg), a cosine leg anchored at vec 0, and the RRF fusion."""
-    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    """DuckDB twin of doc_hybrid_search: the bm25_sql top-50 leg
+    embedded as a subquery (ONE source of truth for the BM25 pipeline
+    — tokenization/smoothing changes there flow into this twin), a
+    cosine leg anchored at vec 0, and the RRF fusion."""
+    bm25_leg = _bm25_sql(_BM25_TERMS, top_n=50)
     return rf"""
-    WITH toks AS (
-      SELECT doc_id, tok FROM documents,
-        UNNEST(string_split_regex(trim(text), '\s+')) AS u(tok)
-      WHERE tok <> ''),
-    doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-    stats AS (
-      SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclen),
-    tf AS (
-      SELECT doc_id, tok, count(*) AS tf FROM toks
-      WHERE tok IN ({terms}) GROUP BY doc_id, tok),
-    dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
-    scored AS (
-      SELECT tf.doc_id,
-             sum(ln(((SELECT n FROM stats) - dfreq.df + 0.5)
-                    / (dfreq.df + 0.5) + 1.0)
-                 * (tf.tf * (1.2 + 1.0))
-                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen.dl
-                                    / (SELECT avgdl FROM stats))))
-               AS score
-      FROM tf JOIN dfreq USING (tok) JOIN doclen USING (doc_id)
-      GROUP BY tf.doc_id),
-    lex AS (
+    WITH lex AS (
       SELECT doc_id,
-             row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
-               AS r_lex
-      FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 50),
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+      FROM ({bm25_leg})),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     sem0 AS (
       SELECT c.vec_id AS doc_id,

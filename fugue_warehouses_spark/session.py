@@ -42,6 +42,13 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # one BLAS thread per Python worker: task-level parallelism already
+    # saturates the cores, and 32 workers x N-thread OpenBLAS
+    # oversubscribes catastrophically on the numpy-matmul kernels
+    # (measured ~1.9x on the 80k-vector all-pairs path)
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
 }
 
 

@@ -71,12 +71,6 @@ def incremental_ingest_dedup(
     fresh = stream_df.withColumn("__fp", fingerprint(text_col)).join(
         seen, "__fp", "left_anti"
     )
-    ntz = dict(stream_df.dtypes).get(time_col) == "timestamp_ntz"
-    if ntz:
-        fresh = fresh.withColumn(time_col, F.col(time_col).cast("timestamp"))
-    out = fresh.withWatermark(time_col, delay).dropDuplicatesWithinWatermark(
-        ["__fp"]
+    return dedup_within_watermark(fresh, ["__fp"], time_col, delay).drop(
+        "__fp"
     )
-    if ntz:
-        out = out.withColumn(time_col, F.col(time_col).cast("timestamp_ntz"))
-    return out.drop("__fp")

@@ -319,3 +319,16 @@ def test_alpha_flatten_sample_rates_and_determinism(spark):
     assert ids_a == ids_b
     # alpha=1 keeps the natural mixture (everything)
     assert alpha_flatten_sample(df, "lang", "doc_id", alpha=1.0).count() == len(rows)
+
+
+def test_alpha_flatten_sample_null_domain_kept(spark):
+    from fugue_warehouses_spark.extensions.sampling import alpha_flatten_sample
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, None), (4, None)],
+        "doc_id long, lang string",
+    )
+    kept = alpha_flatten_sample(df, "lang", "doc_id", alpha=1.0)
+    # alpha=1 keeps the natural mixture INCLUDING NULL-domain rows
+    assert kept.count() == 4
+    assert kept.filter("lang IS NULL").count() == 2
