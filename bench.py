@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "doc_incremental_dedup",
     "doc_incremental_near_dedup",
     "doc_export_manifest",
+    "doc_webdataset_export",
     "events_anomaly_mad",
     "events_ewma",
     "doc_train_test_split",

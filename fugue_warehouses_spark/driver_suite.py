@@ -59,6 +59,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_incremental_dedup": (("doc_id", "i"), ("source", "s"),),
     "doc_incremental_near_dedup": (("id_new", "i"), ("id_match", "i"), ("jaccard_sim", "f"),),
     "doc_export_manifest": (("shard", "i"), ("n_rows", "i"), ("id_checksum", "i"),),
+    "doc_webdataset_export": (("shard", "i"), ("n_members", "i"), ("total_bytes", "i"), ("id_checksum", "i"),),
     "doc_chunks": (("doc_id", "i"), ("chunk_idx", "i"), ("chunk_md5", "s"), ("n_tokens", "i"),),
     "doc_context_windows": (("doc_id", "i"), ("win_idx", "i"), ("n_tokens", "i"), ("win_md5", "s"),),
     "events_variant_props": (("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("max_k", "i"),),
@@ -248,7 +249,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "doc_training_pipeline", "doc_contamination",
         "doc_train_test_split", "doc_chunks", "doc_cdc_dedup",
         "doc_incremental_dedup", "doc_incremental_near_dedup",
-        "doc_context_windows",
+        "doc_context_windows", "doc_webdataset_export",
     ),
     # A12/A13 + deterministic sampling/mixture family
     "sampling_suite": (

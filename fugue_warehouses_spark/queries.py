@@ -3184,6 +3184,50 @@ def doc_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WDS_EXPORT_SQL = """
+    SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 8)::INT
+             AS shard,
+           count(*) AS n_members,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           (sum(('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::UBIGINT)
+            % 2147483647)::BIGINT AS id_checksum
+    FROM documents
+    GROUP BY 1
+    """
+
+_WDS_DIRS: dict = {}
+
+
+def _wds_dir(sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    d = _WDS_DIRS.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="wf_wds_shards_")
+        _WDS_DIRS[sf_dir] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+@_q("doc_webdataset_export", _WDS_EXPORT_SQL)
+def doc_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style corpus export (layout.export_tar_shards): the
+    documents land as 8 byte-reproducible tar shards (hash-mod
+    membership, id-ordered members, zeroed tar metadata) — the
+    sequential-read artifact a training dataloader streams. The
+    returned manifest's accounting columns (counts, byte totals,
+    id checksums) are pure functions of the data, verified against the
+    DuckDB twin; tar_md5 certifies the on-disk bytes and is asserted
+    reproducible in tests/test_layout.py."""
+    docs = _t(spark, sf_dir, "documents")
+    out = LY.export_tar_shards(
+        docs, _wds_dir(sf_dir), "doc_id", "text", n_shards=8
+    )
+    return out.select("shard", "n_members", "total_bytes", "id_checksum")
+
+
 _EXPORT_MANIFEST_SQL = """
     SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 8)::INT
              AS shard,
