@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "events_rollup_cascade",
     "orders_weighted_sample",
     "star_quality_checks",
+    "orders_profile",
     "orders_price_histogram",
     "part_pagerank",
     "orders_window_suite",

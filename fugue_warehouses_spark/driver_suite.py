@@ -60,6 +60,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_incremental_near_dedup": (("id_new", "i"), ("id_match", "i"), ("jaccard_sim", "f"),),
     "doc_export_manifest": (("shard", "i"), ("n_rows", "i"), ("id_checksum", "i"),),
     "doc_webdataset_export": (("shard", "i"), ("n_members", "i"), ("total_bytes", "i"), ("id_checksum", "i"),),
+    "orders_profile": (("column", "s"), ("dtype", "s"), ("n_rows", "i"), ("n_null", "i"), ("n_distinct", "i"), ("min_num", "f"), ("max_num", "f"), ("min_str", "s"), ("max_str", "s"),),
     "doc_chunks": (("doc_id", "i"), ("chunk_idx", "i"), ("chunk_md5", "s"), ("n_tokens", "i"),),
     "doc_context_windows": (("doc_id", "i"), ("win_idx", "i"), ("n_tokens", "i"), ("win_md5", "s"),),
     "events_variant_props": (("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("max_k", "i"),),
@@ -279,7 +280,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     # skew-salted join, MERGE upsert, data-quality checks
     "warehouse_ops_suite": (
         "salted_join_revenue", "customer_balance_upsert",
-        "star_quality_checks", "doc_export_manifest",
+        "star_quality_checks", "doc_export_manifest", "orders_profile",
         "orders_snapshot_diff", "events_scd2_user_state",
         "events_latest_state",
     ),
@@ -350,6 +351,7 @@ def _canon_spark(col: str, kind: str) -> F.Column:
 
 
 def _canon_sql(col: str, kind: str) -> str:
+    col = f'"{col}"'  # quote: member outputs may use reserved words (column)
     if kind == "i":
         v = f"CAST(CAST({col} AS BIGINT) AS VARCHAR)"
     elif kind == "f":

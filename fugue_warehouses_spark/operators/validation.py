@@ -146,3 +146,80 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Deterministic per-column table profile — the warehouse
+    ``ANALYZE`` / column-statistics surface as a first-class operator:
+    one row per column with ``(column, dtype, n_rows, n_null,
+    n_distinct, min_num, max_num, min_str, max_str)``.
+
+    Numeric columns report min/max in the ``_num`` slots (doubles,
+    engine-comparable at 6 dp); strings and timestamps report string
+    forms in the ``_str`` slots — never a double rendered to text,
+    which engines format differently. ``n_distinct`` is EXACT (this is
+    the audited-profile variant; the estimated path is
+    ``orders_approx_distinct`` / the KMV family).
+
+    One aggregate job over the input computes every column's stats in
+    a single pass (the multi-countDistinct expands the aggregate —
+    acceptable for profile runs, which are scheduled maintenance, not
+    per-query work); the per-column result rows are assembled from
+    that one collected row (O(#columns), not data-sized).
+    """
+    from pyspark.sql import types as T
+
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double",
+               "decimal", "long", "integer", "short"}
+    exprs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        is_num = dtypes[c].split("(")[0] in numeric
+        exprs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        exprs.append(F.countDistinct(F.col(c)).alias(f"__nd_{c}"))
+        if is_num:
+            exprs.append(
+                F.round(F.min(F.col(c)).cast("double"), 6).alias(f"__mn_{c}")
+            )
+            exprs.append(
+                F.round(F.max(F.col(c)).cast("double"), 6).alias(f"__mx_{c}")
+            )
+        else:
+            exprs.append(
+                F.min(F.col(c)).cast("string").alias(f"__mns_{c}")
+            )
+            exprs.append(
+                F.max(F.col(c)).cast("string").alias(f"__mxs_{c}")
+            )
+    row = df.agg(*exprs).collect()[0]
+    out = []
+    for c in cols:
+        is_num = dtypes[c].split("(")[0] in numeric
+        out.append(
+            (
+                c,
+                dtypes[c],
+                row["__n"],
+                row["__n"] - row[f"__nn_{c}"],
+                row[f"__nd_{c}"],
+                row[f"__mn_{c}"] if is_num else None,
+                row[f"__mx_{c}"] if is_num else None,
+                None if is_num else row[f"__mns_{c}"],
+                None if is_num else row[f"__mxs_{c}"],
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("column", T.StringType()),
+            T.StructField("dtype", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_null", T.LongType()),
+            T.StructField("n_distinct", T.LongType()),
+            T.StructField("min_num", T.DoubleType()),
+            T.StructField("max_num", T.DoubleType()),
+            T.StructField("min_str", T.StringType()),
+            T.StructField("max_str", T.StringType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out, schema)

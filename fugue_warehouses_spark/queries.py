@@ -3184,6 +3184,52 @@ def doc_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_sql() -> str:
+    """DuckDB twin of orders_profile: one UNION ALL leg per column,
+    same numeric-vs-string min/max typing rules as profile_table."""
+    cols = [
+        ("o_orderkey", "bigint", True),
+        ("o_custkey", "bigint", True),
+        ("o_orderstatus", "string", False),
+        ("o_totalprice", "double", True),
+        ("o_orderdate", "timestamp_ntz", False),
+        ("o_orderpriority", "string", False),
+    ]
+    legs = []
+    for c, dt, is_num in cols:
+        if is_num:
+            mn = f"round(CAST(min({c}) AS DOUBLE), 6)"
+            mx = f"round(CAST(max({c}) AS DOUBLE), 6)"
+            mns = "CAST(NULL AS VARCHAR)"
+            mxs = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+            mns = f"CAST(min({c}) AS VARCHAR)"
+            mxs = f"CAST(max({c}) AS VARCHAR)"
+        legs.append(
+            f"SELECT '{c}' AS \"column\", '{dt}' AS dtype, "
+            f"count(*)::BIGINT AS n_rows, "
+            f"(count(*) - count({c}))::BIGINT AS n_null, "
+            f"count(DISTINCT {c})::BIGINT AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, "
+            f"{mns} AS min_str, {mxs} AS max_str FROM orders"
+        )
+    return " UNION ALL ".join(legs)
+
+
+@_q("orders_profile", _profile_sql())
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audited table profile (validation.profile_table): per-column
+    row count, null count, EXACT distinct count and typed min/max in
+    one aggregate pass — the warehouse ANALYZE / column-statistics
+    surface (A21-adjacent), deterministic so the whole profile
+    hash-matches the DuckDB twin."""
+    from fugue_warehouses_spark.operators.validation import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))
+
+
 _WDS_EXPORT_SQL = """
     SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 8)::INT
              AS shard,

@@ -90,3 +90,20 @@ def test_multi_col_fk_null_exemption(spark):
     ).collect()
     # (None,2) exempt (MATCH SIMPLE); (9,9) is the only orphan
     assert out[0]["violations"] == 1
+
+
+def test_profile_table_stats(spark):
+    from fugue_warehouses_spark.operators.validation import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (2, None, 3.5)],
+        "k long, s string, v double",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["k"]["n_rows"] == 3 and prof["k"]["n_null"] == 0
+    assert prof["k"]["n_distinct"] == 2
+    assert prof["k"]["min_num"] == 1.0 and prof["k"]["max_num"] == 2.0
+    assert prof["s"]["n_null"] == 1 and prof["s"]["min_str"] == "a"
+    assert prof["s"]["min_num"] is None, "strings use the _str slots"
+    assert prof["v"]["n_null"] == 1 and prof["v"]["max_num"] == 3.5
+    assert prof["v"]["dtype"] == "double"
