@@ -262,11 +262,20 @@ def export_tar_shards(
 
     def write_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         (shard,) = key
+        if pd.isna(shard):  # NULL id -> NULL shard (NaN through pandas)
+            raise ValueError(
+                f"NULL {id_col} in export input — tar members need a "
+                "non-null id for their names; filter or fill ids first"
+            )
         pdf = pdf.sort_values(id_col)
-        buf = io.BytesIO()
+        dest = os.path.join(path, f"shard-{int(shard):05d}.tar")
+        tmp = f"{dest}.__tmp_{os.getpid()}"
         total = 0
         checksum = 0
-        with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tar:
+        # stream the tar straight to the tmp file (never the whole
+        # shard in memory), then hash it in chunks — peak extra memory
+        # is one member, not 2x the shard
+        with tarfile.open(tmp, mode="w", format=tarfile.USTAR_FORMAT) as tar:
             for rid, text in zip(pdf[id_col], pdf[text_col]):
                 data = ("" if text is None else str(text)).encode("utf-8")
                 info = tarfile.TarInfo(name=f"{rid}.{ext}")
@@ -279,11 +288,10 @@ def export_tar_shards(
                 checksum += int(
                     hashlib.md5(str(rid).encode()).hexdigest()[8:16], 16
                 )
-        payload = buf.getvalue()
-        dest = os.path.join(path, f"shard-{int(shard):05d}.tar")
-        tmp = f"{dest}.__tmp_{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(payload)
+        h = hashlib.md5()
+        with open(tmp, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
         os.replace(tmp, dest)
         return pd.DataFrame(
             {
@@ -291,7 +299,7 @@ def export_tar_shards(
                 "n_members": [len(pdf)],
                 "total_bytes": [total],
                 "id_checksum": [checksum % ((1 << 31) - 1)],
-                "tar_md5": [hashlib.md5(payload).hexdigest()],
+                "tar_md5": [h.hexdigest()],
             }
         )
 

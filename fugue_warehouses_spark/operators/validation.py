@@ -161,15 +161,16 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     the audited-profile variant; the estimated path is
     ``orders_approx_distinct`` / the KMV family).
 
-    One aggregate job over the input computes every column's stats in
-    a single pass (the multi-countDistinct expands the aggregate —
+    One aggregate over the input computes every column's stats in a
+    single pass (the multi-countDistinct expands the aggregate —
     acceptable for profile runs, which are scheduled maintenance, not
-    per-query work); the per-column result rows are assembled from
-    that one collected row (O(#columns), not data-sized).
+    per-query work); the one-row aggregate then explodes into the
+    per-column rows INSIDE the plan, so the whole profile stays a lazy
+    DataFrame (nothing runs until an action).
     """
-    from pyspark.sql import types as T
-
-    cols = columns or df.columns
+    if columns is not None and not columns:
+        raise ValueError("columns must be None (all) or a non-empty list")
+    cols = df.columns if columns is None else list(columns)
     dtypes = dict(df.dtypes)
     numeric = {"tinyint", "smallint", "int", "bigint", "float", "double",
                "decimal", "long", "integer", "short"}
@@ -192,34 +193,23 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             exprs.append(
                 F.max(F.col(c)).cast("string").alias(f"__mxs_{c}")
             )
-    row = df.agg(*exprs).collect()[0]
-    out = []
+    agg = df.agg(*exprs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
     for c in cols:
         is_num = dtypes[c].split("(")[0] in numeric
-        out.append(
-            (
-                c,
-                dtypes[c],
-                row["__n"],
-                row["__n"] - row[f"__nn_{c}"],
-                row[f"__nd_{c}"],
-                row[f"__mn_{c}"] if is_num else None,
-                row[f"__mx_{c}"] if is_num else None,
-                None if is_num else row[f"__mns_{c}"],
-                None if is_num else row[f"__mxs_{c}"],
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dtypes[c]).alias("dtype"),
+                F.col("__n").cast("long").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{c}")).cast("long").alias("n_null"),
+                F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+                (F.col(f"__mn_{c}") if is_num else null_d).alias("min_num"),
+                (F.col(f"__mx_{c}") if is_num else null_d).alias("max_num"),
+                (null_s if is_num else F.col(f"__mns_{c}")).alias("min_str"),
+                (null_s if is_num else F.col(f"__mxs_{c}")).alias("max_str"),
             )
         )
-    schema = T.StructType(
-        [
-            T.StructField("column", T.StringType()),
-            T.StructField("dtype", T.StringType()),
-            T.StructField("n_rows", T.LongType()),
-            T.StructField("n_null", T.LongType()),
-            T.StructField("n_distinct", T.LongType()),
-            T.StructField("min_num", T.DoubleType()),
-            T.StructField("max_num", T.DoubleType()),
-            T.StructField("min_str", T.StringType()),
-            T.StructField("max_str", T.StringType()),
-        ]
-    )
-    return df.sparkSession.createDataFrame(out, schema)
+    return agg.select(F.explode(F.array(*structs)).alias("__p")).select("__p.*")

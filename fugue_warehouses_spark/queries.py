@@ -3234,7 +3234,7 @@ _WDS_EXPORT_SQL = """
     SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 8)::INT
              AS shard,
            count(*) AS n_members,
-           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(coalesce(sum(strlen(text)), 0) AS BIGINT) AS total_bytes,
            (sum(('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::UBIGINT)
             % 2147483647)::BIGINT AS id_checksum
     FROM documents
@@ -3263,6 +3263,9 @@ def doc_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents land as 8 byte-reproducible tar shards (hash-mod
     membership, id-ordered members, zeroed tar metadata) — the
     sequential-read artifact a training dataloader streams. The
+    export dir here is a driver-local temp path (the bench rig is
+    local-mode); on a multi-node cluster pass shared storage, since
+    each shard is written by whichever executor runs its task. The
     returned manifest's accounting columns (counts, byte totals,
     id checksums) are pure functions of the data, verified against the
     DuckDB twin; tar_md5 certifies the on-disk bytes and is asserted

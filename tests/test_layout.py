@@ -157,3 +157,13 @@ def test_export_tar_shards_roundtrip_and_reproducible(spark, sf_dir, tmp_path):
     assert seen == texts
     # manifest accounting matches reality
     assert sum(r["n_members"] for r in m1.values()) == len(texts)
+
+
+def test_export_tar_shards_rejects_null_ids(spark, tmp_path):
+    import pytest
+
+    from fugue_warehouses_spark.operators.layout import export_tar_shards
+
+    df = spark.createDataFrame([(None, "x"), (1, "y")], "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        export_tar_shards(df, str(tmp_path / "w"), "doc_id", "text", 2).collect()

@@ -107,3 +107,19 @@ def test_profile_table_stats(spark):
     assert prof["s"]["min_num"] is None, "strings use the _str slots"
     assert prof["v"]["n_null"] == 1 and prof["v"]["max_num"] == 3.5
     assert prof["v"]["dtype"] == "double"
+
+
+def test_profile_table_is_lazy_and_rejects_empty(spark):
+    import pytest
+
+    from fugue_warehouses_spark.operators.validation import profile_table
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    # plan construction must run NO job (lazy all the way to an action)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    prof = profile_table(df)
+    assert tracker.getJobIdsForGroup(None) == before, "no job at build time"
+    assert prof.count() == 2
+    with pytest.raises(ValueError, match="non-empty"):
+        profile_table(df, columns=[])
