@@ -689,8 +689,10 @@ def duplicate_span_coverage(
     ``broadcast_dup=False`` to let the optimizer pick a shuffle join
     when duplication is pervasive) -> position fan-out (bounded:
     ``window`` rows per hit) -> position-distinct + two cheap
-    aggregates. All counts are integers, so the per-group fraction is
-    bit-deterministic cross-engine.
+    aggregates. All outputs are integers — the coverage ratio is
+    emitted in parts-per-million (``dup_token_ppm`` BIGINT) rather
+    than a rounded double, so the row is bit-deterministic across
+    engines and driver canonicalizations.
     """
     occ = _span_occurrences(df, id_col, text_col, window, (group_col,))
     dup = (
@@ -724,8 +726,10 @@ def duplicate_span_coverage(
         F.sum("__c").alias("dup_tokens"),
         F.sum("__n").alias("total_tokens"),
         F.round(
-            F.sum("__c") / F.greatest(F.sum("__n"), F.lit(1)), 6
-        ).alias("dup_token_frac"),
+            F.sum("__c") * F.lit(1_000_000) / F.greatest(F.sum("__n"), F.lit(1))
+        )
+        .cast("bigint")
+        .alias("dup_token_ppm"),
     )
 
 

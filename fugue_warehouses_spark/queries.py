@@ -486,7 +486,7 @@ def dropna_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(l_quantity) AS BIGINT) AS qty_int,
            strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
            CAST(l_extendedprice AS VARCHAR) AS price_str,
-           CAST(l_extendedprice AS DECIMAL(12, 2)) AS price_dec,
+           CAST(CAST(l_extendedprice AS DECIMAL(12, 2)) AS VARCHAR) AS price_dec,
            hex(encode(l_returnflag)) AS flag_hex,
            CAST(l_shipdate + INTERVAL 2 DAY AS VARCHAR) AS ship_plus_2d
     FROM lineitem
@@ -495,7 +495,10 @@ def dropna_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def alter_columns_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cast-matrix operator (A16) as a graded query, covering the
-    SURVEY §1.3 breadth: numeric/date/string casts plus exact DECIMAL,
+    SURVEY §1.3 breadth: numeric/date/string casts plus exact DECIMAL
+    (cast typed, then rendered to STRING so the driver's row-hash
+    canonicalization is engine-proof; the typed cast matrix is covered
+    by tests/test_frame.py),
     binary (string -> bytes -> hex round-trip, since raw blobs don't
     compare across drivers), and DayTimeInterval arithmetic (date +
     INTERVAL rendered back to a canonical string)."""
@@ -506,7 +509,10 @@ def alter_columns_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("l_quantity").cast("long").alias("qty_int"),
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
         F.col("l_extendedprice").cast("string").alias("price_str"),
-        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("l_extendedprice")
+        .cast("decimal(12,2)")
+        .cast("string")
+        .alias("price_dec"),
         F.hex(F.encode("l_returnflag", "UTF-8")).alias("flag_hex"),
         F.expr("CAST(l_shipdate + INTERVAL '2' DAY AS STRING)").alias(
             "ship_plus_2d"
@@ -1163,11 +1169,12 @@ _DUP_SPANS_SQL = r"""
     base AS (SELECT doc_id, source, len(t)::BIGINT AS n FROM tl)
     SELECT base.source,
            count(*) AS n_docs,
-           coalesce(sum((cov.c > 0)::BIGINT), 0) AS n_docs_with_dup,
+           coalesce(sum((cov.c > 0)::BIGINT), 0)::BIGINT AS n_docs_with_dup,
            coalesce(sum(cov.c), 0)::BIGINT AS dup_tokens,
            sum(base.n)::BIGINT AS total_tokens,
-           round(coalesce(sum(cov.c), 0)::DOUBLE
-                 / greatest(sum(base.n), 1), 6) AS dup_token_frac
+           CAST(round(coalesce(sum(cov.c), 0) * 1000000.0
+                      / greatest(sum(base.n), 1)) AS BIGINT)
+             AS dup_token_ppm
     FROM base LEFT JOIN cov USING (doc_id, source)
     GROUP BY base.source
     """

@@ -193,7 +193,7 @@ def test_duplicate_span_coverage_merges_overlaps(spark):
     assert out["s1"]["n_docs_with_dup"] == 2
     assert out["s1"]["dup_tokens"] == 20  # 10 per doc, fully covered
     assert out["s1"]["total_tokens"] == 20
-    assert out["s1"]["dup_token_frac"] == 1.0
+    assert out["s1"]["dup_token_ppm"] == 1_000_000
     assert out["s2"]["dup_tokens"] == 0 and out["s2"]["n_docs_with_dup"] == 0
 
 
