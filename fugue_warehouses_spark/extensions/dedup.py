@@ -62,6 +62,13 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
 
 
+def _round_eps(round_digits: int | None) -> float:
+    """Half-ulp slack for a threshold cut made on a value rounded to
+    ``round_digits``: the smallest raw value the rounded cut can admit
+    is ``threshold - 0.5 * 10**-round_digits``."""
+    return 0.0 if round_digits is None else 0.5 * 10.0 ** (-round_digits)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -69,12 +76,19 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     n: int = 3,
     threshold: float = 0.5,
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """All pairs with character-n-gram Jaccard >= threshold.
 
     ``block_col`` bounds the join (pairs only form within a block —
     e.g. a source or an LSH bucket); without it this is a cross join
     and only sane on small frames. Returns (id_a, id_b, jaccard_sim).
+
+    ``jaccard_sim`` is rounded to ``round_digits`` BEFORE the
+    threshold cut, so the cut lands on the same value every engine /
+    float path computes (a raw-value cut lets a pair within half an
+    ulp of the threshold flip between engines); pass ``None`` to cut
+    on the raw ratio.
     """
     # Exchange barrier: materialize the shingle arrays before the self
     # join — otherwise CollapseProject inlines char_ngrams into the join
@@ -106,9 +120,14 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("__ga"), F.col("__gb"))).cast("double")
     union = (na + nb).cast("double") - inter
     sim = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    # the size prefilter bounds the RAW ratio; relax it by the rounding
+    # epsilon so a boundary pair the rounded cut admits can't be lost
+    pre_thr = threshold - _round_eps(round_digits)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb))
+        .filter(F.least(na, nb) >= F.lit(pre_thr) * F.greatest(na, nb))
         .withColumn("jaccard_sim", sim)
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
@@ -278,12 +297,15 @@ def near_dup_pairs_minhash(
     bands: int = 8,
     use_numpy: bool = True,
     max_bucket_size: int | None = None,
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact shingle Jaccard.
 
     Returns (id_a, id_b, jaccard_sim >= threshold). The classic
     shingle->minhash->band->bucket-join pipeline; only bucket
-    collisions pay the exact-verification cost.
+    collisions pay the exact-verification cost. ``jaccard_sim`` is
+    rounded to ``round_digits`` BEFORE the threshold cut (engine-
+    reproducible boundary; ``None`` = raw cut).
 
     Parameter choices are the scale levers:
     - banding S-curve: collision prob per pair = 1-(1-J^r)^b with
@@ -342,11 +364,15 @@ def near_dup_pairs_minhash(
         F.col(id_col).alias("id_b"), F.col("__grams").alias("__gb")
     )
     na, nb = F.size(F.col("__ga")), F.size(F.col("__gb"))
+    sim = jaccard(F.col("__ga"), F.col("__gb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    pre_thr = threshold - _round_eps(round_digits)
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .filter(F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb))
-        .withColumn("jaccard_sim", jaccard(F.col("__ga"), F.col("__gb")))
+        .filter(F.least(na, nb) >= F.lit(pre_thr) * F.greatest(na, nb))
+        .withColumn("jaccard_sim", sim)
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
@@ -847,6 +873,7 @@ def near_dup_pairs_against_index(
     shingle: int = 5,
     bands: int = 8,
     max_bucket_size: int | None = None,
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """Incremental near-dedup: MinHash-LSH pairs between a NEW batch
     and a persisted signature index (:func:`build_minhash_index`),
@@ -856,9 +883,10 @@ def near_dup_pairs_against_index(
     Returns ``(id_new, id_match, jaccard_sim)`` with ``id_match <
     id_new`` for within-batch pairs (earlier doc is the survivor, the
     same min-id convention as :func:`incremental_dedup`); index ids
-    must be disjoint from batch ids. Exact shingle-Jaccard
-    verification runs only on bucket collisions, exactly like
-    :func:`near_dup_pairs_minhash`.
+    must be disjoint from batch ids (violations surface as in-plan
+    errors, see below). Exact shingle-Jaccard verification runs only
+    on bucket collisions, with the same rounded-before-cut
+    ``round_digits`` boundary as :func:`near_dup_pairs_minhash`.
 
     Scale shape: the index side contributes only its STORED signatures
     to the banding explode (no text is read) and only colliding docs'
@@ -913,11 +941,40 @@ def near_dup_pairs_against_index(
         index_df.select(F.col(id_col), F.col("__grams"))
     ).select(F.col(id_col).alias("id_match"), F.col("__grams").alias("__gb"))
     na, nb = F.size(F.col("__ga")), F.size(F.col("__gb"))
+    sim = jaccard(F.col("__ga"), F.col("__gb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    pre_thr = threshold - _round_eps(round_digits)
+    # Disjointness guard (lazy in-plan raise_error, like the signature-
+    # length guard), shaped as a FILTER over the post-distinct pair
+    # set: a batch doc colliding with its OWN index copy (batch
+    # replayed after indexing) produces an id_new == id_match pair
+    # here, so fail loudly instead of emitting a silent jaccard-1.0
+    # self-pair. A filter predicate survives column pruning (a
+    # projection guard is dropped under count()), and it must NOT sit
+    # on the pre-distinct projection: there the optimizer infers
+    # isnotnull(<guard CASE>) from the aggregate/join keys and hoists
+    # it into the bucket-join condition, firing on ordinary
+    # within-batch band self-collisions that the adjacent filter
+    # excludes.
+    pairs = pairs.filter(
+        F.when(
+            F.col("id_new") == F.col("id_match"),
+            F.raise_error(
+                F.lit(
+                    "near_dup_pairs_against_index: id present in both "
+                    "the new batch and the index — index ids must be "
+                    "disjoint from batch ids (was the batch replayed "
+                    "after indexing?)"
+                )
+            ).isNotNull(),
+        ).otherwise(F.lit(True))
+    )
     return (
         pairs.join(ga, "id_new")
         .join(gb, "id_match")
-        .filter(F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb))
-        .withColumn("jaccard_sim", jaccard(F.col("__ga"), F.col("__gb")))
+        .filter(F.least(na, nb) >= F.lit(pre_thr) * F.greatest(na, nb))
+        .withColumn("jaccard_sim", sim)
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_new", "id_match", "jaccard_sim")
     )

@@ -856,6 +856,7 @@ def ivf_topk_from_index(
     corpus_vec: str = "embedding",
     query_id: str = "vec_id",
     query_vec: str = "embedding",
+    centroid_rows: list | None = None,
 ) -> DataFrame:
     """The probe half of :func:`ivf_topk_hash` over a (possibly
     persisted) index from :func:`build_ivf_hash_index`: rank centroids
@@ -863,12 +864,23 @@ def ivf_topk_from_index(
     table), broadcast the (cidx, query) probe pairs into the
     assignment table, and exact-rerank only the probed cells'
     vectors. The corpus-sized index is touched by one broadcast-join
-    scan; nothing re-assigns."""
+    scan; nothing re-assigns.
+
+    ``centroid_rows`` — optional pre-collected rows of ``centroids``
+    (driver-side cache of the tiny index metadata). A repeated-probe
+    serving loop passes the same list every call and skips the
+    per-call collect, which otherwise costs a whole scheduling floor
+    even for 32 rows."""
     import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
-    cent_rows = centroids.orderBy("cidx").collect()
+    # collect unsorted and sort driver-side: .orderBy().collect() on a
+    # tiny table still pays a range-partitioning exchange (sampling job
+    # + sort job); a plain collect of a local/tiny relation does not
+    cent_rows = sorted(
+        centroids.collect() if centroid_rows is None else centroid_rows,
+        key=lambda r: r["cidx"],
+    )
     if not cent_rows:
         raise ValueError("empty centroid table (bad or empty index version?)")
     if [r["cidx"] for r in cent_rows] != list(range(len(cent_rows))):
@@ -878,21 +890,47 @@ def ivf_topk_from_index(
     cn[cn == 0] = 1.0
     cmat_n = cmat / cn
 
-    qids, qmat_n = _collect_query_matrix(queries, query_id, query_vec)
-    qsims = np.round(qmat_n @ cmat_n.T, 6)  # (n_q, n_c)
-    probe_pairs = []
-    for j, qid in enumerate(qids):
+    qrows = queries.select(query_id, query_vec).collect()
+    if len(qrows) == 0:
+        # mirror _topk_scaffold: an empty query set yields an empty,
+        # correctly-typed result, not a (0,0)-matmul shape error
+        return assigned.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(
+                        "query_id", queries.schema[query_id].dataType
+                    ),
+                    T.StructField(
+                        "match_id", assigned.schema[corpus_id].dataType
+                    ),
+                    T.StructField("cosine_sim", T.DoubleType()),
+                ]
+            ),
+        )
+    qmat = np.array([list(r[1]) for r in qrows], dtype="float64")
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qsims = np.round((qmat / qn) @ cmat_n.T, 6)  # (n_q, n_c)
+    # The probe rows carry the RAW query vector (original element type,
+    # exact round-trip through createDataFrame), so the single probe
+    # broadcast is also the query-vector side of the rerank join — one
+    # broadcast build, no second scan of the queries relation per call.
+    probe_rows = []
+    for j, r in enumerate(qrows):
         order = np.lexsort((np.arange(qsims.shape[1]), -qsims[j]))[:n_probe]
-        probe_pairs.extend((int(c), qid) for c in order)
+        probe_rows.extend((int(c), r[0], r[1]) for c in order)
     spark = assigned.sparkSession
+    # plain-tuple createDataFrame: the probe set is tiny (n_q * n_probe
+    # rows) and the pandas->Arrow conversion path costs more than it
+    # saves at that size
     probes = spark.createDataFrame(
-        pd.DataFrame(probe_pairs, columns=["cidx", "query_id"]).astype(
-            {"cidx": "int32"}
-        ),
+        probe_rows,
         schema=T.StructType(
             [
                 T.StructField("cidx", T.IntegerType()),
                 T.StructField("query_id", queries.schema[query_id].dataType),
+                T.StructField("__qv", queries.schema[query_vec].dataType),
             ]
         ),
     )
@@ -902,18 +940,18 @@ def ivf_topk_from_index(
         F.col(corpus_vec).alias("__cv"),
         "cidx",
     )
-    qv = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    # No distinct needed: every corpus row carries exactly one cidx and
+    # the probe set holds distinct (cidx, query) pairs, so a
+    # (query, match) candidate can appear at most once. Score, then
+    # project the vectors away BEFORE the rank window so the top-k
+    # shuffle moves (id, id, double) rows, not embedding arrays.
+    cand = cb.join(F.broadcast(probes), on="cidx").filter(
+        F.col("query_id") != F.col("match_id")
     )
-    cand = (
-        cb.join(F.broadcast(probes), on="cidx")
-        .filter(F.col("query_id") != F.col("match_id"))
-        .join(F.broadcast(qv), on="query_id")
-        .select("query_id", "__qv", "match_id", "__cv")
-        .distinct()
-    )
-    scored = cand.withColumn(
-        "cosine_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+    scored = cand.select(
+        "query_id",
+        "match_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("match_id").asc()

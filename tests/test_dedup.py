@@ -289,3 +289,42 @@ def test_near_dup_against_index_rejects_num_hashes_mismatch(spark):
     idx = D.build_minhash_index(df, num_hashes=32)
     with pytest.raises(Exception, match="num_hashes=64"):
         D.near_dup_pairs_against_index(df, idx, num_hashes=64).count()
+
+
+def test_near_dup_against_index_rejects_replayed_batch(spark):
+    """A batch id also present in the index (contract violation: the
+    batch was replayed after indexing) fails loudly in-plan instead of
+    emitting a silent jaccard-1.0 self-pair."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    idx = D.build_minhash_index(df)
+    with pytest.raises(Exception, match="disjoint"):
+        D.near_dup_pairs_against_index(df, idx).count()
+
+
+def test_jaccard_threshold_cuts_on_rounded_value(spark):
+    """Rounded-before-cut boundary: 1-gram Jaccard of 'abc' vs 'ab' is
+    2/3 = 0.666666..., which ROUNDS to 0.666667 — a threshold of
+    exactly 0.666667 must admit the pair (the oracle twins filter the
+    rounded column), and the size prefilter's epsilon relaxation must
+    not lose it either. A raw-value cut would drop it."""
+    df = spark.createDataFrame(
+        [(1, "abc", "s"), (2, "ab", "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = D.ngram_jaccard_pairs(
+        df, "doc_id", "text", block_col="source", n=1, threshold=0.666667
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard_sim"]) for r in rows] == [
+        (1, 2, 0.666667)
+    ]
+    # raw cut (round_digits=None) excludes the same pair
+    assert (
+        D.ngram_jaccard_pairs(
+            df, "doc_id", "text", block_col="source", n=1,
+            threshold=0.666667, round_digits=None,
+        ).count()
+        == 0
+    )

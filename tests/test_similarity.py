@@ -258,3 +258,31 @@ def test_ivf_persisted_index_matches_inline(spark, tmp_path):
     assert key(inline) == key(persisted)
     # the probe plan reads the stored index, not the raw embeddings
     assert any("/a/" in f or "\\a\\" in f for f in persisted.inputFiles())
+    # pre-collected centroid rows (serving-loop cache) — same result,
+    # and no per-call collect of the centroid table
+    cached = S.ivf_topk_from_index(
+        V.read_version(spark, str(tmp_path / "a")),
+        V.read_version(spark, str(tmp_path / "c")),
+        queries, k=5, n_probe=4,
+        centroid_rows=V.read_version(spark, str(tmp_path / "c")).collect(),
+    )
+    assert key(cached) == key(persisted)
+
+
+def test_ivf_empty_query_set_returns_typed_empty(spark):
+    """An empty query set short-circuits (no (0,0)-matmul shape error)
+    with the result schema intact — mirroring _topk_scaffold."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    none = emb.filter("vec_id < 0")
+    for out in (
+        S.ivf_topk_hash(emb, none, k=5, n_centroids=8, n_probe=2),
+        S.ivf_topk_from_index(
+            *S.build_ivf_hash_index(emb, n_centroids=8), none, k=5, n_probe=2
+        ),
+    ):
+        assert out.columns == ["query_id", "match_id", "cosine_sim"]
+        assert out.count() == 0
