@@ -2,8 +2,8 @@
 
 ``entry(spark)`` runs the flagship query on sf0.001;
 ``queries()``/``oracle_sql()`` expose the CURATED driver registry from
-fugue_warehouses_spark/driver_suite.py — 48 entries (29 headline
-keeps + 19 family suites; tests/test_driver_suite.py re-counts and
+fugue_warehouses_spark/driver_suite.py — 48 entries (28 headline
+keeps + 20 family suites; tests/test_driver_suite.py re-counts and
 enforces <= 50), sized to the driver's 50-row correctness window
 while covering every operator family from SURVEY.md §2 plus the
 north-star extensions: headline operators keep full-row hash checks,

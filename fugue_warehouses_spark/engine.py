@@ -62,19 +62,32 @@ class SparkWarehouseEngine:
         table: "str | TableName",
         columns: list[str] | None = None,
         sample: float | None = None,
+        sample_unit: str = "rows",
     ) -> WarehouseFrame:
         """Table name (str or parsed TableName) or SELECT text -> lazy
         frame (A1+A2 unified).
 
-        ``sample`` (0 < p <= 1) is the source-level sample pushdown:
-        the reference splices ``TABLESAMPLE SYSTEM (p PERCENT)`` into
-        the generated SQL so the warehouse prunes the scan
-        (fugue_bigquery/_utils.py:99-117, api.py:54-57). Here the
-        Sample node is attached directly to the scan, BELOW any later
-        joins/aggregates the caller builds on the frame — Spark skips
-        whole row groups probabilistically instead of reading then
-        discarding, and downstream wide ops see only the sampled rows
-        (plan-asserted in tests/test_plans.py)."""
+        ``sample`` (0 < p <= 1) is the source-level sample, the analog
+        of the reference splicing ``TABLESAMPLE SYSTEM (p PERCENT)``
+        into generated SQL so the warehouse prunes the scan
+        (fugue_bigquery/_utils.py:99-117, api.py:54-57). Two units:
+
+        - ``sample_unit="rows"`` (default, Bernoulli): a ``Sample``
+          node attached directly at the scan, BELOW any later
+          joins/aggregates the caller builds on the frame, so
+          downstream wide ops see only the sampled rows
+          (plan-asserted in tests/test_plans.py). NOTE: OSS Spark's
+          ``Sample`` still READS every row and then discards — the
+          win is plan position (cheaper downstream), not scan cost.
+        - ``sample_unit="files"`` (cluster sampling, the true
+          ``TABLESAMPLE SYSTEM`` intent): deterministically keeps a
+          ~p fraction of the table's underlying files (md5 of the
+          file path) and re-reads only those, pinning the original
+          schema — a real scan-cost cut, at the price of
+          cluster-sample statistics (whole files in or out, like
+          SYSTEM's storage-block granularity). Requires a file-backed
+          parquet table; at least one file is always kept.
+        """
         if isinstance(table, TableName):
             df = self.spark.table(table.full_name)
         elif is_select_query(table):
@@ -84,10 +97,41 @@ class SparkWarehouseEngine:
         if sample is not None:
             if not (0.0 < sample <= 1.0):
                 raise ValueError(f"sample must be in (0, 1], got {sample}")
-            df = df.sample(fraction=sample, seed=42)
+            if sample_unit == "files":
+                df = self._sample_files(df, sample)
+            elif sample_unit == "rows":
+                df = df.sample(fraction=sample, seed=42)
+            else:
+                raise ValueError(
+                    f"sample_unit must be 'rows' or 'files', got {sample_unit!r}"
+                )
         if columns:
             df = df.select(*columns)
         return WarehouseFrame(df)
+
+    def _sample_files(self, df: DataFrame, fraction: float) -> DataFrame:
+        """Listing-level cluster sample: keep files whose md5(path)
+        falls under ``fraction`` (deterministic across runs and
+        clusters — no seed state), re-read with the schema pinned so
+        a sampled read can't drift from the full table's types."""
+        import hashlib
+
+        files = df.inputFiles()
+        if not files:
+            raise ValueError(
+                "file-level sampling needs a file-backed table "
+                "(SQL-query sources have no stable file listing); "
+                "use sample_unit='rows'"
+            )
+        if not all(f.split("?")[0].endswith(".parquet") for f in files):
+            raise ValueError(
+                "file-level sampling currently supports parquet tables"
+            )
+        key = lambda f: int(hashlib.md5(f.encode()).hexdigest()[:8], 16)
+        chosen = [f for f in files if key(f) < fraction * 0x100000000]
+        if not chosen:  # never sample down to an empty relation
+            chosen = [min(files, key=key)]
+        return self.spark.read.schema(df.schema).parquet(*chosen)
 
     def load_df(
         self,

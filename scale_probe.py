@@ -8,8 +8,13 @@ can't: *does wall time grow like the design says it should* (≈linear
 for the banded/bucketed/blocked paths) when the data grows 4x and 16x?
 Results + commentary live in SCALE_NOTES.md.
 
-Usage: python scale_probe.py [--sizes 5000,20000,80000]
-Prints one JSON line: {"op": {"n": sec, ...}, ...}.
+Usage: python scale_probe.py [--sizes 5000,20000,80000] [--ops a,b,...]
+Prints one JSON line: {"op": {"n": sec, ...}, ...}. ``--ops`` limits
+the run to a subset (e.g. the 320k minhash step, where the quadratic
+exact-pairs op would be unaffordable). ``minhash_candidate_pairs``
+(row COUNT, not seconds) is recorded alongside the minhash timings so
+super-linear growth can be attributed: time growing like candidates =
+corpus property; time outgrowing candidates = plan defect.
 
 Synthetic corpus (seeded, deterministic): ~250-token documents over a
 50k-word vocabulary (unrelated docs share few shingles, like a real
@@ -73,13 +78,18 @@ def make_embeddings(spark, n: int, dim: int = 64, seed: int = 7):
     )
 
 
-def probe(spark, sizes):
+def probe(spark, sizes, ops=None):
     from fugue_warehouses_spark.extensions import dedup as D
     from fugue_warehouses_spark.extensions import similarity as S
 
     out: dict[str, dict[int, float]] = {}
 
+    def wanted(op):
+        return ops is None or op in ops
+
     def timed(op, n, fn):
+        if not wanted(op):
+            return
         t0 = time.perf_counter()
         fn()
         dt = round(time.perf_counter() - t0, 2)
@@ -89,45 +99,60 @@ def probe(spark, sizes):
     for n in sizes:
         docs = make_docs(spark, n).repartition(32).cache()
         docs.count()
-        emb = make_embeddings(spark, n).repartition(32).cache()
-        emb.count()
+        need_emb = wanted("similarity_pairs_block") or wanted("ivf_topk_hash")
+        emb = None
+        if need_emb:
+            emb = make_embeddings(spark, n).repartition(32).cache()
+            emb.count()
 
         timed("exact_dedup", n, lambda: D.fingerprint_dedup(docs, "text", "doc_id").count())
         timed("minhash_near_dups", n, lambda: D.near_dup_pairs_minhash(docs, "doc_id", "text", threshold=0.6).count())
         timed("minhash_near_dups_capped", n, lambda: D.near_dup_pairs_minhash(
             docs, "doc_id", "text", threshold=0.6, max_bucket_size=64).count())
+        if wanted("minhash_candidate_pairs"):
+            # candidate-pair COUNT (not seconds): the attribution metric
+            # for minhash growth — banding output before verification
+            sig = D._shingle_minhash_numpy(docs, "doc_id", "text", 64, 5)
+            n_cand = D.lsh_candidate_pairs(sig, "doc_id", "__sig", 8, 8).count()
+            out.setdefault("minhash_candidate_pairs", {})[n] = n_cand
+            print(f"[probe] minhash_candidate_pairs n={n}: {n_cand} rows",
+                  file=sys.stderr, flush=True)
         timed("duplicate_span_coverage", n, lambda: D.duplicate_span_coverage(docs, "doc_id", "text").count())
         timed("incremental_dedup", n, lambda: D.incremental_dedup(
             docs.filter(f"doc_id >= {n // 2}"), docs.filter(f"doc_id < {n // 2}")).count())
         # incremental NEAR-dedup: index built once OUTSIDE the timed
         # region (that is the point — the rolling-corpus loop pays only
         # the batch signing per run), batch = the newest 20%
-        idx = D.build_minhash_index(
-            docs.filter(f"doc_id < {n - n // 5}"), "doc_id", "text"
-        ).localCheckpoint()
-        timed("near_dedup_against_index", n, lambda: D.near_dup_pairs_against_index(
-            docs.filter(f"doc_id >= {n - n // 5}"), idx, "doc_id", "text",
-            threshold=0.6, max_bucket_size=64).count())
+        if wanted("near_dedup_against_index"):
+            idx = D.build_minhash_index(
+                docs.filter(f"doc_id < {n - n // 5}"), "doc_id", "text"
+            ).localCheckpoint()
+            timed("near_dedup_against_index", n, lambda: D.near_dup_pairs_against_index(
+                docs.filter(f"doc_id >= {n - n // 5}"), idx, "doc_id", "text",
+                threshold=0.6, max_bucket_size=64).count())
         timed("similarity_pairs_block", n, lambda: S.similarity_pairs(
             emb, threshold=0.35, method="block").count())
         timed("ivf_topk_hash", n, lambda: S.ivf_topk_hash(
             emb, emb.filter("vec_id < 10"), k=10).count())
 
         docs.unpersist()
-        emb.unpersist()
+        if emb is not None:
+            emb.unpersist()
     return out
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="5000,20000,80000")
+    ap.add_argument("--ops", default=None, help="comma list; default all")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
+    ops = set(args.ops.split(",")) if args.ops else None
     spark = get_spark(
         app_name="wf-scale-probe",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    out = probe(spark, sizes)
+    out = probe(spark, sizes, ops)
     spark.stop()
     sys.stdout.flush()
     print(json.dumps(out), flush=True)

@@ -273,6 +273,41 @@ def test_load_table_sample_pushdown(eng, spark):
         spark.sql("DROP TABLE IF EXISTS sample_push_src")
 
 
+def test_load_table_file_sample_cuts_scan(eng, spark):
+    """sample_unit='files' (TABLESAMPLE SYSTEM analog): the sampled
+    relation reads a strict SUBSET of the table's files — a true
+    scan-cost cut, deterministic across calls — with schema pinned."""
+    spark.range(20000).selectExpr("id", "id % 7 AS g").repartition(
+        16
+    ).write.mode("overwrite").saveAsTable("file_sample_src")
+    try:
+        full = eng.load_table("file_sample_src")
+        s = eng.load_table("file_sample_src", sample=0.25, sample_unit="files")
+        full_files = set(full.native.inputFiles())
+        s_files = set(s.native.inputFiles())
+        assert s_files and s_files < full_files
+        assert len(s_files) < len(full_files) * 0.7  # real cut, p=0.25
+        assert s.native.schema == full.native.schema
+        # whole-file granularity: sampled rows = union of chosen files
+        assert 0 < s.count() < full.count()
+        # deterministic: same files on a second call
+        s2 = eng.load_table("file_sample_src", sample=0.25, sample_unit="files")
+        assert set(s2.native.inputFiles()) == s_files
+        # tiny fraction still keeps at least one file
+        tiny = eng.load_table(
+            "file_sample_src", sample=1e-9, sample_unit="files"
+        )
+        assert len(tiny.native.inputFiles()) == 1
+        with pytest.raises(ValueError, match="rows|files"):
+            eng.load_table("file_sample_src", sample=0.5, sample_unit="bogus")
+        with pytest.raises(ValueError, match="file-backed"):
+            eng.load_table(
+                "SELECT 1 AS x", sample=0.5, sample_unit="files"
+            ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS file_sample_src")
+
+
 def test_join_strategy_hints_pin_physical_plan(spark, sf_dir, eng):
     """strategy= pins the physical join without changing results."""
     from fugue_warehouses_spark.sources import load_star_table
