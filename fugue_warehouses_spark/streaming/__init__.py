@@ -28,6 +28,7 @@ from fugue_warehouses_spark.streaming.windows import (
 from fugue_warehouses_spark.streaming.dedup import (
     dedup_within_watermark,
     incremental_ingest_dedup,
+    run_near_dedup_ingest,
 )
 from fugue_warehouses_spark.streaming.joins import interval_join
 from fugue_warehouses_spark.streaming.stateful import bucket_locf, running_totals
@@ -42,6 +43,7 @@ __all__ = [
     "session_agg",
     "dedup_within_watermark",
     "incremental_ingest_dedup",
+    "run_near_dedup_ingest",
     "bucket_locf",
     "running_totals",
 ]

@@ -74,3 +74,127 @@ def incremental_ingest_dedup(
     return dedup_within_watermark(fresh, ["__fp"], time_col, delay).drop(
         "__fp"
     )
+
+
+def run_near_dedup_ingest(
+    stream_df: DataFrame,
+    index_store: str,
+    survivors_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    shingle: int = 5,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+    update_index: bool = True,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Rolling-corpus NEAR-dedup ingest: drain a document stream where
+    each micro-batch is near-deduped (MinHash-LSH) against the
+    persisted signature index, survivors are appended to
+    ``survivors_path``, and (by default) their signatures are folded
+    into a NEW index version — so later batches dedup against
+    everything that survived before them, across restarts.
+
+    The streaming analog of the batch
+    :func:`extensions.dedup.near_dup_pairs_against_index` loop, run
+    through ``foreachBatch`` because the match set derives from the
+    stream itself (a stream-stream anti-join shape no watermark can
+    bound for arbitrary replays). Per micro-batch:
+
+    1. read the LATEST complete index version (plans/versioned) — new
+       versions written by this query or by an offline rebuild are
+       picked up without restarting;
+    2. ``near_dup_pairs_against_index`` flags batch docs that
+       near-match the index or an earlier (smaller-id) doc of the same
+       batch — only the batch pays signing cost, the index contributes
+       stored signatures/grams;
+    3. survivors (no pair) append to ``survivors_path``;
+    4. ``update_index``: survivors' signatures union the current index
+       into a new immutable version (atomic, snapshot-isolated).
+
+    Resolution is GREEDY, not connected-component: any batch doc with a
+    pair is dropped, even when its only neighbor was itself dropped —
+    the streaming-friendly convention (CC over an unbounded stream is
+    unbounded state; run the batch
+    :func:`extensions.dedup.dedup_near` over a bounded corpus when CC
+    semantics are required). Guarantee preserved: no two SURVIVORS are
+    LSH-detectable near-dups of each other — within a batch both sides
+    of a pair can't survive, and across batches the index match drops
+    the later doc.
+
+    Delivery is at-least-once on the survivors sink (checkpointed
+    foreachBatch; a crash between append and index-write can replay a
+    batch — replayed ids then match their own index copy and the
+    in-plan disjointness guard fails the query loudly rather than
+    silently double-appending; recover by vacuuming to the pre-crash
+    version or re-keying the replay). Batch ids must be globally
+    unique — the usual contract of ingest pipelines with stable doc
+    ids. Returns the survivors table as a batch frame.
+
+    Scale: per batch, one banding shuffle on (band, bucket) and one
+    grams verify join — both batch-sized on the probe side; the index
+    is never re-signed. Index versions grow by one parquet write per
+    batch; vacuum(keep_last=...) bounds storage.
+    """
+    from fugue_warehouses_spark.extensions.dedup import (
+        build_minhash_index,
+        near_dup_pairs_against_index,
+    )
+    from fugue_warehouses_spark.plans import versioned as V
+
+    spark = stream_df.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()
+        if batch_df.rdd.isEmpty():
+            return
+        try:
+            idx = V.read_version(spark, index_store).localCheckpoint(
+                eager=False
+            )
+        except FileNotFoundError:
+            idx = None
+        if idx is None:
+            # first batch, empty store: only within-batch near-dedup
+            from fugue_warehouses_spark.extensions.dedup import (
+                near_dup_pairs_minhash,
+            )
+
+            pairs = near_dup_pairs_minhash(
+                batch_df, id_col, text_col, threshold, num_hashes,
+                shingle, bands, max_bucket_size=max_bucket_size,
+            ).select(F.col("id_b").alias("__dup"))
+        else:
+            pairs = near_dup_pairs_against_index(
+                batch_df, idx, id_col, text_col, threshold, num_hashes,
+                shingle, bands, max_bucket_size,
+            ).select(F.col("id_new").alias("__dup"))
+        survivors = batch_df.join(
+            pairs.distinct(),
+            batch_df[id_col] == F.col("__dup"),
+            "left_anti",
+        ).localCheckpoint()
+        survivors.write.mode("append").parquet(survivors_path)
+        if update_index:
+            new_sigs = build_minhash_index(
+                survivors, id_col, text_col, num_hashes, shingle
+            )
+            merged = (
+                new_sigs if idx is None else idx.unionByName(new_sigs)
+            )
+            V.write_version(merged, index_store, spark)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return spark.read.parquet(survivors_path)

@@ -416,3 +416,108 @@ def test_incremental_ingest_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
     # nothing kept may collide with history content
     hist_fps = set(fps(history))
     assert not set(fps(kept_stream)) & hist_fps
+
+
+def _near_dedup_corpus(spark):
+    """30 docs in 3 chunks of 10: ids 0-19 unique (distinct token
+    streams — no cross shingles), ids 20-24 exact copies of 0-4, ids
+    25-29 near copies of 5-9 (one token changed). Chunk k = ids with
+    id % 3 == k, so copies land in different micro-batches than their
+    sources."""
+    uniq = [
+        " ".join(f"tok{d}x{j}" for j in range(40)) for d in range(20)
+    ]
+    texts = dict(enumerate(uniq))
+    for i in range(5):
+        texts[20 + i] = uniq[i]
+    for i in range(5):
+        toks = uniq[5 + i].split()
+        toks[17] = "CHANGED"
+        texts[25 + i] = " ".join(toks)
+    rows = [(i, texts[i]) for i in sorted(texts)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_run_near_dedup_ingest_rolling_corpus(spark, tmp_path):
+    """Rolling-corpus streaming near-dedup: replay 3 micro-batches
+    through run_near_dedup_ingest; exactly one doc per duplicate class
+    survives — the FIRST to arrive, even when its twin is in a later
+    batch (that is the persisted-index half) — no two survivors are
+    near-dups, and the index store accumulates versions."""
+    from fugue_warehouses_spark.extensions import dedup as D
+    from fugue_warehouses_spark.plans import versioned as V
+    from fugue_warehouses_spark.streaming import (
+        read_parquet_stream,
+        run_near_dedup_ingest,
+    )
+
+    docs = _near_dedup_corpus(spark)
+    feed = str(tmp_path / "feed")
+    # one file per chunk, written in order (mtime-ordered replay)
+    for k in range(3):
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    stream = read_parquet_stream(spark, feed, max_files_per_trigger=1)
+    survivors = run_near_dedup_ingest(
+        stream,
+        index_store=str(tmp_path / "idx"),
+        survivors_path=str(tmp_path / "kept"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    kept = {r["doc_id"] for r in survivors.collect()}
+    # one survivor per duplicate class, FIRST ARRIVAL wins (greedy
+    # streaming semantics): the class member in the earliest chunk
+    # (chunk = id % 3), min id on a same-chunk tie. Classes: {i, 20+i}
+    # exact for i<5, {5+i, 25+i} near for i<5, singletons 10..19.
+    expected = set(range(10, 20))
+    for a, b in [(i, 20 + i) for i in range(5)] + [
+        (5 + i, 25 + i) for i in range(5)
+    ]:
+        expected.add(
+            min(a, b) if a % 3 == b % 3 else (a if a % 3 < b % 3 else b)
+        )
+    assert kept == expected
+    # survivor set is pairwise near-dup-free at the same threshold
+    assert (
+        D.near_dup_pairs_minhash(
+            survivors, "doc_id", "text", threshold=0.5
+        ).count()
+        == 0
+    )
+    # the index grew: at least one version, covering the survivors
+    assert V.list_versions(spark, str(tmp_path / "idx"))
+    idx = V.read_version(spark, str(tmp_path / "idx"))
+    assert {r["doc_id"] for r in idx.select("doc_id").collect()} == kept
+
+
+def test_run_near_dedup_ingest_replay_fails_loudly(spark, tmp_path):
+    """Replaying already-indexed ids (fresh checkpoint over the same
+    files) must fail via the disjointness guard, not silently
+    double-append."""
+    from fugue_warehouses_spark.streaming import (
+        read_parquet_stream,
+        run_near_dedup_ingest,
+    )
+
+    docs = _near_dedup_corpus(spark).filter("doc_id < 10")
+    feed = str(tmp_path / "feed")
+    docs.coalesce(1).write.parquet(feed)
+    kwargs = dict(
+        index_store=str(tmp_path / "idx"),
+        survivors_path=str(tmp_path / "kept"),
+        threshold=0.5,
+    )
+    run_near_dedup_ingest(
+        read_parquet_stream(spark, feed),
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+        **kwargs,
+    )
+    with pytest.raises(Exception, match="disjoint"):
+        run_near_dedup_ingest(
+            read_parquet_stream(spark, feed),
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+            **kwargs,
+        )
