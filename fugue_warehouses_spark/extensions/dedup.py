@@ -348,20 +348,44 @@ def near_dup_pairs_minhash(
         with_sig = with_grams.withColumn(
             "__sig", minhash_signature(F.col("__grams"), num_hashes)
         )
+    # pairs feeds three consumers (both semi filters + the verify
+    # join); the lazy localCheckpoint materializes the banding
+    # self-join once instead of three times
     pairs = lsh_candidate_pairs(
         with_sig, id_col, "__sig", bands, rows_per_band, max_bucket_size
-    )
+    ).localCheckpoint(eager=False)
     # Verification joins back to with_grams, NOT with_sig: the a/b
     # branches then cost only a read of the reused grams Exchange,
     # instead of re-running the 64-pass signature per branch (~5s/branch
-    # at sf0.1). The banding S-curve already did the approximate
-    # filtering; before the exact O(|set|) intersection we only keep the
-    # free size prefilter J <= min/max.
-    a = with_grams.select(
-        F.col(id_col).alias("id_a"), F.col("__grams").alias("__ga")
+    # at sf0.1). Each branch is SEMI-FILTERED to the ids that actually
+    # appear in candidate pairs before the grams ride a join: the id
+    # set is tiny (pair-proportional, AQE broadcasts it), so the join
+    # that carries the heavy shingle arrays moves candidate-sized data
+    # instead of shuffling the whole corpus's grams (measured at n=80k,
+    # together with the shuffle_hash hint below: 95 s -> ~15 s total).
+    # The banding S-curve already did the approximate filtering; before
+    # the exact O(|set|) intersection we only keep the free size
+    # prefilter J <= min/max.
+    # SHUFFLE_HASH on the gram-carrying branches: sort-merge would SORT
+    # rows whose payload is a ~10 KB shingle array — measured 28-33 s
+    # vs 2-8 s hash join at n=80k. The build side is the semi-filtered
+    # (pair-proportional) gram subset spread over the shuffle
+    # partitions; size spark.sql.shuffle.partitions so each partition's
+    # candidate grams fit executor memory (hash build OOMs hard instead
+    # of spilling — the 320k probe needed the 24g heap; removing the
+    # hint falls back to gracefully-spilling SMJ at the measured 4-12x
+    # cost).
+    a = (
+        with_grams.withColumnRenamed(id_col, "id_a")
+        .join(pairs.select("id_a").distinct(), "id_a", "left_semi")
+        .select("id_a", F.col("__grams").alias("__ga"))
+        .hint("shuffle_hash")
     )
-    b = with_grams.select(
-        F.col(id_col).alias("id_b"), F.col("__grams").alias("__gb")
+    b = (
+        with_grams.withColumnRenamed(id_col, "id_b")
+        .join(pairs.select("id_b").distinct(), "id_b", "left_semi")
+        .select("id_b", F.col("__grams").alias("__gb"))
+        .hint("shuffle_hash")
     )
     na, nb = F.size(F.col("__ga")), F.size(F.col("__gb"))
     sim = jaccard(F.col("__ga"), F.col("__gb"))
@@ -929,17 +953,29 @@ def near_dup_pairs_against_index(
             F.col("a.__id").alias("id_new"), F.col("b.__id").alias("id_match")
         )
         .distinct()
+        # consumed twice (gb semi filter + verify join): materialize the
+        # banding join once
+        .localCheckpoint(eager=False)
     )
     # id_new is always a batch doc, so the left verify side joins the
     # batch grams only; only id_match (index doc or earlier batch doc)
     # needs the batch+index union — the stored index shingle arrays
-    # (the dominant index bytes) are read once, not twice
+    # (the dominant index bytes) are read once, not twice. The union is
+    # SEMI-FILTERED to ids that actually collide before its grams ride
+    # the verify join (same candidate-sized-not-corpus-sized discipline
+    # as near_dup_pairs_minhash), so a huge index contributes only its
+    # colliding docs' arrays to the shuffle.
     ga = new_sig.select(
         F.col(id_col).alias("id_new"), F.col("__grams").alias("__ga")
+    ).hint("shuffle_hash")
+    gb = (
+        new_sig.select(F.col(id_col), F.col("__grams"))
+        .unionByName(index_df.select(F.col(id_col), F.col("__grams")))
+        .withColumnRenamed(id_col, "id_match")
+        .join(pairs.select("id_match").distinct(), "id_match", "left_semi")
+        .select("id_match", F.col("__grams").alias("__gb"))
+        .hint("shuffle_hash")
     )
-    gb = new_sig.select(F.col(id_col), F.col("__grams")).unionByName(
-        index_df.select(F.col(id_col), F.col("__grams"))
-    ).select(F.col(id_col).alias("id_match"), F.col("__grams").alias("__gb"))
     na, nb = F.size(F.col("__ga")), F.size(F.col("__gb"))
     sim = jaccard(F.col("__ga"), F.col("__gb"))
     if round_digits is not None:

@@ -38,7 +38,13 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local[32] runs everything in the driver JVM: 32 concurrent tasks'
+    # shuffle-hash builds + cached localCheckpoint blocks all share this
+    # heap. 8g GC-thrashed the 320k-doc scale probe (GCLocker retry
+    # storms, 2-4x wall-time swings); 24g on the 128 GiB rig gives the
+    # storage+execution regions room. On a real cluster this maps to
+    # executor memory, not driver.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
