@@ -712,14 +712,24 @@ def lsh_topk(
 
     qb = with_buckets(queries, query_id, query_vec, "query_id", "__qv")
     cb = with_buckets(corpus, corpus_id, corpus_vec, "match_id", "__cv")
-    cand = (
+    # Score INSIDE the bucket-join stage, before deduplicating pairs
+    # that collide in several tables: cosine is deterministic per
+    # (query, match), so distinct over (ids, score) equals distinct
+    # over ids — and both the dedup shuffle and the rank-window shuffle
+    # then move (id, id, double) rows instead of embedding arrays.
+    # Costs up to n_tables re-scores per duplicated collision; at scale
+    # recompute is cheaper than shuffling vectors.
+    scored = (
         qb.join(cb, on=["table_id", "bucket"], how="inner")
         .filter(F.col("query_id") != F.col("match_id"))
-        .select("query_id", "__qv", "match_id", "__cv")
+        .select(
+            "query_id",
+            "match_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
         .distinct()
-    )
-    scored = cand.withColumn(
-        "cosine_sim", F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("match_id").asc()
