@@ -88,9 +88,10 @@ class SparkWarehouseEngine:
           SYSTEM's storage-block granularity). Requires a file-backed
           parquet table; at least one file is always kept.
         """
+        is_query = not isinstance(table, TableName) and is_select_query(table)
         if isinstance(table, TableName):
             df = self.spark.table(table.full_name)
-        elif is_select_query(table):
+        elif is_query:
             df = self.spark.sql(table)
         else:
             df = self.spark.table(table)
@@ -98,6 +99,17 @@ class SparkWarehouseEngine:
             if not (0.0 < sample <= 1.0):
                 raise ValueError(f"sample must be in (0, 1], got {sample}")
             if sample_unit == "files":
+                if is_query:
+                    # a SELECT source still reports the base table's
+                    # inputFiles, so a naive re-read would silently DROP
+                    # the query's filters/projections — refuse instead
+                    raise ValueError(
+                        "file-level sampling applies to plain tables only "
+                        "(re-reading a SELECT source's files would discard "
+                        "the query's own semantics); use "
+                        "sample_unit='rows', or sample the base table and "
+                        "query the sampled frame"
+                    )
                 df = self._sample_files(df, sample)
             elif sample_unit == "rows":
                 df = df.sample(fraction=sample, seed=42)
@@ -113,15 +125,20 @@ class SparkWarehouseEngine:
         """Listing-level cluster sample: keep files whose md5(path)
         falls under ``fraction`` (deterministic across runs and
         clusters — no seed state), re-read with the schema pinned so
-        a sampled read can't drift from the full table's types."""
+        a sampled read can't drift from the full table's types.
+
+        Hive-partitioned tables are read with ``basePath`` set to the
+        common listing root, so partition-directory columns
+        (``g=1/part-...``) are still discovered instead of null-filling
+        from the pinned schema."""
         import hashlib
+        import posixpath
 
         files = df.inputFiles()
         if not files:
             raise ValueError(
                 "file-level sampling needs a file-backed table "
-                "(SQL-query sources have no stable file listing); "
-                "use sample_unit='rows'"
+                "(this source has no file listing); use sample_unit='rows'"
             )
         if not all(f.split("?")[0].endswith(".parquet") for f in files):
             raise ValueError(
@@ -131,7 +148,21 @@ class SparkWarehouseEngine:
         chosen = [f for f in files if key(f) < fraction * 0x100000000]
         if not chosen:  # never sample down to an empty relation
             chosen = [min(files, key=key)]
-        return self.spark.read.schema(df.schema).parquet(*chosen)
+        # common directory root of the FULL listing (not just the chosen
+        # subset): partition discovery needs the true table root.
+        # Segment-wise prefix — a string prefix could cut mid-directory.
+        dirs = [posixpath.dirname(f).split("/") for f in files]
+        root_parts = dirs[0]
+        for d in dirs[1:]:
+            i = 0
+            while i < min(len(root_parts), len(d)) and root_parts[i] == d[i]:
+                i += 1
+            root_parts = root_parts[:i]
+        root = "/".join(root_parts)
+        reader = self.spark.read.schema(df.schema)
+        if any("=" in seg for d in dirs for seg in d[len(root_parts):]):
+            reader = reader.option("basePath", root)
+        return reader.parquet(*chosen)
 
     def load_df(
         self,

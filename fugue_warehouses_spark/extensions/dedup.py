@@ -907,10 +907,15 @@ def near_dup_pairs_against_index(
     Returns ``(id_new, id_match, jaccard_sim)`` with ``id_match <
     id_new`` for within-batch pairs (earlier doc is the survivor, the
     same min-id convention as :func:`incremental_dedup`); index ids
-    must be disjoint from batch ids (violations surface as in-plan
-    errors, see below). Exact shingle-Jaccard verification runs only
-    on bucket collisions, with the same rounded-before-cut
-    ``round_digits`` boundary as :func:`near_dup_pairs_minhash`.
+    must be disjoint from batch ids — that is the CALLER's contract.
+    The in-plan guard (below) turns the common violation (a replayed
+    batch whose identical text still collides with its own index copy)
+    into a loud failure, but it is best-effort: a replayed doc whose
+    every bucket is dropped by ``max_bucket_size``, or a reused id
+    carrying different text, does not collide with itself and is not
+    detected. Exact shingle-Jaccard verification runs only on bucket
+    collisions, with the same rounded-before-cut ``round_digits``
+    boundary as :func:`near_dup_pairs_minhash`.
 
     Scale shape: the index side contributes only its STORED signatures
     to the banding explode (no text is read) and only colliding docs'

@@ -901,6 +901,14 @@ def ivf_topk_from_index(
     cmat_n = cmat / cn
 
     qrows = queries.select(query_id, query_vec).collect()
+    # dedupe repeated query ids driver-side (keep first): without the
+    # old row-level distinct, a duplicated query row would otherwise
+    # emit duplicated probe rows and the duplicates would consume
+    # row_number top-k slots
+    seen_q: set = set()
+    qrows = [
+        r for r in qrows if not (r[0] in seen_q or seen_q.add(r[0]))
+    ]
     if len(qrows) == 0:
         # mirror _topk_scaffold: an empty query set yields an empty,
         # correctly-typed result, not a (0,0)-matmul shape error

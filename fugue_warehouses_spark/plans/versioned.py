@@ -121,6 +121,25 @@ def read_version(
     return spark.read.parquet(dir_str)
 
 
+def read_all_versions(spark: SparkSession, store: str) -> DataFrame:
+    """Union of ALL complete versions, ascending — for stores used as
+    append-only DELTA LOGS (each version is one increment, e.g. a
+    micro-batch's signature rows) rather than snapshots. One parquet
+    read per version dir, unioned by name.
+
+    Do NOT ``vacuum`` a store read this way: dropping old versions
+    drops data, not history. Compaction (fold all deltas into one new
+    version, then remove the old ones in the same maintenance window)
+    is the operator-level path to bound version count."""
+    versions = list_versions(spark, store)
+    if not versions:
+        raise FileNotFoundError(f"no complete versions under {store}")
+    out = read_version(spark, store, versions[0])
+    for v in versions[1:]:
+        out = out.unionByName(read_version(spark, store, v))
+    return out
+
+
 def vacuum(
     spark: SparkSession,
     store: str,

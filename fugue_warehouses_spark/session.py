@@ -26,6 +26,26 @@ import os
 
 from pyspark.sql import SparkSession
 
+def _default_driver_mem() -> str:
+    """Local mode runs every task's shuffle-hash build plus all cached
+    localCheckpoint blocks in ONE JVM: 8g GC-thrashed / OOM'd the
+    320k-doc scale probe, so take a larger heap where the host allows —
+    but never size past what physical RAM supports (a too-big -Xmx
+    trades Spark's graceful spill path for the OS OOM-killer). On a
+    real cluster this maps to executor memory, not driver."""
+    try:
+        ram_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    if ram_gb >= 96:
+        return "24g"
+    if ram_gb >= 32:
+        return "12g"
+    return "8g"
+
+
 _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
@@ -38,13 +58,9 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
-    # local[32] runs everything in the driver JVM: 32 concurrent tasks'
-    # shuffle-hash builds + cached localCheckpoint blocks all share this
-    # heap. 8g GC-thrashed the 320k-doc scale probe (GCLocker retry
-    # storms, 2-4x wall-time swings); 24g on the 128 GiB rig gives the
-    # storage+execution regions room. On a real cluster this maps to
-    # executor memory, not driver.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    "spark.driver.memory": os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()
+    ),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),

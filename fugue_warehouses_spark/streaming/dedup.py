@@ -104,16 +104,17 @@ def run_near_dedup_ingest(
     stream itself (a stream-stream anti-join shape no watermark can
     bound for arbitrary replays). Per micro-batch:
 
-    1. read the LATEST complete index version (plans/versioned) — new
-       versions written by this query or by an offline rebuild are
-       picked up without restarting;
+    1. read the accumulated index (plans/versioned.read_all_versions —
+       the store is an append-only DELTA LOG: each version is one
+       batch's signatures, so per-batch index writes stay BATCH-sized,
+       not corpus-sized; an offline rebuild can compact it);
     2. ``near_dup_pairs_against_index`` flags batch docs that
        near-match the index or an earlier (smaller-id) doc of the same
        batch — only the batch pays signing cost, the index contributes
        stored signatures/grams;
-    3. survivors (no pair) append to ``survivors_path``;
-    4. ``update_index``: survivors' signatures union the current index
-       into a new immutable version (atomic, snapshot-isolated).
+    3. ``update_index``: the SURVIVORS' signatures are written as a
+       new index delta version FIRST;
+    4. survivors append to ``survivors_path``.
 
     Resolution is GREEDY, not connected-component: any batch doc with a
     pair is dropped, even when its only neighbor was itself dropped —
@@ -125,20 +126,30 @@ def run_near_dedup_ingest(
     of a pair can't survive, and across batches the index match drops
     the later doc.
 
-    Delivery is at-least-once on the survivors sink (checkpointed
-    foreachBatch; a crash between append and index-write can replay a
-    batch — replayed ids then match their own index copy and the
-    in-plan disjointness guard fails the query loudly rather than
-    silently double-appending; recover by vacuuming to the pre-crash
-    version or re-keying the replay). Batch ids must be globally
-    unique — the usual contract of ingest pipelines with stable doc
-    ids. Returns the survivors table as a batch frame.
+    Delivery is at-least-once with LOUD replay detection: the index
+    delta commits BEFORE the survivors append, so any crash window
+    (between delta write and append, or between append and checkpoint
+    commit) leaves the batch's ids in the index — the replay then
+    collides with its own index copies and the in-plan disjointness
+    guard fails the query instead of silently double-appending.
+    Recover by deleting the newest index version (and, for the second
+    window, the duplicated append) before restarting. The guard is
+    best-effort by nature: it fires when the replayed doc still
+    COLLIDES with its index copy, which identical text does unless
+    every one of its buckets is dropped by ``max_bucket_size`` —
+    globally-unique ids remain the caller's contract. With
+    ``update_index=False`` replays are NOT detected; the sink is then
+    plain at-least-once. Returns the survivors table as a batch frame
+    (empty, with the stream's schema, if nothing ever arrived).
 
     Scale: per batch, one banding shuffle on (band, bucket) and one
     grams verify join — both batch-sized on the probe side; the index
-    is never re-signed. Index versions grow by one parquet write per
-    batch; vacuum(keep_last=...) bounds storage.
+    is never re-signed and never rewritten (deltas only). Do not
+    ``vacuum`` the index store (versions are data, not history);
+    compact offline by folding all versions into a rebuilt store.
     """
+    from pyspark.errors import AnalysisException
+
     from fugue_warehouses_spark.extensions.dedup import (
         build_minhash_index,
         near_dup_pairs_against_index,
@@ -152,7 +163,7 @@ def run_near_dedup_ingest(
         if batch_df.rdd.isEmpty():
             return
         try:
-            idx = V.read_version(spark, index_store).localCheckpoint(
+            idx = V.read_all_versions(spark, index_store).localCheckpoint(
                 eager=False
             )
         except FileNotFoundError:
@@ -177,15 +188,18 @@ def run_near_dedup_ingest(
             batch_df[id_col] == F.col("__dup"),
             "left_anti",
         ).localCheckpoint()
-        survivors.write.mode("append").parquet(survivors_path)
         if update_index:
-            new_sigs = build_minhash_index(
-                survivors, id_col, text_col, num_hashes, shingle
+            # delta FIRST: any crash after this point leaves the batch
+            # ids indexed, so a replay trips the disjointness guard
+            # loudly instead of silently double-appending
+            V.write_version(
+                build_minhash_index(
+                    survivors, id_col, text_col, num_hashes, shingle
+                ),
+                index_store,
+                spark,
             )
-            merged = (
-                new_sigs if idx is None else idx.unionByName(new_sigs)
-            )
-            V.write_version(merged, index_store, spark)
+        survivors.write.mode("append").parquet(survivors_path)
 
     q = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -194,7 +208,17 @@ def run_near_dedup_ingest(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"near-dedup ingest did not drain within {timeout_sec}s — "
+                "partial survivors are on disk; rerun with the same "
+                "checkpoint_dir to continue from the committed offset"
+            )
     finally:
         q.stop()
-    return spark.read.parquet(survivors_path)
+    try:
+        return spark.read.parquet(survivors_path)
+    except AnalysisException:
+        # nothing ever arrived: the legitimate empty-stream case
+        return spark.createDataFrame([], stream_df.schema)

@@ -300,12 +300,35 @@ def test_load_table_file_sample_cuts_scan(eng, spark):
         assert len(tiny.native.inputFiles()) == 1
         with pytest.raises(ValueError, match="rows|files"):
             eng.load_table("file_sample_src", sample=0.5, sample_unit="bogus")
-        with pytest.raises(ValueError, match="file-backed"):
+        # SELECT sources must refuse: re-reading the base files would
+        # silently drop the query's own filters/projections
+        with pytest.raises(ValueError, match="plain tables"):
             eng.load_table(
-                "SELECT 1 AS x", sample=0.5, sample_unit="files"
-            ).count()
+                "SELECT id FROM file_sample_src WHERE id > 10",
+                sample=0.5,
+                sample_unit="files",
+            )
     finally:
         spark.sql("DROP TABLE IF EXISTS file_sample_src")
+
+
+def test_load_table_file_sample_partitioned_table(eng, spark):
+    """Hive-partitioned tables: the sampled re-read must rediscover the
+    partition-directory column (basePath), not null-fill it."""
+    spark.range(4000).selectExpr("id", "id % 4 AS g").repartition(
+        8
+    ).write.mode("overwrite").partitionBy("g").saveAsTable("file_sample_part")
+    try:
+        s = eng.load_table("file_sample_part", sample=0.5, sample_unit="files")
+        rows = s.native.groupBy("g").count().collect()
+        assert rows, "sampled relation is empty"
+        assert all(r["g"] is not None for r in rows)
+        # whole-file granularity: every sampled row's g matches its file's
+        # partition directory (would be NULL if basePath were missing)
+        gs = {r["g"] for r in rows}
+        assert gs <= {0, 1, 2, 3}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS file_sample_part")
 
 
 def test_join_strategy_hints_pin_physical_plan(spark, sf_dir, eng):

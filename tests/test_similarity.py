@@ -269,6 +269,23 @@ def test_ivf_persisted_index_matches_inline(spark, tmp_path):
     assert key(cached) == key(persisted)
 
 
+def test_ivf_duplicate_query_rows_collapse(spark):
+    """A duplicated query row must not emit duplicate candidates that
+    eat row_number top-k slots (the old row-level distinct absorbed
+    this; the probe build now dedupes ids driver-side)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q1 = emb.filter("vec_id < 3")
+    q_dup = q1.unionAll(q1)  # every query row twice
+    a = S.ivf_topk_hash(emb, q1, k=5, n_centroids=8, n_probe=4)
+    b = S.ivf_topk_hash(emb, q_dup, k=5, n_centroids=8, n_probe=4)
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(a) == key(b)
+
+
 def test_ivf_empty_query_set_returns_typed_empty(spark):
     """An empty query set short-circuits (no (0,0)-matmul shape error)
     with the result schema intact — mirroring _topk_scaffold."""

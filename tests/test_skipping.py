@@ -154,6 +154,22 @@ def test_versioned_empty_store_raises(spark, tmp_path):
         V.read_version(spark, str(tmp_path / "nope"))
 
 
+def test_versioned_read_all_versions_delta_log(spark, tmp_path):
+    """read_all_versions unions every complete version (the append-only
+    delta-log reading mode used by the streaming near-dedup index)."""
+    store = str(tmp_path / "deltas")
+    with pytest.raises(FileNotFoundError, match="no complete versions"):
+        V.read_all_versions(spark, store)
+    V.write_version(spark.range(0, 3).withColumn("b", F.lit(1)), store)
+    V.write_version(spark.range(3, 5).withColumn("b", F.lit(2)), store)
+    V.write_version(spark.range(5, 9).withColumn("b", F.lit(3)), store)
+    out = V.read_all_versions(spark, store)
+    assert sorted(r["id"] for r in out.collect()) == list(range(9))
+    # an incomplete version dir is excluded, like read_version
+    os.makedirs(f"{store}/v_00007")
+    assert V.read_all_versions(spark, store).count() == 9
+
+
 def test_versioned_upsert(spark, tmp_path):
     store = str(tmp_path / "vstore4")
     base = spark.createDataFrame(

@@ -487,10 +487,33 @@ def test_run_near_dedup_ingest_rolling_corpus(spark, tmp_path):
         ).count()
         == 0
     )
-    # the index grew: at least one version, covering the survivors
-    assert V.list_versions(spark, str(tmp_path / "idx"))
-    idx = V.read_version(spark, str(tmp_path / "idx"))
+    # the index is an append-only delta log: one version per non-empty
+    # batch, whose union covers exactly the survivors
+    assert len(V.list_versions(spark, str(tmp_path / "idx"))) == 3
+    idx = V.read_all_versions(spark, str(tmp_path / "idx"))
     assert {r["doc_id"] for r in idx.select("doc_id").collect()} == kept
+
+
+def test_run_near_dedup_ingest_empty_stream(spark, tmp_path):
+    """An empty feed returns an empty frame with the stream's schema,
+    not PATH_NOT_FOUND."""
+    from fugue_warehouses_spark.streaming import (
+        read_parquet_stream,
+        run_near_dedup_ingest,
+    )
+
+    feed = str(tmp_path / "feed")
+    _near_dedup_corpus(spark).filter("doc_id < 0").coalesce(1).write.parquet(
+        feed
+    )
+    out = run_near_dedup_ingest(
+        read_parquet_stream(spark, feed),
+        index_store=str(tmp_path / "idx"),
+        survivors_path=str(tmp_path / "kept"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "text"]
 
 
 def test_run_near_dedup_ingest_replay_fails_loudly(spark, tmp_path):
