@@ -122,10 +122,14 @@ def read_version(
 
 
 def read_all_versions(spark: SparkSession, store: str) -> DataFrame:
-    """Union of ALL complete versions, ascending — for stores used as
-    append-only DELTA LOGS (each version is one increment, e.g. a
-    micro-batch's signature rows) rather than snapshots. One parquet
-    read per version dir, unioned by name.
+    """Union of ALL complete versions — for stores used as append-only
+    DELTA LOGS (each version is one increment, e.g. a micro-batch's
+    signature rows) rather than snapshots. One multi-path parquet scan
+    over every version directory: a single relation, so plan size
+    stays O(1) in version count (an N-way union would make Catalyst
+    analysis itself the bottleneck at thousands of deltas). Delta-log
+    stores must keep one schema across versions (the snapshot store's
+    upsert schema evolution does not apply here).
 
     Do NOT ``vacuum`` a store read this way: dropping old versions
     drops data, not history. Compaction (fold all deltas into one new
@@ -134,10 +138,9 @@ def read_all_versions(spark: SparkSession, store: str) -> DataFrame:
     versions = list_versions(spark, store)
     if not versions:
         raise FileNotFoundError(f"no complete versions under {store}")
-    out = read_version(spark, store, versions[0])
-    for v in versions[1:]:
-        out = out.unionByName(read_version(spark, store, v))
-    return out
+    return spark.read.parquet(
+        *[f"{store}/v_{v:05d}" for v in versions]
+    )
 
 
 def vacuum(
