@@ -816,6 +816,11 @@ def build_ivf_hash_index(
         .limit(n_centroids)
         .collect()
     )
+    if not cent_rows:
+        raise ValueError(
+            "cannot build an IVF index over an empty corpus "
+            "(no vectors to sample centroids from)"
+        )
     cmat = np.array([list(r["cv"]) for r in cent_rows], dtype="float64")
     cn = np.linalg.norm(cmat, axis=1, keepdims=True)
     cn[cn == 0] = 1.0

@@ -269,6 +269,12 @@ def test_ivf_persisted_index_matches_inline(spark, tmp_path):
     assert key(cached) == key(persisted)
 
 
+def test_ivf_empty_corpus_raises_clearly(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        S.build_ivf_hash_index(emb, n_centroids=8)
+
+
 def test_ivf_duplicate_query_rows_collapse(spark):
     """A duplicated query row must not emit duplicate candidates that
     eat row_number top-k slots (the old row-level distinct absorbed
