@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "events_latest_state",
     "events_time_weighted_avg",
     "orders_equidepth_histogram",
+    "orders_equidepth_histogram_approx",
     "embedding_matryoshka_topk",
     "doc_quality_logit",
 ]
@@ -158,6 +159,10 @@ def main() -> None:
         app_name="wf-bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    # log level ERROR: stray WARN lines (e.g. WindowExec) land on the
+    # captured stream and can crowd the final JSON line out of the
+    # driver's 2000-char tail window — the artifact must always parse
+    spark.sparkContext.setLogLevel("ERROR")
     # absorb session/JVM + python-worker pool startup before timing
     spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
 

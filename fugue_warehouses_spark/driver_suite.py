@@ -133,6 +133,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "events_latest_state": (("user_id", "i"), ("event_id", "i"), ("event_type", "s"), ("ts_str", "s"), ("value", "f"),),
     "events_time_weighted_avg": (("user_id", "i"), ("n_events", "i"), ("twa", "f"),),
     "orders_equidepth_histogram": (("bucket", "i"), ("n", "i"), ("lo", "f"), ("hi", "f"), ("total", "f"),),
+    "orders_equidepth_histogram_approx": (("bucket", "i"), ("n", "i"), ("lo", "f"), ("hi", "f"), ("total", "f"),),
     "embedding_matryoshka_topk": (("query_id", "i"), ("match_id", "i"), ("cosine_sim", "f"),),
     "orders_sample_n_exact": (("n", "i"),),
     "orders_scalar_subquery": (("o_orderkey", "i"), ("o_totalprice", "f"), ("n_items", "i"),),
@@ -269,6 +270,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "lineitem_percentiles", "lineitem_stats_suite",
         "orders_price_histogram", "orders_calendar_heatmap",
         "lineitem_winsorized", "orders_equidepth_histogram",
+        "orders_equidepth_histogram_approx",
     ),
     "embedding_misc_suite": (
         "embedding_norms_by_label", "embedding_semantic_dedup",

@@ -88,6 +88,18 @@ class SparkWarehouseEngine:
           SYSTEM's storage-block granularity). Requires a file-backed
           parquet table; at least one file is always kept.
         """
+        if sample_unit not in ("rows", "files"):
+            # validated even when sample is None: a typo'd unit (or a
+            # unit passed without a fraction) must fail loudly, not be
+            # silently ignored
+            raise ValueError(
+                f"sample_unit must be 'rows' or 'files', got {sample_unit!r}"
+            )
+        if sample is None and sample_unit != "rows":
+            raise ValueError(
+                "sample_unit='files' given without a sample fraction; "
+                "pass sample=p to actually sample"
+            )
         is_query = not isinstance(table, TableName) and is_select_query(table)
         if isinstance(table, TableName):
             df = self.spark.table(table.full_name)
@@ -111,12 +123,8 @@ class SparkWarehouseEngine:
                         "query the sampled frame"
                     )
                 df = self._sample_files(df, sample)
-            elif sample_unit == "rows":
-                df = df.sample(fraction=sample, seed=42)
             else:
-                raise ValueError(
-                    f"sample_unit must be 'rows' or 'files', got {sample_unit!r}"
-                )
+                df = df.sample(fraction=sample, seed=42)
         if columns:
             df = df.select(*columns)
         return WarehouseFrame(df)
@@ -158,6 +166,17 @@ class SparkWarehouseEngine:
             while i < min(len(root_parts), len(d)) and root_parts[i] == d[i]:
                 i += 1
             root_parts = root_parts[:i]
+        # A table where every row shares ONE partition value lists as
+        # .../table/g=1/part-*.parquet — the partition dir itself lands
+        # inside the common root. Trim trailing key=value segments off
+        # the root (they are partition dirs, never the table root) so
+        # basePath points above them and the partition column is
+        # discovered instead of silently null-filled from the pinned
+        # schema. Safe for unpartitioned tables: the schema is pinned,
+        # so a spuriously discovered partition column not in the schema
+        # is dropped.
+        while root_parts and "=" in root_parts[-1]:
+            root_parts = root_parts[:-1]
         root = "/".join(root_parts)
         reader = self.spark.read.schema(df.schema)
         if any("=" in seg for d in dirs for seg in d[len(root_parts):]):

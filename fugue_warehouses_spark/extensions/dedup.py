@@ -287,6 +287,32 @@ def _shingle_minhash_numpy(
     )
 
 
+def _verify_partitions(
+    n_candidate_ids: int,
+    avg_gram_len: float,
+    default_par: int,
+    budget_bytes: int = 32 << 20,
+) -> int:
+    """Partition count for the SHUFFLE_HASH verify stage, computed from
+    the candidate set instead of trusting the heap to be big enough.
+
+    A shuffled hash join builds its per-partition hash map in memory
+    and OOMs instead of spilling when one partition's build rows
+    outgrow the task's heap share — the 320k scale probe crashed at 8g
+    with the default 32 partitions before this sizing existed. Bytes
+    per build row ~= 16 B/gram (UnsafeArrayData long + array/pointer
+    overhead) + 128 B of row + hash-slot overhead, x-factored so the
+    estimate errs toward more, smaller partitions; each partition's
+    build is then capped near ``budget_bytes`` (32 MB default — small
+    against any sane task heap share, large enough that the default
+    parallelism still wins at bench scale). Clamped to [default_par,
+    4096]: never fewer partitions than the cluster has slots, never so
+    many that scheduling dominates."""
+    bytes_per_row = avg_gram_len * 16.0 + 128.0
+    need = int(n_candidate_ids * bytes_per_row / budget_bytes) + 1
+    return max(default_par, min(4096, need))
+
+
 def near_dup_pairs_minhash(
     df: DataFrame,
     id_col: str,
@@ -369,22 +395,40 @@ def near_dup_pairs_minhash(
     # SHUFFLE_HASH on the gram-carrying branches: sort-merge would SORT
     # rows whose payload is a ~10 KB shingle array — measured 28-33 s
     # vs 2-8 s hash join at n=80k. The build side is the semi-filtered
-    # (pair-proportional) gram subset spread over the shuffle
-    # partitions; size spark.sql.shuffle.partitions so each partition's
-    # candidate grams fit executor memory (hash build OOMs hard instead
-    # of spilling — the 320k probe needed the 24g heap; removing the
-    # hint falls back to gracefully-spilling SMJ at the measured 4-12x
-    # cost).
+    # (pair-proportional) gram subset; its partition count is COMPUTED
+    # from the candidate set (one count over the checkpointed pairs +
+    # one cached-scan average of gram lengths) so each partition's hash
+    # build stays within a fixed byte budget — the hash build OOMs
+    # instead of spilling, so this sizing, not heap headroom, is the
+    # scale guarantee (320k probe passes at 8g with it; before, it
+    # needed a 24g heap). Counting pairs here also materializes the
+    # lazy checkpoints once; every later consumer reads the cache.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    stats = pairs.agg(
+        F.countDistinct("id_a").alias("na"),
+        F.countDistinct("id_b").alias("nb"),
+    ).first()
+    n_cand_ids = max(stats["na"] or 0, stats["nb"] or 0)
+    if n_cand_ids:
+        avg_len = (
+            with_grams.agg(F.avg(F.size("__grams")).alias("g")).first()["g"]
+            or 0.0
+        )
+        nparts = _verify_partitions(n_cand_ids, avg_len, par)
+    else:
+        nparts = par
     a = (
         with_grams.withColumnRenamed(id_col, "id_a")
         .join(pairs.select("id_a").distinct(), "id_a", "left_semi")
         .select("id_a", F.col("__grams").alias("__ga"))
+        .repartition(nparts, F.col("id_a"))
         .hint("shuffle_hash")
     )
     b = (
         with_grams.withColumnRenamed(id_col, "id_b")
         .join(pairs.select("id_b").distinct(), "id_b", "left_semi")
         .select("id_b", F.col("__grams").alias("__gb"))
+        .repartition(nparts, F.col("id_b"))
         .hint("shuffle_hash")
     )
     na, nb = F.size(F.col("__ga")), F.size(F.col("__gb"))
@@ -775,8 +819,15 @@ def duplicate_span_coverage(
         F.sum((F.col("__c") > 0).cast("bigint")).alias("n_docs_with_dup"),
         F.sum("__c").alias("dup_tokens"),
         F.sum("__n").alias("total_tokens"),
+        # cast to double BEFORE the 1e6 multiply: BIGINT * 1_000_000
+        # silently wraps (ANSI off) once dup_tokens exceeds ~9.2e12 —
+        # reachable at the 100 TB corpus scale this targets — and the
+        # DuckDB oracle multiplies by 1000000.0 (double) anyway, so
+        # double-first keeps both engines on the same arithmetic path
         F.round(
-            F.sum("__c") * F.lit(1_000_000) / F.greatest(F.sum("__n"), F.lit(1))
+            F.sum("__c").cast("double")
+            * F.lit(1_000_000)
+            / F.greatest(F.sum("__n"), F.lit(1))
         )
         .cast("bigint")
         .alias("dup_token_ppm"),
@@ -970,15 +1021,45 @@ def near_dup_pairs_against_index(
     # the verify join (same candidate-sized-not-corpus-sized discipline
     # as near_dup_pairs_minhash), so a huge index contributes only its
     # colliding docs' arrays to the shuffle.
-    ga = new_sig.select(
-        F.col(id_col).alias("id_new"), F.col("__grams").alias("__ga")
-    ).hint("shuffle_hash")
+    # Verify-stage partition sizing, same discipline as
+    # near_dup_pairs_minhash: the SHUFFLE_HASH build OOMs instead of
+    # spilling, so compute the partition count from the candidate set
+    # (pairs are checkpointed — counting them materializes the banding
+    # join once for all consumers). Gram-length average comes from the
+    # batch signatures (cached, batch-sized); index docs are assumed
+    # same-corpus-distributed, absorbed by the sizing's safety factor.
+    par = new_df.sparkSession.sparkContext.defaultParallelism
+    vstats = pairs.agg(
+        F.countDistinct("id_new").alias("nn"),
+        F.countDistinct("id_match").alias("nm"),
+    ).first()
+    n_cand_ids = max(vstats["nn"] or 0, vstats["nm"] or 0)
+    if n_cand_ids:
+        avg_len = (
+            new_sig.agg(F.avg(F.size("__grams")).alias("g")).first()["g"]
+            or 0.0
+        )
+        nparts = _verify_partitions(n_cand_ids, avg_len, par)
+    else:
+        nparts = par
+    # ga is semi-filtered to colliding batch ids too: non-colliding
+    # batch docs never reach the output, so their arrays need not ride
+    # the verify shuffle at all
+    ga = (
+        new_sig.select(
+            F.col(id_col).alias("id_new"), F.col("__grams").alias("__ga")
+        )
+        .join(pairs.select("id_new").distinct(), "id_new", "left_semi")
+        .repartition(nparts, F.col("id_new"))
+        .hint("shuffle_hash")
+    )
     gb = (
         new_sig.select(F.col(id_col), F.col("__grams"))
         .unionByName(index_df.select(F.col(id_col), F.col("__grams")))
         .withColumnRenamed(id_col, "id_match")
         .join(pairs.select("id_match").distinct(), "id_match", "left_semi")
         .select("id_match", F.col("__grams").alias("__gb"))
+        .repartition(nparts, F.col("id_match"))
         .hint("shuffle_hash")
     )
     na, nb = F.size(F.col("__ga")), F.size(F.col("__gb"))

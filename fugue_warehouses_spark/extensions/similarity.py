@@ -906,14 +906,27 @@ def ivf_topk_from_index(
     cmat_n = cmat / cn
 
     qrows = queries.select(query_id, query_vec).collect()
-    # dedupe repeated query ids driver-side (keep first): without the
-    # old row-level distinct, a duplicated query row would otherwise
-    # emit duplicated probe rows and the duplicates would consume
-    # row_number top-k slots
-    seen_q: set = set()
-    qrows = [
-        r for r in qrows if not (r[0] in seen_q or seen_q.add(r[0]))
-    ]
+    # dedupe repeated query ids driver-side: without the old row-level
+    # distinct, a duplicated query row would otherwise emit duplicated
+    # probe rows and the duplicates would consume row_number top-k
+    # slots. Exact duplicate rows collapse silently; the SAME id
+    # carrying a DIFFERENT vector is a contract violation (which
+    # vector defines the query?) and raises instead of silently
+    # scoring an arbitrary one of the two.
+    seen_q: dict = {}
+    deduped = []
+    for r in qrows:
+        vec = tuple(r[1]) if r[1] is not None else None
+        if r[0] not in seen_q:
+            seen_q[r[0]] = vec
+            deduped.append(r)
+        elif seen_q[r[0]] != vec:
+            raise ValueError(
+                f"query id {r[0]!r} appears with two different vectors; "
+                "query ids must identify one vector each (dedupe or "
+                "re-key the query set)"
+            )
+    qrows = deduped
     if len(qrows) == 0:
         # mirror _topk_scaffold: an empty query set yields an empty,
         # correctly-typed result, not a (0,0)-matmul shape error

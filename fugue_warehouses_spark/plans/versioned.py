@@ -135,12 +135,115 @@ def read_all_versions(spark: SparkSession, store: str) -> DataFrame:
     drops data, not history. Compaction (fold all deltas into one new
     version, then remove the old ones in the same maintenance window)
     is the operator-level path to bound version count."""
-    versions = list_versions(spark, store)
+    versions = _live_versions(spark, store)
     if not versions:
         raise FileNotFoundError(f"no complete versions under {store}")
     return spark.read.parquet(
         *[f"{store}/v_{v:05d}" for v in versions]
     )
+
+
+def _compacts_upto(spark: SparkSession, store: str, version: int) -> int | None:
+    """Max version subsumed by ``version``'s compaction, or None if the
+    version is a plain delta (no ``_COMPACTS`` marker)."""
+    fs, marker = _fs_and_path(spark, f"{store}/v_{version:05d}/_COMPACTS")
+    if not fs.exists(marker):
+        return None
+    stream = fs.open(marker)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return int(text.strip())
+
+
+def _live_versions(spark: SparkSession, store: str) -> list[int]:
+    """Complete versions that still carry live delta-log content: a
+    compacted version's ``_COMPACTS`` marker names the highest version
+    it folded in, so everything at or below the highest marker — other
+    than compacted versions themselves — is a subsumed duplicate.
+    This is what makes compaction crash-safe: the marker commits
+    atomically with the version rename, so a crash after the compacted
+    write but before the old directories are swept leaves readers
+    seeing each row exactly once (the sweep is pure garbage
+    collection, not a correctness step)."""
+    versions = list_versions(spark, store)
+    cutoff = -1
+    compacted = set()
+    for v in versions:
+        upto = _compacts_upto(spark, store, v)
+        if upto is not None:
+            cutoff = max(cutoff, upto)
+            compacted.add(v)
+    return [v for v in versions if v > cutoff or v in compacted]
+
+
+def compact_versions(
+    spark: SparkSession, store: str, sweep: bool = True
+) -> int | None:
+    """Fold every live version of a DELTA-LOG store into ONE new
+    version, so per-probe listing/scan cost returns to a single
+    directory no matter how many micro-batches appended deltas.
+    Returns the new version number, or None when the store already has
+    at most one live version (nothing to fold).
+
+    Crash-safe by construction: the compacted version stages with a
+    ``_COMPACTS`` marker (the max version it subsumes) and commits via
+    the same atomic rename as any write; ``read_all_versions`` skips
+    subsumed versions whether or not they have been swept yet. Old
+    directories are deleted only AFTER the commit (``sweep=False``
+    skips the sweep, e.g. to let a later maintenance window batch the
+    deletes). Concurrent delta writers are safe: a delta that commits
+    while compaction runs takes a higher version number than the
+    marker records, so it stays live.
+    """
+    fs, _ = _fs_and_path(spark, store)
+    live = _live_versions(spark, store)
+    if sweep:
+        # sweep subsumed leftovers from a compaction that crashed
+        # between commit and sweep — without this, the short-circuit
+        # below would keep the dead directories (and their listing
+        # cost) forever
+        for v in set(list_versions(spark, store)) - set(live):
+            _, p = _fs_and_path(spark, f"{store}/v_{v:05d}")
+            fs.delete(p, True)
+    if len(live) <= 1:
+        return None
+    upto = max(live)
+    merged = spark.read.parquet(*[f"{store}/v_{v:05d}" for v in live])
+    stage_name = f"__stage_{uuid.uuid4().hex[:12]}"
+    stage = f"{store}/{stage_name}"
+    merged.write.mode("overwrite").parquet(stage)
+    # marker joins the staged payload BEFORE the commit rename, so the
+    # marker and the data become visible in the same atomic step
+    _, marker = _fs_and_path(spark, f"{stage}/_COMPACTS")
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(str(upto).encode("utf-8")))
+    finally:
+        out.close()
+    _, stage_path = _fs_and_path(spark, stage)
+    n = (latest_version(spark, store) or 0) + 1
+    while True:
+        dest_str = f"{store}/v_{n:05d}"
+        _, dest = _fs_and_path(spark, dest_str)
+        if not fs.exists(dest) and fs.rename(stage_path, dest):
+            _, nested = _fs_and_path(spark, f"{dest_str}/{stage_name}")
+            if not fs.exists(nested):
+                break
+            restaged = f"{store}/__stage_{uuid.uuid4().hex[:12]}"
+            _, restaged_path = _fs_and_path(spark, restaged)
+            fs.rename(nested, restaged_path)
+            stage_path = restaged_path
+            stage_name = restaged.rsplit("/", 1)[1]
+        n += 1
+    if sweep:
+        for v in live:
+            _, p = _fs_and_path(spark, f"{store}/v_{v:05d}")
+            fs.delete(p, True)
+    return n
 
 
 def vacuum(

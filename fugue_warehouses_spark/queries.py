@@ -5618,18 +5618,83 @@ _EQUIDEPTH_SQL = """
 
 @_q("orders_equidepth_histogram", _EQUIDEPTH_SQL)
 def orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (quantile-bucket) histogram: decile boundaries by
-    exact ntile over a total order — the complement of
-    orders_price_histogram's fixed-width buckets. The exact form needs
-    a global sort (one SinglePartition window; fine for the
-    oracle-checkable profile at bench scale); at 100 TB the same
-    output shape comes from approx_percentile boundaries + a
-    broadcast range join — boundaries are O(1) to compute and the scan
-    stays fully parallel. Exact kept here because it hash-matches."""
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    """Equi-depth (quantile-bucket) histogram: exact ntile(10) over a
+    total order — the complement of orders_price_histogram's
+    fixed-width buckets. EXACT result with NO SinglePartition window:
+    operators/rank.add_global_rank range-partitions on
+    (o_totalprice, o_orderkey), windows row_number within each bounded
+    partition, and adds per-partition cumulative offsets (a
+    #partitions-int driver collect) for the exact global rank; the
+    ntile bucket is then a constant-folded expression of (rank, n).
+    Hash-identical to the oracle's global ntile, but every stage moves
+    ~1/P of the data — survives 100x. The O(1)-cost approximate form
+    is the separate orders_equidepth_histogram_approx facet."""
+    from fugue_warehouses_spark.operators.rank import (
+        add_global_rank,
+        ntile_from_rank,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked, n = add_global_rank(
+        orders, ["o_totalprice", "o_orderkey"], rank_col="__rank"
+    )
     return (
-        orders.withColumn("bucket", F.ntile(10).over(w))
+        ranked.withColumn("bucket", ntile_from_rank(F.col("__rank"), n, 10))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+_EQUIDEPTH_APPROX_SQL = """
+    WITH b AS (
+      SELECT quantile_disc(o_totalprice,
+                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bounds
+      FROM orders),
+    r AS (
+      SELECT o_totalprice,
+             1 + len(list_filter(b.bounds, x -> x < o_totalprice))
+               AS bucket
+      FROM orders, b)
+    SELECT bucket, count(*)::BIGINT AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(sum(o_totalprice), 2) AS total
+    FROM r GROUP BY bucket
+    """
+
+
+@_q("orders_equidepth_histogram_approx", _EQUIDEPTH_APPROX_SQL)
+def orders_equidepth_histogram_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB-default equi-depth histogram: approx_percentile
+    decile boundaries (one tiny-sketch aggregation, O(1) result) +
+    bucket-by-boundary as a literal-array expression — the degenerate
+    broadcast range join (9 doubles never need a join node). The scan
+    stays fully parallel with a single 10-group aggregation shuffle;
+    no ranks, no windows, no range repartition. Semantics differ from
+    exact ntile only in tie placement and sketch error: rows equal to
+    a boundary go to the lower bucket, and at accuracy >= n (true
+    here and in any run where accuracy is raised to taste) the
+    boundaries are the exact discrete deciles, which is what makes
+    the DuckDB quantile_disc oracle a value-exact twin."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.select(
+        F.percentile_approx(
+            "o_totalprice", [i / 10.0 for i in range(1, 10)], 1_000_000
+        ).alias("b")
+    ).collect()[0]["b"]
+    blit = F.array(*[F.lit(float(x)) for x in bounds])
+    bucket = (
+        F.size(F.filter(blit, lambda x: x < F.col("o_totalprice"))) + 1
+    ).alias("bucket")
+    return (
+        orders.select("o_totalprice", bucket)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -90,6 +90,7 @@ def run_near_dedup_ingest(
     max_bucket_size: int | None = None,
     update_index: bool = True,
     timeout_sec: int = 300,
+    compact_every: int | None = None,
 ) -> DataFrame:
     """Rolling-corpus NEAR-dedup ingest: drain a document stream where
     each micro-batch is near-deduped (MinHash-LSH) against the
@@ -107,7 +108,9 @@ def run_near_dedup_ingest(
     1. read the accumulated index (plans/versioned.read_all_versions —
        the store is an append-only DELTA LOG: each version is one
        batch's signatures, so per-batch index writes stay BATCH-sized,
-       not corpus-sized; an offline rebuild can compact it);
+       not corpus-sized; ``plans.versioned.compact_versions`` folds
+       the log — inline via ``compact_every``, or in a maintenance
+       window);
     2. ``near_dup_pairs_against_index`` flags batch docs that
        near-match the index or an earlier (smaller-id) doc of the same
        batch — only the batch pays signing cost, the index contributes
@@ -145,8 +148,17 @@ def run_near_dedup_ingest(
     Scale: per batch, one banding shuffle on (band, bucket) and one
     grams verify join — both batch-sized on the probe side; the index
     is never re-signed and never rewritten (deltas only). Do not
-    ``vacuum`` the index store (versions are data, not history);
-    compact offline by folding all versions into a rebuilt store.
+    ``vacuum`` the index store (versions are data, not history).
+    After N micro-batches the store holds N version directories; probe
+    reads stay one multi-path scan but the LISTING cost grows with N.
+    ``compact_every=K`` bounds it: whenever the store reaches K live
+    versions, ``plans.versioned.compact_versions`` folds them into one
+    (crash-safe — the ``_COMPACTS`` marker commits atomically with the
+    folded version, so readers never double-count a half-swept store).
+    The fold rewrites index-sized bytes, so K trades listing overhead
+    against periodic rewrite cost (K ~ tens is sensible); ``None``
+    (default) never compacts inline — run ``compact_versions`` in a
+    maintenance window instead.
     """
     from pyspark.errors import AnalysisException
 
@@ -199,6 +211,11 @@ def run_near_dedup_ingest(
                 index_store,
                 spark,
             )
+            if (
+                compact_every is not None
+                and len(V.list_versions(spark, index_store)) >= compact_every
+            ):
+                V.compact_versions(spark, index_store)
         survivors.write.mode("append").parquet(survivors_path)
 
     q = (

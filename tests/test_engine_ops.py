@@ -331,6 +331,32 @@ def test_load_table_file_sample_partitioned_table(eng, spark):
         spark.sql("DROP TABLE IF EXISTS file_sample_part")
 
 
+def test_load_table_file_sample_single_partition_value(eng, spark):
+    """A partitioned table where every row shares ONE partition value
+    lists the partition dir inside the common root ('.../g=1/part-*');
+    the basePath fix must still rediscover g instead of null-filling
+    it from the pinned schema."""
+    spark.range(2000).selectExpr("id", "CAST(1 AS BIGINT) AS g").repartition(
+        8
+    ).write.mode("overwrite").partitionBy("g").saveAsTable("file_sample_one")
+    try:
+        s = eng.load_table("file_sample_one", sample=0.5, sample_unit="files")
+        rows = s.native.groupBy("g").count().collect()
+        assert rows, "sampled relation is empty"
+        assert all(r["g"] == 1 for r in rows)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS file_sample_one")
+
+
+def test_load_table_sample_unit_validated_without_sample(eng):
+    """A typo'd unit — or files-unit with no fraction — must raise even
+    when sample is None, not be silently ignored."""
+    with pytest.raises(ValueError, match="rows|files"):
+        eng.load_table("orders", sample_unit="bogus")
+    with pytest.raises(ValueError, match="without a sample"):
+        eng.load_table("orders", sample_unit="files")
+
+
 def test_join_strategy_hints_pin_physical_plan(spark, sf_dir, eng):
     """strategy= pins the physical join without changing results."""
     from fugue_warehouses_spark.sources import load_star_table

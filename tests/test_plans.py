@@ -361,6 +361,30 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
     assert j.count() == expected
 
 
+def test_equidepth_histogram_no_partitionless_window(spark, sf_dir):
+    """The exact equi-depth histogram must carry NO SinglePartition
+    window (the global-ntile scale-killer): global rank comes from
+    repartitionByRange + within-partition row_number + offsets, so
+    every Window in the plan is partitioned and every Exchange moves
+    ~1/P of the data."""
+    df = QUERIES["orders_equidepth_histogram"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan, plan[:2000]
+    # the window that computes row_number must be partition-local
+    assert "Window" in plan  # still windowed — just never global
+
+
+def test_equidepth_approx_is_scan_plus_one_shuffle(spark, sf_dir):
+    """The approx variant (100 TB default) must be a parallel scan +
+    a single 10-group aggregation exchange: no window, no range
+    repartition, no join nodes (the 9 boundaries are literals)."""
+    df = QUERIES["orders_equidepth_histogram_approx"](spark, sf_dir)
+    simple = _simple(df)
+    assert "Window" not in simple
+    assert "Join" not in simple
+    assert simple.count("Exchange") == 1
+
+
 def test_bigram_logprob_broadcasts_small_sides(spark, sf_dir):
     """The unigram-scale context counts and the vocab scalar must ride
     broadcasts; only the bigram count table may shuffle-join."""

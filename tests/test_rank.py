@@ -1,0 +1,59 @@
+"""Distributed exact global rank (operators/rank.py) — same answer as
+the partition-less window, without the SinglePartition plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from fugue_warehouses_spark.operators.rank import (
+    add_global_rank,
+    ntile_from_rank,
+)
+
+
+def test_global_rank_matches_window_row_number(spark):
+    df = (
+        spark.range(5000)
+        .selectExpr("id", "CAST(hash(id) % 997 AS DOUBLE) AS v")
+        .repartition(16)
+    )
+    ranked, n = add_global_rank(df, ["v", "id"], rank_col="r")
+    assert n == 5000
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    expect = df.withColumn("r", F.row_number().over(w).cast("long"))
+    got = {(r["id"]): r["r"] for r in ranked.collect()}
+    want = {(r["id"]): r["r"] for r in expect.collect()}
+    assert got == want
+    # ranks are a permutation of 1..n
+    assert sorted(got.values()) == list(range(1, 5001))
+
+
+@pytest.mark.parametrize("n,k", [(0, 10), (7, 10), (10, 10), (15000, 10), (101, 4)])
+def test_ntile_from_rank_matches_sql_ntile(spark, n, k):
+    if n == 0:
+        return  # empty relation: nothing to bucket (covered implicitly)
+    df = spark.range(1, n + 1).withColumnRenamed("id", "r")
+    w = Window.orderBy("r")
+    expect = df.withColumn("b", F.ntile(k).over(w))
+    got = df.withColumn("b", ntile_from_rank(F.col("r"), n, k))
+    rows_e = {r["r"]: r["b"] for r in expect.collect()}
+    rows_g = {r["r"]: r["b"] for r in got.collect()}
+    assert rows_g == rows_e
+
+
+def test_global_rank_no_single_partition_exchange(spark):
+    df = spark.range(2000).selectExpr("id", "id % 13 AS v")
+    ranked, _ = add_global_rank(df, ["v", "id"], rank_col="r")
+    plan = ranked._sc._jvm.PythonSQLUtils.explainString(
+        ranked._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_global_rank_empty_input(spark):
+    df = spark.range(0).selectExpr("id", "id AS v")
+    ranked, n = add_global_rank(df, ["v", "id"], rank_col="r")
+    assert n == 0
+    assert ranked.count() == 0

@@ -292,6 +292,22 @@ def test_ivf_duplicate_query_rows_collapse(spark):
     assert key(a) == key(b)
 
 
+def test_ivf_conflicting_duplicate_query_id_raises(spark):
+    """The SAME query id carrying DIFFERENT vectors is a contract
+    violation: scoring an arbitrary one of the two would be a silent
+    wrong answer, so the probe must raise instead."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, [1.0] * 8), (0, [2.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="different vectors"):
+        S.ivf_topk_hash(emb, q, k=5, n_centroids=8, n_probe=4)
+
+
 def test_ivf_empty_query_set_returns_typed_empty(spark):
     """An empty query set short-circuits (no (0,0)-matmul shape error)
     with the result schema intact — mirroring _topk_scaffold."""

@@ -170,6 +170,50 @@ def test_versioned_read_all_versions_delta_log(spark, tmp_path):
     assert V.read_all_versions(spark, store).count() == 9
 
 
+def test_versioned_compact_folds_deltas(spark, tmp_path):
+    """compact_versions folds N delta versions into ONE with identical
+    content; listing cost returns to a single directory."""
+    store = str(tmp_path / "compact1")
+    for i in range(10):
+        V.write_version(
+            spark.range(i * 3, i * 3 + 3).withColumn("b", F.lit(i)), store
+        )
+    before = sorted(
+        tuple(r) for r in V.read_all_versions(spark, store).collect()
+    )
+    new_v = V.compact_versions(spark, store)
+    assert new_v == 11
+    assert V.list_versions(spark, store) == [11]
+    after = sorted(
+        tuple(r) for r in V.read_all_versions(spark, store).collect()
+    )
+    assert after == before
+    # already-compact store: nothing to fold
+    assert V.compact_versions(spark, store) is None
+    # deltas written after compaction stay live alongside it
+    V.write_version(spark.range(100, 102).withColumn("b", F.lit(99)), store)
+    assert V.read_all_versions(spark, store).count() == 32
+
+
+def test_versioned_compact_crash_window_no_double_count(spark, tmp_path):
+    """The crash window between the compacted commit and the old-dir
+    sweep must never double-count: the _COMPACTS marker makes readers
+    skip subsumed versions even while their directories still exist,
+    and a later compact() sweeps them as garbage."""
+    store = str(tmp_path / "compact2")
+    for i in range(4):
+        V.write_version(spark.range(i * 2, i * 2 + 2), store)
+    # sweep=False simulates a crash right after the atomic commit
+    V.compact_versions(spark, store, sweep=False)
+    assert set(V.list_versions(spark, store)) == {1, 2, 3, 4, 5}
+    out = V.read_all_versions(spark, store)
+    assert sorted(r["id"] for r in out.collect()) == list(range(8))
+    # recovery path: the next compact sweeps the dead directories
+    assert V.compact_versions(spark, store) is None  # nothing to fold
+    assert V.list_versions(spark, store) == [5]
+    assert V.read_all_versions(spark, store).count() == 8
+
+
 def test_versioned_upsert(spark, tmp_path):
     store = str(tmp_path / "vstore4")
     base = spark.createDataFrame(

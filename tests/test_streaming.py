@@ -494,6 +494,139 @@ def test_run_near_dedup_ingest_rolling_corpus(spark, tmp_path):
     assert {r["doc_id"] for r in idx.select("doc_id").collect()} == kept
 
 
+def test_ingest_greedy_vs_batch_cc_divergence_bound(spark, tmp_path):
+    """Quantified bound on greedy-streaming vs batch-CC resolution.
+
+    The streaming ingest drops any doc with a pair to an earlier doc
+    (greedy); the batch resolver keeps one min-id representative per
+    connected component. The provable relationship, asserted here on a
+    seeded corpus that exercises both regimes:
+
+    1. every component's min-id doc survives greedy (it has no earlier
+       neighbor), so greedy_survivors ⊇ cc_survivors — greedy can
+       UNDER-dedup but never loses a duplicate class entirely, and
+       never drops a doc CC would keep;
+    2. the over-keep is confined to NON-CLIQUE components (docs whose
+       every near-neighbor has a larger id — transitive-only
+       similarity); clique classes (exact/uniform near dups) resolve
+       identically;
+    3. both survivor sets are pairwise-independent in the pair graph
+       (no two survivors are detectable near-dups) — the guarantee the
+       pipeline actually promises.
+
+    Corpus: 3 clique classes (identical pairs), 1 transitive chain
+    {1~3, 2~3, 1!~2} where greedy keeps {1,2} and CC keeps {1}, and
+    singletons."""
+    from fugue_warehouses_spark.extensions import dedup as D
+    from fugue_warehouses_spark.streaming import (
+        read_parquet_stream,
+        run_near_dedup_ingest,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    word = lambda: "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+    words = [word() for _ in range(600)]
+    doc = lambda toks: " ".join(toks)
+
+    rows = []
+    # transitive chain over char-5-gram Jaccard: with 9/60 words
+    # replaced at opposite ends, J(1,3)=J(2,3)≈(1-f)/(1+f)≈0.74 and
+    # J(1,2)≈(1-2f)/(1+2f)≈0.54 — threshold 0.62 separates. Narrow
+    # bands (r=2) make candidate RECALL reliable in this mid-J regime;
+    # the exact-Jaccard verify then draws the line.
+    base = words[:60]
+    rows += [
+        (1, doc(words[100:109] + base[9:])),
+        (2, doc(base[:51] + words[110:119])),
+        (3, doc(base)),
+    ]
+    # clique classes: exact duplicates (ids 10/11/12, 20/21, 30/31)
+    for cls, ids in [(0, (10, 11, 12)), (1, (20, 21)), (2, (30, 31))]:
+        text = doc(words[150 + cls * 60 : 150 + cls * 60 + 60])
+        rows += [(i, text) for i in ids]
+    # singletons
+    rows += [(40 + i, doc(words[400 + i * 50 : 400 + i * 50 + 50])) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lsh = dict(threshold=0.62, num_hashes=64, bands=32)
+
+    # sanity: pair graph has the intended shape
+    pairs = D.near_dup_pairs_minhash(docs, "doc_id", "text", **lsh)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 3) in got_pairs and (2, 3) in got_pairs
+    assert (1, 2) not in got_pairs
+
+    # batch CC resolution
+    cc_kept = {
+        r["doc_id"] for r in D.dedup_near(docs, pairs, "doc_id").collect()
+    }
+
+    # greedy streaming resolution (single batch replays the same corpus)
+    feed = str(tmp_path / "feed")
+    docs.coalesce(1).write.parquet(feed)
+    greedy = run_near_dedup_ingest(
+        read_parquet_stream(spark, feed),
+        index_store=str(tmp_path / "idx"),
+        survivors_path=str(tmp_path / "kept"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        **lsh,
+    )
+    greedy_kept = {r["doc_id"] for r in greedy.collect()}
+
+    # (1) greedy ⊇ CC: every class keeps its first arrival
+    assert cc_kept <= greedy_kept
+    # (2) divergence is exactly the transitive chain's doc 2
+    assert greedy_kept - cc_kept == {2}
+    # cliques resolved identically (min-id per class)
+    assert {10, 20, 30} <= cc_kept and {11, 12, 21, 31} & greedy_kept == set()
+    # (3) both survivor sets are independent in the pair graph
+    for kept in (cc_kept, greedy_kept):
+        assert not [
+            p for p in got_pairs if p[0] in kept and p[1] in kept
+        ]
+
+
+def test_run_near_dedup_ingest_auto_compact(spark, tmp_path):
+    """compact_every=2: same survivor set and same index CONTENT as the
+    uncompacted run, but the store's live version count stays bounded
+    (listing cost flat in batch count)."""
+    from fugue_warehouses_spark.plans import versioned as V
+    from fugue_warehouses_spark.streaming import (
+        read_parquet_stream,
+        run_near_dedup_ingest,
+    )
+
+    docs = _near_dedup_corpus(spark)
+    feed = str(tmp_path / "feed")
+    for k in range(3):
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    survivors = run_near_dedup_ingest(
+        read_parquet_stream(spark, feed, max_files_per_trigger=1),
+        index_store=str(tmp_path / "idx"),
+        survivors_path=str(tmp_path / "kept"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.5,
+        compact_every=2,
+    )
+    kept = {r["doc_id"] for r in survivors.collect()}
+    # identical survivor semantics to the uncompacted run
+    expected = set(range(10, 20))
+    for a, b in [(i, 20 + i) for i in range(5)] + [
+        (5 + i, 25 + i) for i in range(5)
+    ]:
+        expected.add(
+            min(a, b) if a % 3 == b % 3 else (a if a % 3 < b % 3 else b)
+        )
+    assert kept == expected
+    # 3 batches with compact_every=2: version count stays below 3
+    assert len(V.list_versions(spark, str(tmp_path / "idx"))) < 3
+    idx = V.read_all_versions(spark, str(tmp_path / "idx"))
+    assert {r["doc_id"] for r in idx.select("doc_id").collect()} == kept
+
+
 def test_run_near_dedup_ingest_empty_stream(spark, tmp_path):
     """An empty feed returns an empty frame with the stream's schema,
     not PATH_NOT_FOUND."""
