@@ -409,7 +409,10 @@ def near_dup_pairs_minhash(
         F.countDistinct("id_b").alias("nb"),
     ).first()
     n_cand_ids = max(stats["na"] or 0, stats["nb"] or 0)
-    if n_cand_ids:
+    # the avg-gram-length pass only matters when the candidate set is
+    # big enough that even a pessimistic 64 KB/row would overflow the
+    # default partitions — below that, skip the (cached) corpus scan
+    if n_cand_ids and _verify_partitions(n_cand_ids, 4096.0, par) > par:
         avg_len = (
             with_grams.agg(F.avg(F.size("__grams")).alias("g")).first()["g"]
             or 0.0
@@ -1034,7 +1037,9 @@ def near_dup_pairs_against_index(
         F.countDistinct("id_match").alias("nm"),
     ).first()
     n_cand_ids = max(vstats["nn"] or 0, vstats["nm"] or 0)
-    if n_cand_ids:
+    # same fast path as near_dup_pairs_minhash: only pay the gram-length
+    # pass when a pessimistic 64 KB/row could overflow default partitions
+    if n_cand_ids and _verify_partitions(n_cand_ids, 4096.0, par) > par:
         avg_len = (
             new_sig.agg(F.avg(F.size("__grams")).alias("g")).first()["g"]
             or 0.0

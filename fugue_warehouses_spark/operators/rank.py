@@ -8,22 +8,28 @@ alternative here keeps the same total order with bounded partitions:
 
 1. ``repartitionByRange`` on the order columns — Spark's range
    partitioner (sampled split points, ascending partition ids) gives
-   globally ordered, roughly equal-sized partitions;
-2. per-partition row counts -> collect (#partitions ints — O(cluster),
-   not O(data)) -> cumulative offsets on the driver;
-3. ``row_number`` windowed WITHIN each physical partition (bounded
-   memory, fully parallel) + the partition's offset = exact global
-   rank.
+   globally ordered, roughly equal-sized partitions — then
+   ``sortWithinPartitions`` (no shuffle, bounded per-task sort);
+2. ``monotonically_increasing_id`` over the sorted partitions encodes
+   ``partition_index * 2^33 + local_row_index`` — i.e. the partition
+   id AND the within-partition row_number in one nondeterministic-
+   but-now-pinned column (the frame is lazily localCheckpoint-ed, so
+   every later job reads the same materialized ids);
+3. per-partition row counts -> collect (#partitions ints — O(cluster),
+   not O(data)) -> cumulative offsets on the driver, broadcast back;
+   exact global rank = offset[partition] + local_row_index + 1.
 
-Same answer as the global window, hash-for-hash; the only driver-side
-state is one integer per partition. This mirrors the reference's
+Same answer as the global window, hash-for-hash, with ONE data
+shuffle total (the range exchange) — the window formulation would add
+a second, partition-id hash exchange just to re-cluster rows that are
+already partition-clustered. This mirrors the reference's
 warehouse-side ``ntile``/``row_number`` surface (the warehouses run
 the same distributed-rank trick internally) re-expressed for Spark.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -39,40 +45,51 @@ def add_global_rank(
     tiebreaker column — or equal rows get an arbitrary stable order
     within their range partition).
 
-    Cost: one range shuffle + one pid-hash shuffle for the
-    within-partition window (each moves ~1/P of the data per task) +
-    a #partitions-int collect. The ranged frame is lazily
-    localCheckpoint-ed so the counts pass and the ranked output share
-    one materialization of the range shuffle.
+    Cost: ONE range shuffle (the only data movement), a per-partition
+    sort, and a #partitions-int collect. The sorted+id'd frame is
+    lazily localCheckpoint-ed so the counts pass and the ranked output
+    read one materialization — which also pins the (nondeterministic)
+    monotonic ids to a single assignment.
     """
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     npart = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # monotonically_increasing_id = partition_index * 2^33 + row index
+    # within the partition's iteration order — which IS the sort order
+    # after sortWithinPartitions. Decode both halves instead of paying
+    # a second exchange for a partition-id window.
+    lo_mask = (1 << 33) - 1
     ranged = (
         df.repartitionByRange(npart, *[c.asc() for c in order_cols])
-        .withColumn("__pid", F.spark_partition_id())
+        .sortWithinPartitions(*[c.asc() for c in order_cols])
+        .withColumn("__mono", F.monotonically_increasing_id())
         .localCheckpoint(eager=False)
     )
+    pid = F.shiftrightunsigned(F.col("__mono"), 33).cast("int")
     # one int per partition — O(cluster size), never O(data)
     counts = {
         r["__pid"]: r["c"]
-        for r in ranged.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+        for r in ranged.groupBy(pid.alias("__pid"))
+        .agg(F.count("*").alias("c"))
+        .collect()
     }
     offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
+    for p in sorted(counts):
+        offsets.append((p, acc))
+        acc += counts[p]
     spark = df.sparkSession
-    if offsets:
-        off_df = spark.createDataFrame(offsets, "__pid int, __off long")
-    else:
-        off_df = spark.createDataFrame([], "__pid int, __off long")
-    w = Window.partitionBy("__pid").orderBy(*[c.asc() for c in order_cols])
+    off_df = spark.createDataFrame(offsets or [], "__pid int, __off long")
     ranked = (
-        ranged.join(F.broadcast(off_df), "__pid")
+        ranged.withColumn("__pid", pid)
+        .join(F.broadcast(off_df), "__pid")
         .withColumn(
-            rank_col, (F.row_number().over(w) + F.col("__off")).cast("long")
+            rank_col,
+            (
+                F.col("__mono").bitwiseAND(F.lit(lo_mask))
+                + F.col("__off")
+                + F.lit(1)
+            ).cast("long"),
         )
-        .drop("__pid", "__off")
+        .drop("__pid", "__off", "__mono")
     )
     return ranked, acc
 

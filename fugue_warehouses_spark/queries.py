@@ -5620,12 +5620,13 @@ _EQUIDEPTH_SQL = """
 def orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile-bucket) histogram: exact ntile(10) over a
     total order — the complement of orders_price_histogram's
-    fixed-width buckets. EXACT result with NO SinglePartition window:
+    fixed-width buckets. EXACT result with NO window at all:
     operators/rank.add_global_rank range-partitions on
-    (o_totalprice, o_orderkey), windows row_number within each bounded
-    partition, and adds per-partition cumulative offsets (a
-    #partitions-int driver collect) for the exact global rank; the
-    ntile bucket is then a constant-folded expression of (rank, n).
+    (o_totalprice, o_orderkey), sorts within partitions, decodes
+    monotonically_increasing_id into (partition, local row number),
+    and adds per-partition cumulative offsets (a #partitions-int
+    driver collect) for the exact global rank; the ntile bucket is
+    then a constant-folded expression of (rank, n).
     Hash-identical to the oracle's global ntile, but every stage moves
     ~1/P of the data — survives 100x. The O(1)-cost approximate form
     is the separate orders_equidepth_histogram_approx facet."""

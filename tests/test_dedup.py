@@ -304,6 +304,21 @@ def test_near_dup_against_index_rejects_replayed_batch(spark):
         D.near_dup_pairs_against_index(df, idx).count()
 
 
+def test_verify_partition_sizing_math():
+    """The SHUFFLE_HASH build budget: partition count scales with
+    candidate bytes, clamped to [default parallelism, 4096]."""
+    # tiny candidate sets never go below the cluster's slot count
+    assert D._verify_partitions(25, 1500.0, 32) == 32
+    # 100k candidates x ~1.3k grams x 16B ≈ 2.1GB / 32MB → ~66 parts
+    n = D._verify_partitions(100_000, 1300.0, 32)
+    assert 60 <= n <= 80
+    # monotone in both candidate count and gram length
+    assert D._verify_partitions(200_000, 1300.0, 32) > n
+    assert D._verify_partitions(100_000, 2600.0, 32) > n
+    # never exceeds the scheduling-sanity cap
+    assert D._verify_partitions(10**9, 10**5, 32) == 4096
+
+
 def test_jaccard_threshold_cuts_on_rounded_value(spark):
     """Rounded-before-cut boundary: 1-gram Jaccard of 'abc' vs 'ab' is
     2/3 = 0.666666..., which ROUNDS to 0.666667 — a threshold of

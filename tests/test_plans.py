@@ -370,8 +370,9 @@ def test_equidepth_histogram_no_partitionless_window(spark, sf_dir):
     df = QUERIES["orders_equidepth_histogram"](spark, sf_dir)
     plan = _plan(df)
     assert "SinglePartition" not in plan, plan[:2000]
-    # the window that computes row_number must be partition-local
-    assert "Window" in plan  # still windowed — just never global
+    # rank comes from monotonic ids over range-sorted partitions —
+    # no Window node at all, and no second (pid-hash) exchange
+    assert "Window" not in plan
 
 
 def test_equidepth_approx_is_scan_plus_one_shuffle(spark, sf_dir):

@@ -211,7 +211,15 @@ def test_ewma_stays_within_series_range(spark, series, alpha):
     acc = series[0]
     for x in series[1:]:
         acc = alpha * x + (1.0 - alpha) * acc
-    assert got["ewma_value"] == round(acc, 6)
+    # Python's round() is banker's; Spark (and DuckDB) round HALF_UP,
+    # which differs on exact decimal ties (e.g. 0.2578125 at 6 digits)
+    # — emulate the engines' rule for the exact-equality check
+    from decimal import ROUND_HALF_UP, Decimal
+
+    expect = float(
+        Decimal(acc).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+    assert got["ewma_value"] == expect
     lo, hi = min(series), max(series)
     assert lo - 1e-6 <= got["ewma_value"] <= hi + 1e-6
 
