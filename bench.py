@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "lineitem_weighted_discount",
     "embedding_outliers",
     "doc_incremental_dedup",
+    "doc_incremental_dedup_bloom",
     "doc_incremental_near_dedup",
     "doc_export_manifest",
     "doc_webdataset_export",

@@ -871,6 +871,138 @@ def incremental_dedup(
     )
 
 
+def _bloom_positions(col: Column, m_bits: int, k: int) -> Column:
+    """array<struct<word:long, mask:long>> — the ``k`` Bloom bit
+    positions of ``col`` as (64-bit word index, single-bit mask),
+    hashed with seeded ``xxhash64`` so build and probe agree across
+    jobs, sessions and engines. Unrolled at plan-build time (k is a
+    literal); everything stays in codegen. The single-bit mask comes
+    from a 64-literal lookup (Python's shiftleft wrapper only takes a
+    constant shift; bit 63 wraps to long-min in two's complement)."""
+    masks = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(64)
+        ]
+    )
+    entries = []
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+        entries.append(
+            F.struct(
+                F.shiftrightunsigned(pos, 6).alias("word"),
+                F.element_at(masks, (pos % 64).cast("int") + 1).alias("mask"),
+            )
+        )
+    return F.array(*entries)
+
+
+def fingerprint_bloom(
+    history_df: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 1 << 23,
+    k: int = 5,
+) -> DataFrame:
+    """Distributed Bloom filter over the history's normalized-text
+    fingerprints, materialized as the sparse bitset relation
+    ``(word long, mask long)`` — at most ``m_bits/64`` rows no matter
+    how large the history is.
+
+    Build cost: one scan of the history + one shuffle of partial
+    bitsets (map-side ``bit_or`` collapses each partition's
+    contribution to <= m_bits/64 rows BEFORE the exchange, so shuffle
+    volume is O(partitions x m_bits), independent of row count). The
+    history's fingerprints never move; OSS Spark exposes no Bloom
+    aggregate to Python, so this is the same construction the runtime
+    bloom join filter uses, expressed in plain DataFrame ops."""
+    fp = fingerprint(text_col)
+    return (
+        history_df.select(
+            F.explode(_bloom_positions(fp, m_bits, k)).alias("e")
+        )
+        .select(F.col("e.word").alias("word"), F.col("e.mask").alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+
+
+def incremental_dedup_bloom(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 23,
+    k: int = 5,
+    bloom_df: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`incremental_dedup` with a broadcast Bloom prefilter —
+    EXACTLY the same result (Bloom false positives are removed by the
+    exact join; Bloom has no false negatives), with the history's
+    fingerprint set taken out of the per-batch shuffle:
+
+    1. within-batch dedup first (min-id representative per
+       fingerprint — identical to incremental_dedup's batch half);
+    2. each representative probes the broadcast Bloom bitset
+       (``bloom_df`` — pass a precomputed/persisted one to amortize
+       the build across batches, the intended rolling-corpus shape);
+       a doc with ANY bit missing is DEFINITELY novel and skips the
+       exact check — for a mostly-novel crawl that is most of the
+       batch;
+    3. only Bloom candidates (true dups + ~n/2^? false positives at
+       the configured bits-per-key) ride the exact anti-join against
+       the history fingerprints.
+
+    At scale the per-batch bytes moved are the bitset relation
+    (<= m_bits/64 rows, broadcast once) + the candidate subset —
+    versus incremental_dedup's full history-fingerprint shuffle every
+    batch. Size ``m_bits`` at ~10 bits/history-doc for ~1% FP; an
+    undersized filter only costs extra exact-join traffic, never
+    correctness."""
+    fp = fingerprint(text_col)
+    if bloom_df is None:
+        bloom_df = fingerprint_bloom(history_df, text_col, m_bits, k)
+    # (1) within-batch min-id representative per fingerprint
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    reps = (
+        new_df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # (2) Bloom probe: k (word, mask) lookups per doc against the
+    # broadcast bitset; candidate iff every probed bit is set
+    probes = reps.select(
+        F.col(id_col).alias("__pid_probe"),
+        F.explode(_bloom_positions(F.col("__fp"), m_bits, k)).alias("e"),
+    ).select(
+        "__pid_probe",
+        F.col("e.word").alias("word"),
+        F.col("e.mask").alias("pmask"),
+    )
+    hit = (
+        F.when(
+            F.col("mask").isNotNull()
+            & (F.col("mask").bitwiseAND(F.col("pmask")) == F.col("pmask")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    candidates = (
+        probes.join(F.broadcast(bloom_df), "word", "left")
+        .select("__pid_probe", hit.alias("__hit"))
+        .groupBy("__pid_probe")
+        .agg(F.min("__hit").alias("__all_hit"))
+        .filter(F.col("__all_hit") == 1)
+        .select(F.col("__pid_probe").alias(id_col))
+    )
+    maybe_dup = reps.join(candidates, id_col, "left_semi")
+    definitely_new = reps.join(candidates, id_col, "left_anti")
+    # (3) exact check for candidates only
+    seen = history_df.select(fp.alias("__fp")).distinct()
+    verified_new = maybe_dup.join(seen, "__fp", "left_anti")
+    return definitely_new.unionByName(verified_new).drop("__fp")
+
+
 def build_minhash_index(
     df: DataFrame,
     id_col: str = "doc_id",

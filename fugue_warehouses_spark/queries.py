@@ -3076,6 +3076,30 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("doc_incremental_dedup_bloom", _INCR_DEDUP_SQL)
+def doc_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as doc_incremental_dedup — same oracle, EXACT
+    same output — through the broadcast-Bloom prefilter plan
+    (dedup.incremental_dedup_bloom): history fingerprints compress
+    into a <=m_bits/64-row bitset relation built with one
+    partial-bit_or shuffle; each batch representative probes the
+    broadcast bitset with k seeded xxhash64 bits and only Bloom
+    candidates ride the exact anti-join. At 100 TB this swaps the
+    per-batch full history-fingerprint shuffle for one broadcast of
+    the bitset + a candidate-sized join — the runtime-bloom-join-
+    filter idea as an explicit, persistable operator. Undersized m
+    only adds false-positive traffic to the exact join; the result
+    never changes (asserted by sharing doc_incremental_dedup's
+    oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    thr = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    hist = docs.filter(F.col("doc_id") < thr)
+    batch = docs.filter(F.col("doc_id") >= thr)
+    return DD.incremental_dedup_bloom(
+        batch, hist, "text", "doc_id", m_bits=1 << 20, k=5
+    ).select("doc_id", "source")
+
+
 _CONTEXT_WINDOWS_SQL = r"""
     WITH tl AS (
       SELECT doc_id,

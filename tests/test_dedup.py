@@ -304,6 +304,63 @@ def test_near_dup_against_index_rejects_replayed_batch(spark):
         D.near_dup_pairs_against_index(df, idx).count()
 
 
+def test_incremental_dedup_bloom_matches_exact(spark):
+    """The Bloom-prefiltered plan must return EXACTLY the exact plan's
+    rows — including when the filter is deliberately undersized so
+    false positives are common (they only add exact-join traffic)."""
+    hist = spark.createDataFrame(
+        [(i, f"seen doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"seen doc {i}") for i in range(10)]  # dups vs history
+        + [(200 + i, f"new doc {i}") for i in range(10)]  # novel
+        + [(300, "twin text"), (301, "twin text")],  # within-batch dup
+        "doc_id long, text string",
+    )
+    exact = {r["doc_id"] for r in D.incremental_dedup(batch, hist).collect()}
+    for m_bits in (1 << 20, 64):  # roomy, and absurdly undersized
+        got = {
+            r["doc_id"]
+            for r in D.incremental_dedup_bloom(
+                batch, hist, m_bits=m_bits
+            ).collect()
+        }
+        assert got == exact, m_bits
+    assert exact == {200 + i for i in range(10)} | {300}
+
+
+def test_incremental_dedup_bloom_empty_history(spark):
+    hist = spark.createDataFrame([], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in D.incremental_dedup_bloom(batch, hist).collect()}
+    assert got == {1, 3}
+
+
+def test_fingerprint_bloom_is_bounded_and_reusable(spark):
+    """The bitset relation is <= m_bits/64 rows regardless of history
+    size, and a precomputed bloom_df gives the same answer (the
+    persist-across-batches path)."""
+    hist = spark.createDataFrame(
+        [(i, f"doc number {i % 50}") for i in range(500)],
+        "doc_id long, text string",
+    )
+    bloom = D.fingerprint_bloom(hist, m_bits=1 << 12, k=5)
+    assert bloom.count() <= (1 << 12) // 64
+    batch = spark.createDataFrame(
+        [(1000, "doc number 7"), (1001, "never seen")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]
+        for r in D.incremental_dedup_bloom(
+            batch, hist, m_bits=1 << 12, k=5, bloom_df=bloom
+        ).collect()
+    }
+    assert got == {1001}
+
+
 def test_verify_partition_sizing_math():
     """The SHUFFLE_HASH build budget: partition count scales with
     candidate bytes, clamped to [default parallelism, 4096]."""
