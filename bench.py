@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "embedding_outliers",
     "doc_incremental_dedup",
     "doc_incremental_dedup_bloom",
+    "doc_incremental_dedup_bloom_persisted",
     "doc_incremental_near_dedup",
     "doc_export_manifest",
     "doc_webdataset_export",

@@ -58,6 +58,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_cdc_dedup": (("source", "s"), ("n_chunks", "i"), ("n_distinct_chunks", "i"), ("total_chunk_chars", "i"), ("distinct_chunk_chars", "i"),),
     "doc_incremental_dedup": (("doc_id", "i"), ("source", "s"),),
     "doc_incremental_dedup_bloom": (("doc_id", "i"), ("source", "s"),),
+    "doc_incremental_dedup_bloom_persisted": (("doc_id", "i"), ("source", "s"),),
     "doc_incremental_near_dedup": (("id_new", "i"), ("id_match", "i"), ("jaccard_sim", "f"),),
     "doc_export_manifest": (("shard", "i"), ("n_rows", "i"), ("id_checksum", "i"),),
     "doc_webdataset_export": (("shard", "i"), ("n_members", "i"), ("total_bytes", "i"), ("id_checksum", "i"),),
@@ -252,6 +253,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "doc_training_pipeline", "doc_contamination",
         "doc_train_test_split", "doc_chunks", "doc_cdc_dedup",
         "doc_incremental_dedup", "doc_incremental_dedup_bloom",
+        "doc_incremental_dedup_bloom_persisted",
         "doc_incremental_near_dedup",
         "doc_context_windows", "doc_webdataset_export",
     ),

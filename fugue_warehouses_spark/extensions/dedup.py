@@ -934,6 +934,7 @@ def incremental_dedup_bloom(
     m_bits: int = 1 << 23,
     k: int = 5,
     bloom_df: DataFrame | None = None,
+    history_fp_df: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`incremental_dedup` with a broadcast Bloom prefilter —
     EXACTLY the same result (Bloom false positives are removed by the
@@ -997,9 +998,26 @@ def incremental_dedup_bloom(
     )
     maybe_dup = reps.join(candidates, id_col, "left_semi")
     definitely_new = reps.join(candidates, id_col, "left_anti")
-    # (3) exact check for candidates only
-    seen = history_df.select(fp.alias("__fp")).distinct()
-    verified_new = maybe_dup.join(seen, "__fp", "left_anti")
+    # (3) exact check for candidates only — and the HISTORY side is
+    # semi-filtered by the candidate fingerprints first, so the
+    # history is SCANNED (fp computed per row) but never shuffled:
+    # the candidate fp set is small (AQE broadcasts it), the matched
+    # subset is at most candidate-sized, and the final anti-join runs
+    # against that tiny set. Exact: a candidate row is dropped iff its
+    # fp is in history, same as anti-joining the full seen set.
+    cand_fps = maybe_dup.select("__fp").distinct()
+    hist_fps = (
+        history_df.select(fp.alias("__fp"))
+        if history_fp_df is None
+        # rolling-corpus shape: a PERSISTED distinct-fingerprint table
+        # (one `__fp` column) — history text is then never re-read or
+        # re-hashed per batch
+        else history_fp_df.select("__fp")
+    )
+    # stream the big history side against the (AQE-broadcast) candidate
+    # set: output is at most candidate-sized, history never shuffles
+    seen_hit = hist_fps.join(cand_fps, "__fp", "left_semi")
+    verified_new = maybe_dup.join(seen_hit, "__fp", "left_anti")
     return definitely_new.unionByName(verified_new).drop("__fp")
 
 

@@ -361,6 +361,37 @@ def test_fingerprint_bloom_is_bounded_and_reusable(spark):
     assert got == {1001}
 
 
+def test_incremental_dedup_bloom_persisted_state(spark):
+    """The rolling-corpus shape: precomputed bloom + fingerprint table
+    answer identically to the inline rebuild, and the history frame is
+    not consulted at all (passing an EMPTY history proves the persisted
+    state carries the whole exact check)."""
+    from fugue_warehouses_spark.functions.text import fingerprint
+
+    hist = spark.createDataFrame(
+        [(i, f"seen doc {i}") for i in range(30)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, "seen doc 3"), (101, "brand new"), (102, "brand new")],
+        "doc_id long, text string",
+    )
+    bloom = D.fingerprint_bloom(hist, m_bits=1 << 12, k=5)
+    fps = hist.select(fingerprint("text").alias("__fp")).distinct()
+    empty_hist = spark.createDataFrame([], "doc_id long, text string")
+    got = {
+        r["doc_id"]
+        for r in D.incremental_dedup_bloom(
+            batch,
+            empty_hist,
+            m_bits=1 << 12,
+            k=5,
+            bloom_df=bloom,
+            history_fp_df=fps,
+        ).collect()
+    }
+    assert got == {101}
+
+
 def test_verify_partition_sizing_math():
     """The SHUFFLE_HASH build budget: partition count scales with
     candidate bytes, clamped to [default parallelism, 4096]."""
