@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "doc_exact_dedup",
     "doc_pack_sequences",
     "doc_stratified_sample",
+    "doc_epoch_shuffle",
     "doc_alpha_mixture",
     "doc_clean_normalize",
     "doc_contamination",

@@ -157,3 +157,66 @@ def alpha_flatten_sample(
     return with_rate.filter(draw < F.col("__thresh")).drop(
         "__n", "__nmin", "__thresh"
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epochs: int,
+    epoch_col: str = "epoch",
+    position_col: str = "position",
+) -> DataFrame:
+    """Deterministic per-epoch training-data shuffle: every epoch gets
+    its own full pass over the rows in a pseudo-random order that is a
+    pure function of (key, epoch) — reproducible across runs, engines
+    and cluster sizes, with no RNG state to ship.
+
+    Position comes from ``operators/rank.add_global_rank`` over
+    (epoch, md5-draw, key) — range partitioning plus per-partition
+    offsets, NEVER a global (or per-epoch, which at 2-16 epochs is the
+    same thing) window sort: shuffling 100 TB per epoch is exactly the
+    workload where a partition-less ntile/row_number melts one task.
+    Epoch offsets (#epochs ints) rebase the global rank to a 1-based
+    position within each epoch. Writers typically follow with
+    ``repartitionByRange(position)`` per epoch, which this ordering
+    already provides.
+
+    Cost: one explode (x epochs) + the rank operator's single range
+    shuffle + two tiny collects (#partitions + #epochs ints).
+    """
+    from fugue_warehouses_spark.operators.rank import add_global_rank
+
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    with_epoch = df.withColumn(
+        epoch_col, F.explode(F.array(*[F.lit(e) for e in range(epochs)]))
+    )
+    # draw = first 8 md5 hex chars of "<key>:<epoch>" — matches the
+    # module's engine-reproducible uniform-draw convention
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(key_col).cast("string"),
+                    F.lit(":"),
+                    F.col(epoch_col).cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = with_epoch.withColumn("__draw", draw)
+    ranked, total = add_global_rank(
+        keyed, [epoch_col, "__draw", key_col], rank_col="__grank"
+    )
+    # every epoch holds the SAME n rows and epoch blocks are contiguous
+    # in the (epoch, draw, key) total order, so the per-epoch offset is
+    # just epoch * n — no extra counting job, no offset join
+    n = total // epochs
+    return ranked.withColumn(
+        position_col,
+        F.col("__grank") - F.col(epoch_col).cast("long") * F.lit(n),
+    ).drop("__draw", "__grank")

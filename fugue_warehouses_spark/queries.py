@@ -3005,6 +3005,43 @@ def doc_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_SHUFFLE_SQL = """
+    WITH e AS (
+      SELECT d.doc_id, g.epoch
+      FROM documents d, (SELECT UNNEST([0, 1, 2]) AS epoch) g),
+    r AS (
+      SELECT epoch, doc_id,
+             row_number() OVER (
+               PARTITION BY epoch
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':'
+                                            || epoch::VARCHAR), 1, 8))::UBIGINT,
+                        doc_id) AS position
+      FROM e)
+    SELECT epoch::INT AS epoch, position::BIGINT AS position, doc_id
+    FROM r WHERE position <= 20
+    """
+
+
+@_q("doc_epoch_shuffle", _EPOCH_SHUFFLE_SQL)
+def doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle
+    (sampling.epoch_shuffle): every epoch re-orders the full corpus by
+    a pure function of (doc_id, epoch) — reproducible across runs and
+    engines, no RNG state. Positions come from the distributed rank
+    operator (range shuffle + offsets), NOT a per-epoch window — at
+    100 TB x N epochs a PARTITION BY epoch window is a 2-16-partition
+    sort, the same melt as a global one. The facet emits each epoch's
+    first 20 positions (bounded output; the full ordering is what a
+    writer would consume)."""
+    from fugue_warehouses_spark.extensions.sampling import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = epoch_shuffle(docs, "doc_id", epochs=3)
+    return out.filter(F.col("position") <= 20).select(
+        "epoch", "position", "doc_id"
+    )
+
+
 _ALPHA_MIXTURE_SQL = """
     WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
     m AS (SELECT min(n) AS nmin FROM c),

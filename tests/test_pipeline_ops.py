@@ -332,3 +332,48 @@ def test_alpha_flatten_sample_null_domain_kept(spark):
     # alpha=1 keeps the natural mixture INCLUDING NULL-domain rows
     assert kept.count() == 4
     assert kept.filter("lang IS NULL").count() == 2
+
+
+def test_epoch_shuffle_is_deterministic_permutation(spark):
+    """Each epoch's positions are a 1..n permutation, orders differ
+    across epochs, and the whole thing is a pure function of
+    (key, epoch) — identical under a different physical layout."""
+    from fugue_warehouses_spark.extensions.sampling import epoch_shuffle
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    out = epoch_shuffle(df, "doc_id", epochs=3).collect()
+    by_epoch: dict = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["position"]
+    assert set(by_epoch) == {0, 1, 2}
+    for e, m in by_epoch.items():
+        assert sorted(m.values()) == list(range(1, 501)), e
+    # epochs are differently ordered (astronomically unlikely to match)
+    assert by_epoch[0] != by_epoch[1]
+    # physical-layout independence
+    out2 = epoch_shuffle(df.repartition(13), "doc_id", epochs=3).collect()
+    got2 = {(r["epoch"], r["doc_id"]): r["position"] for r in out2}
+    got1 = {(r["epoch"], r["doc_id"]): r["position"] for r in out}
+    assert got1 == got2
+
+
+def test_epoch_shuffle_no_partitionless_window(spark):
+    from fugue_warehouses_spark.extensions.sampling import epoch_shuffle
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    out = epoch_shuffle(df, "doc_id", epochs=2)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+def test_epoch_shuffle_validates_epochs(spark):
+    import pytest as _pytest
+
+    from fugue_warehouses_spark.extensions.sampling import epoch_shuffle
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError, match="epochs"):
+        epoch_shuffle(df, "doc_id", epochs=0)
