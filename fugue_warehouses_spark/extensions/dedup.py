@@ -969,35 +969,82 @@ def incremental_dedup_bloom(
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        # consumed by both probe legs (sparse path) — materialize the
+        # within-batch window once
+        .localCheckpoint(eager=False)
     )
-    # (2) Bloom probe: k (word, mask) lookups per doc against the
-    # broadcast bitset; candidate iff every probed bit is set
-    probes = reps.select(
-        F.col(id_col).alias("__pid_probe"),
-        F.explode(_bloom_positions(F.col("__fp"), m_bits, k)).alias("e"),
-    ).select(
-        "__pid_probe",
-        F.col("e.word").alias("word"),
-        F.col("e.mask").alias("pmask"),
-    )
-    hit = (
-        F.when(
-            F.col("mask").isNotNull()
-            & (F.col("mask").bitwiseAND(F.col("pmask")) == F.col("pmask")),
-            F.lit(1),
+    # (2) Bloom probe: k (word, mask) lookups per doc, candidate iff
+    # every probed bit is set. Two physical strategies, same result:
+    #
+    # - DENSE (default for m_bits <= 2^29 = 64 MB of words): the
+    #   bitset is collected once into a numpy array and rides an
+    #   executor broadcast into one vectorized Arrow-batch test —
+    #   the probe is then pure scan work (no explode, no join, no
+    #   groupBy), the same bounded-closure shape as the IVF centroid
+    #   matmul. Positions are still computed JVM-side with the same
+    #   seeded xxhash64, so dense and sparse probes agree bit-for-bit.
+    # - SPARSE (bigger m): explode the k probes, broadcast-join the
+    #   bitset relation, bool-and per doc — no driver materialization
+    #   of the filter at any m.
+    dense_ok = m_bits <= (1 << 29)
+    pos = _bloom_positions(F.col("__fp"), m_bits, k)
+    if dense_ok:
+        import numpy as np
+        import pandas as pd
+
+        nwords = (m_bits + 63) >> 6
+        bitset = np.zeros(nwords, dtype=np.int64)
+        for r in bloom_df.collect():  # <= m_bits/64 rows by construction
+            bitset[r["word"]] = r["mask"]
+        bc = new_df.sparkSession.sparkContext.broadcast(bitset)
+
+        @F.pandas_udf("boolean")
+        def _probe(words, masks):  # type: ignore[no-untyped-def]
+            bs = bc.value
+            if len(words) == 0:
+                return pd.Series([], dtype=bool)
+            W = np.asarray(words.tolist(), dtype=np.int64)
+            M = np.asarray(masks.tolist(), dtype=np.int64)
+            hit = (bs[W] & M) == M
+            return pd.Series(hit.all(axis=1))
+
+        # lazy localCheckpoint: both legs (candidates + definite-new)
+        # and the candidate-fp semi filter consume this frame — without
+        # it the within-batch window and the probe UDF re-run per leg
+        # (measured 2x at 320k)
+        flagged = reps.withColumn(
+            "__cand",
+            _probe(pos.getField("word"), pos.getField("mask")),
+        ).localCheckpoint(eager=False)
+        maybe_dup = flagged.filter(F.col("__cand")).drop("__cand")
+        definitely_new = flagged.filter(~F.col("__cand")).drop("__cand")
+    else:
+        probes = reps.select(
+            F.col(id_col).alias("__pid_probe"),
+            F.explode(pos).alias("e"),
+        ).select(
+            "__pid_probe",
+            F.col("e.word").alias("word"),
+            F.col("e.mask").alias("pmask"),
         )
-        .otherwise(F.lit(0))
-    )
-    candidates = (
-        probes.join(F.broadcast(bloom_df), "word", "left")
-        .select("__pid_probe", hit.alias("__hit"))
-        .groupBy("__pid_probe")
-        .agg(F.min("__hit").alias("__all_hit"))
-        .filter(F.col("__all_hit") == 1)
-        .select(F.col("__pid_probe").alias(id_col))
-    )
-    maybe_dup = reps.join(candidates, id_col, "left_semi")
-    definitely_new = reps.join(candidates, id_col, "left_anti")
+        hit = (
+            F.when(
+                F.col("mask").isNotNull()
+                & (F.col("mask").bitwiseAND(F.col("pmask")) == F.col("pmask")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+        )
+        candidates = (
+            probes.join(F.broadcast(bloom_df), "word", "left")
+            .select("__pid_probe", hit.alias("__hit"))
+            .groupBy("__pid_probe")
+            .agg(F.min("__hit").alias("__all_hit"))
+            .filter(F.col("__all_hit") == 1)
+            .select(F.col("__pid_probe").alias(id_col))
+        )
+        maybe_dup = reps.join(candidates, id_col, "left_semi")
+        definitely_new = reps.join(candidates, id_col, "left_anti")
     # (3) exact check for candidates only — and the HISTORY side is
     # semi-filtered by the candidate fingerprints first, so the
     # history is SCANNED (fp computed per row) but never shuffled:

@@ -120,6 +120,28 @@ def probe(spark, sizes, ops=None):
         timed("duplicate_span_coverage", n, lambda: D.duplicate_span_coverage(docs, "doc_id", "text").count())
         timed("incremental_dedup", n, lambda: D.incremental_dedup(
             docs.filter(f"doc_id >= {n // 2}"), docs.filter(f"doc_id < {n // 2}")).count())
+        # Bloom-prefiltered exact dedup, rolling-corpus shape: bloom
+        # bitset + fp table built once OUTSIDE the timed region (like
+        # near_dedup_against_index's index); batch = newest 20%. The
+        # timed probe moves the broadcast bitset + candidates only.
+        if wanted("incremental_dedup_bloom"):
+            from fugue_warehouses_spark.functions.text import fingerprint
+            from pyspark.sql import functions as _F
+
+            hist_b = docs.filter(f"doc_id < {n - n // 5}")
+            m_bits = 1 << max(14, (n - n // 5) * 10 - 1).bit_length()
+            bloom_b = D.fingerprint_bloom(
+                hist_b, "text", m_bits=m_bits, k=5
+            ).localCheckpoint()
+            fps_b = (
+                hist_b.select(fingerprint("text").alias("__fp"))
+                .distinct()
+                .localCheckpoint()
+            )
+            timed("incremental_dedup_bloom", n, lambda: D.incremental_dedup_bloom(
+                docs.filter(f"doc_id >= {n - n // 5}"), hist_b,
+                m_bits=m_bits, k=5, bloom_df=bloom_b, history_fp_df=fps_b,
+            ).count())
         # incremental NEAR-dedup: index built once OUTSIDE the timed
         # region (that is the point — the rolling-corpus loop pays only
         # the batch signing per run), batch = the newest 20%

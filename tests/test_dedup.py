@@ -361,6 +361,24 @@ def test_fingerprint_bloom_is_bounded_and_reusable(spark):
     assert got == {1001}
 
 
+def test_incremental_dedup_bloom_sparse_probe_path(spark):
+    """m_bits above the dense cap routes through the join-based sparse
+    probe (no driver bitset materialization) with identical results."""
+    hist = spark.createDataFrame(
+        [(i, f"seen doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, "seen doc 3"), (101, "brand new")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]
+        for r in D.incremental_dedup_bloom(
+            batch, hist, m_bits=1 << 30, k=5  # > 2^29 dense cap
+        ).collect()
+    }
+    assert got == {101}
+
+
 def test_incremental_dedup_bloom_persisted_state(spark):
     """The rolling-corpus shape: precomputed bloom + fingerprint table
     answer identically to the inline rebuild, and the history frame is
