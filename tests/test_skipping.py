@@ -214,6 +214,25 @@ def test_versioned_compact_crash_window_no_double_count(spark, tmp_path):
     assert V.read_all_versions(spark, store).count() == 8
 
 
+def test_versioned_compact_concurrent_delta_stays_live(spark, tmp_path):
+    """A delta that commits while (or right after) compaction runs takes
+    a version number above the _COMPACTS marker, so it must stay live —
+    compaction can never swallow data it didn't fold."""
+    store = str(tmp_path / "compact3")
+    for i in range(3):
+        V.write_version(spark.range(i * 2, i * 2 + 2), store)
+    V.compact_versions(spark, store, sweep=False)  # folds 1-3 into 4
+    # concurrent writer lands AFTER the compacted commit
+    V.write_version(spark.range(100, 103), store)  # v5
+    out = sorted(r["id"] for r in V.read_all_versions(spark, store).collect())
+    assert out == list(range(6)) + [100, 101, 102]
+    # a later compact folds {compacted v4, live v5} and sweeps garbage
+    V.compact_versions(spark, store)
+    assert len(V.list_versions(spark, store)) == 1
+    out2 = sorted(r["id"] for r in V.read_all_versions(spark, store).collect())
+    assert out2 == out
+
+
 def test_versioned_upsert(spark, tmp_path):
     store = str(tmp_path / "vstore4")
     base = spark.createDataFrame(
