@@ -169,17 +169,28 @@ class SparkWarehouseEngine:
         # A table where every row shares ONE partition value lists as
         # .../table/g=1/part-*.parquet — the partition dir itself lands
         # inside the common root. Trim trailing key=value segments off
-        # the root (they are partition dirs, never the table root) so
-        # basePath points above them and the partition column is
-        # discovered instead of silently null-filled from the pinned
-        # schema. Safe for unpartitioned tables: the schema is pinned,
-        # so a spuriously discovered partition column not in the schema
-        # is dropped.
-        while root_parts and "=" in root_parts[-1]:
+        # the root so basePath points above them and the partition
+        # column is rediscovered instead of silently null-filled from
+        # the pinned schema. Only segments whose KEY is a column of the
+        # table's schema count as partition dirs: with basePath +
+        # user schema Spark APPENDS any discovered partition column
+        # (measured — it is NOT dropped), so an unpartitioned table
+        # whose directory merely contains '=' (".../t=x/") must not
+        # trigger the trim or the check, or the sampled read would grow
+        # a phantom column.
+        cols = set(df.schema.names)
+
+        def _is_part_dir(seg: str) -> bool:
+            key, eq, _ = seg.partition("=")
+            return eq == "=" and key in cols
+
+        while root_parts and _is_part_dir(root_parts[-1]):
             root_parts = root_parts[:-1]
         root = "/".join(root_parts)
         reader = self.spark.read.schema(df.schema)
-        if any("=" in seg for d in dirs for seg in d[len(root_parts):]):
+        if any(
+            _is_part_dir(seg) for d in dirs for seg in d[len(root_parts):]
+        ):
             reader = reader.option("basePath", root)
         return reader.parquet(*chosen)
 

@@ -171,8 +171,11 @@ def epoch_shuffle(
     pure function of (key, epoch) — reproducible across runs, engines
     and cluster sizes, with no RNG state to ship.
 
-    Position comes from ``operators/rank.add_global_rank`` over
-    (epoch, md5-draw, key) — range partitioning plus per-partition
+    ``key_col`` must be unique per row (it is both the draw seed and
+    the sort tiebreaker): duplicate keys would draw identical
+    positions-neighbors whose relative order falls to physical row
+    order — not reproducible. Positions come from
+    ``operators/rank.add_global_rank`` over (epoch, md5-draw, key) — range partitioning plus per-partition
     offsets, NEVER a global (or per-epoch, which at 2-16 epochs is the
     same thing) window sort: shuffling 100 TB per epoch is exactly the
     workload where a partition-less ntile/row_number melts one task.

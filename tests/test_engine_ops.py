@@ -348,6 +348,21 @@ def test_load_table_file_sample_single_partition_value(eng, spark):
         spark.sql("DROP TABLE IF EXISTS file_sample_one")
 
 
+def test_load_table_file_sample_table_dir_with_equals(eng, spark, tmp_path):
+    """An UNPARTITIONED table whose directory name merely contains '='
+    must not be mistaken for a hive layout: with basePath + a pinned
+    schema Spark would APPEND the phantom 'partition' column, silently
+    changing the sampled schema."""
+    path = str(tmp_path / "t=x")
+    spark.range(2000).selectExpr("id", "id * 2 AS v").repartition(
+        8
+    ).write.parquet(path)
+    f = eng.load_df(path)
+    s = eng._sample_files(f.native, 0.5)
+    assert s.columns == ["id", "v"]  # no phantom 't' column
+    assert 0 < s.count() < 2000
+
+
 def test_load_table_sample_unit_validated_without_sample(eng):
     """A typo'd unit — or files-unit with no fraction — must raise even
     when sample is None, not be silently ignored."""
