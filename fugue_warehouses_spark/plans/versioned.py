@@ -171,13 +171,17 @@ def _live_versions(spark: SparkSession, store: str) -> list[int]:
     collection, not a correctness step)."""
     versions = list_versions(spark, store)
     cutoff = -1
-    compacted = set()
     for v in versions:
         upto = _compacts_upto(spark, store, v)
         if upto is not None:
             cutoff = max(cutoff, upto)
-            compacted.add(v)
-    return [v for v in versions if v > cutoff or v in compacted]
+    # live = strictly above the highest cutoff. A compacted version is
+    # always numbered above its own marker, so the newest compaction
+    # survives this rule naturally — and an OLDER compacted version
+    # (itself subsumed by a later compaction whose cutoff reaches it)
+    # correctly dies with the plain deltas it had folded; reviving it
+    # would double-count its content against the newer fold.
+    return [v for v in versions if v > cutoff]
 
 
 def compact_versions(

@@ -214,6 +214,23 @@ def test_versioned_compact_crash_window_no_double_count(spark, tmp_path):
     assert V.read_all_versions(spark, store).count() == 8
 
 
+def test_versioned_double_compaction_crash_window(spark, tmp_path):
+    """Two compactions, both with unswept garbage: the OLDER compacted
+    version is itself subsumed by the newer one's marker and must die
+    with the deltas it folded — reviving it would double-count."""
+    store = str(tmp_path / "compact4")
+    for i in range(3):
+        V.write_version(spark.range(i * 2, i * 2 + 2), store)  # v1-3
+    V.compact_versions(spark, store, sweep=False)  # v4 = fold(1-3)
+    V.write_version(spark.range(100, 102), store)  # v5
+    V.compact_versions(spark, store, sweep=False)  # v6 = fold(4,5)
+    out = sorted(r["id"] for r in V.read_all_versions(spark, store).collect())
+    assert out == list(range(6)) + [100, 101]  # each row exactly once
+    # recovery sweep removes all five dead directories
+    V.compact_versions(spark, store)
+    assert V.list_versions(spark, store) == [6]
+
+
 def test_versioned_compact_concurrent_delta_stays_live(spark, tmp_path):
     """A delta that commits while (or right after) compaction runs takes
     a version number above the _COMPACTS marker, so it must stay live —
