@@ -275,6 +275,15 @@ def vacuum(
         return []
     removed = []
     vs = list_versions(spark, store)
+    if any(_compacts_upto(spark, store, v) is not None for v in vs):
+        # a _COMPACTS marker means this store is a delta log that has
+        # been compacted: versions are DATA, not history, and "keep the
+        # newest K" would silently drop folded content. Compaction is
+        # the cleanup path for these stores.
+        raise ValueError(
+            f"{store} is a compacted delta-log store; vacuum() would "
+            "drop folded data — use compact_versions() for cleanup"
+        )
     for v in vs[:-keep_last] if len(vs) > keep_last else []:
         _, p = _fs_and_path(spark, f"{store}/v_{v:05d}")
         fs.delete(p, True)

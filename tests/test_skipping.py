@@ -214,6 +214,20 @@ def test_versioned_compact_crash_window_no_double_count(spark, tmp_path):
     assert V.read_all_versions(spark, store).count() == 8
 
 
+def test_versioned_vacuum_refuses_compacted_delta_log(spark, tmp_path):
+    """vacuum on a compacted delta-log store would drop folded data —
+    must raise, pointing at compact_versions."""
+    store = str(tmp_path / "compact5")
+    for i in range(3):
+        V.write_version(spark.range(i, i + 1), store)
+    V.compact_versions(spark, store)
+    V.write_version(spark.range(50, 51), store)
+    with pytest.raises(ValueError, match="compact_versions"):
+        V.vacuum(spark, store, keep_last=1)
+    # data untouched
+    assert V.read_all_versions(spark, store).count() == 4
+
+
 def test_versioned_double_compaction_crash_window(spark, tmp_path):
     """Two compactions, both with unswept garbage: the OLDER compacted
     version is itself subsumed by the newer one's marker and must die
