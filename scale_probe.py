@@ -152,6 +152,16 @@ def probe(spark, sizes, ops=None):
             timed("near_dedup_against_index", n, lambda: D.near_dup_pairs_against_index(
                 docs.filter(f"doc_id >= {n - n // 5}"), idx, "doc_id", "text",
                 threshold=0.6, max_bucket_size=64).count())
+        # distributed exact global rank (the no-global-window primitive
+        # behind equi-depth histograms and epoch shuffles): rank n*3
+        # rows (3 epochs) — one range shuffle + offsets collect
+        if wanted("epoch_shuffle_rank"):
+            from fugue_warehouses_spark.extensions.sampling import (
+                epoch_shuffle,
+            )
+
+            timed("epoch_shuffle_rank", n, lambda: epoch_shuffle(
+                docs.select("doc_id"), "doc_id", epochs=3).count())
         timed("similarity_pairs_block", n, lambda: S.similarity_pairs(
             emb, threshold=0.35, method="block").count())
         timed("ivf_topk_hash", n, lambda: S.ivf_topk_hash(
