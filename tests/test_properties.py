@@ -211,13 +211,18 @@ def test_ewma_stays_within_series_range(spark, series, alpha):
     acc = series[0]
     for x in series[1:]:
         acc = alpha * x + (1.0 - alpha) * acc
-    # Python's round() is banker's; Spark (and DuckDB) round HALF_UP,
-    # which differs on exact decimal ties (e.g. 0.2578125 at 6 digits)
-    # — emulate the engines' rule for the exact-equality check
+    # Python's round() is banker's; Spark rounds HALF_UP — and over the
+    # SHORTEST decimal representation of the double (Java
+    # BigDecimal.valueOf goes through Double.toString), not its full
+    # binary expansion: 0.7499975 rounds to 0.749998 even though the
+    # stored double is 0.74999749999...x. repr() is Python's
+    # shortest-round-trip form, the exact analog.
     from decimal import ROUND_HALF_UP, Decimal
 
     expect = float(
-        Decimal(acc).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        Decimal(repr(acc)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
     )
     assert got["ewma_value"] == expect
     lo, hi = min(series), max(series)
