@@ -3716,14 +3716,15 @@ def doc_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = TX.tokens(F.lower(F.col("text")))
     toks = docs.select(ts.alias("ts"))
     uni = toks.select(F.explode("ts").alias("w"))
-    # totals ride along as windows over the (small) count frames —
-    # a totals branch built from `uni`/`bi` directly would re-scan and
-    # re-tokenize the whole corpus once per total
-    w_all = Window.partitionBy()
-    uni_counts = (
-        uni.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("nw"))
-        .withColumn("t_uni", F.sum("nw").over(w_all))
+    # totals as BROADCAST 1-row aggregates over the count frames (the
+    # count exchanges are shared via ReuseExchange, so the corpus is
+    # still tokenized once): a partition-less WINDOW here would move
+    # the whole VOCABULARY through one task — bounded on these
+    # fixtures, a 10^8-row single partition on a real corpus — whereas
+    # a scalar agg is a partial-sum tree
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("nw"))
+    uni_counts = uni_counts.crossJoin(
+        F.broadcast(uni_counts.agg(F.sum("nw").alias("t_uni")))
     )
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("ts") - 1),
@@ -3737,10 +3738,9 @@ def doc_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(pairs).alias("p"))
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    bi_counts = (
-        bi.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("nb"))
-        .withColumn("t_bi", F.sum("nb").over(w_all))
+    bi_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
+    bi_counts = bi_counts.crossJoin(
+        F.broadcast(bi_counts.agg(F.sum("nb").alias("t_bi")))
     )
     a = uni_counts.select(
         F.col("w").alias("_wa"), F.col("nw").alias("_nwa"), "t_uni"
