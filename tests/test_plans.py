@@ -386,6 +386,28 @@ def test_equidepth_approx_is_scan_plus_one_shuffle(spark, sf_dir):
     assert simple.count("Exchange") == 1
 
 
+def test_bloom_dedup_history_never_shuffle_joins(spark, sf_dir):
+    """The Bloom-prefiltered incremental dedup must carry NO sort-merge
+    join: the bitset rides a broadcast (dense: a UDF closure; the
+    verify legs: AQE/explicit broadcasts), so the history side is
+    scanned, never shuffle-joined."""
+    for name in (
+        "doc_incremental_dedup_bloom",
+        "doc_incremental_dedup_bloom_persisted",
+    ):
+        plan = _simple(QUERIES[name](spark, sf_dir))
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_bigram_lift_totals_are_broadcast_not_windowed(spark, sf_dir):
+    """Corpus/vocabulary totals must ride broadcast scalar aggregates —
+    a partition-less Window over the count frames would move the whole
+    vocabulary through one task at scale."""
+    plan = _plan(QUERIES["doc_bigram_lift"](spark, sf_dir))
+    assert "Window" not in plan
+
+
 def test_bigram_logprob_broadcasts_small_sides(spark, sf_dir):
     """The unigram-scale context counts and the vocab scalar must ride
     broadcasts; only the bigram count table may shuffle-join."""
