@@ -386,6 +386,19 @@ def test_equidepth_approx_is_scan_plus_one_shuffle(spark, sf_dir):
     assert simple.count("Exchange") == 1
 
 
+def test_rank_limit_windows_get_group_limit_pushdown(spark, sf_dir):
+    """Every per-group top-k in the registry leans on Spark's
+    WindowGroupLimit pushdown (partial pre-shuffle + final post-shuffle
+    limits): without it, a `row_number() <= k` filter would funnel a
+    whole group — e.g. the KMV 'ALL' scope, which is the ENTIRE
+    distinct hash stream — through one task. Pin the pushdown so an
+    optimizer-config regression fails here, not at 100 TB."""
+    for name in ("orders_kmv_rollup", "doc_stratified_sample",
+                 "doc_tfidf_keywords"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert plan.count("WindowGroupLimit") >= 2, name  # partial+final
+
+
 def test_bloom_dedup_history_never_shuffle_joins(spark, sf_dir):
     """The Bloom-prefiltered incremental dedup must carry NO sort-merge
     join: the bitset rides a broadcast (dense: a UDF closure; the
