@@ -958,7 +958,14 @@ def incremental_dedup_bloom(
     versus incremental_dedup's full history-fingerprint shuffle every
     batch. Size ``m_bits`` at ~10 bits/history-doc for ~1% FP; an
     undersized filter only costs extra exact-join traffic, never
-    correctness."""
+    correctness.
+
+    Rolling-corpus state: pass ``bloom_df`` (the persisted bitset
+    relation) and ``history_fp_df`` (a persisted distinct-fingerprint
+    table with one ``__fp`` column) to skip re-reading and re-hashing
+    the history text entirely — per-batch cost is then independent of
+    history size. ``history_df`` is ignored for the exact check when
+    ``history_fp_df`` is given."""
     fp = fingerprint(text_col)
     if bloom_df is None:
         bloom_df = fingerprint_bloom(history_df, text_col, m_bits, k)
