@@ -177,12 +177,28 @@ class SparkWarehouseEngine:
         # (measured — it is NOT dropped), so an unpartitioned table
         # whose directory merely contains '=' (".../t=x/") must not
         # trigger the trim or the check, or the sampled read would grow
-        # a phantom column.
+        # a phantom column. AND the key must be absent from the parquet
+        # files' PHYSICAL schema: a hive partition column is never
+        # stored in the data files, so a key that IS physically present
+        # means an unpartitioned table whose root merely looks like a
+        # partition dir (".../g=2/" with a real data column g) — setting
+        # basePath above such a root would make partition discovery
+        # OVERWRITE every row's g with the literal 2 (silent
+        # corruption). One file-footer read, and only when a candidate
+        # segment exists at all.
         cols = set(df.schema.names)
+        _phys: list[set] = []  # lazy one-footer physical-schema memo
+
+        def _physical_cols() -> set:
+            if not _phys:
+                _phys.append(
+                    set(self.spark.read.parquet(files[0]).schema.names)
+                )
+            return _phys[0]
 
         def _is_part_dir(seg: str) -> bool:
             key, eq, _ = seg.partition("=")
-            return eq == "=" and key in cols
+            return eq == "=" and key in cols and key not in _physical_cols()
 
         while root_parts and _is_part_dir(root_parts[-1]):
             root_parts = root_parts[:-1]

@@ -914,7 +914,17 @@ def fingerprint_bloom(
     volume is O(partitions x m_bits), independent of row count). The
     history's fingerprints never move; OSS Spark exposes no Bloom
     aggregate to Python, so this is the same construction the runtime
-    bloom join filter uses, expressed in plain DataFrame ops."""
+    bloom join filter uses, expressed in plain DataFrame ops.
+
+    The build params ``(m_bits, k)`` are stamped on every row as
+    literal columns so they TRAVEL WITH the bitset through any persist
+    / versioned-store round trip: a probe against a persisted filter
+    must use the exact params it was built with (a drifted ``m_bits``
+    maps probes to the wrong bit positions — real duplicates then test
+    "definitely new", silently breaking the EXACT-result guarantee).
+    :func:`incremental_dedup_bloom` reads these columns back and
+    adopts them, so build/probe param skew is impossible by
+    construction for any bitset produced here."""
     fp = fingerprint(text_col)
     return (
         history_df.select(
@@ -923,6 +933,8 @@ def fingerprint_bloom(
         .select(F.col("e.word").alias("word"), F.col("e.mask").alias("mask"))
         .groupBy("word")
         .agg(F.bit_or("mask").alias("mask"))
+        .withColumn("m_bits", F.lit(int(m_bits)).cast("long"))
+        .withColumn("k", F.lit(int(k)).cast("int"))
     )
 
 
@@ -965,10 +977,26 @@ def incremental_dedup_bloom(
     table with one ``__fp`` column) to skip re-reading and re-hashing
     the history text entirely — per-batch cost is then independent of
     history size. ``history_df`` is ignored for the exact check when
-    ``history_fp_df`` is given."""
+    ``history_fp_df`` is given.
+
+    Param safety: a supplied ``bloom_df`` carrying the ``m_bits``/``k``
+    columns :func:`fingerprint_bloom` stamps has its params ADOPTED —
+    the probe always hashes with the bitset's own build params, so the
+    ``m_bits``/``k`` arguments are ignored in that case (probing with
+    anything else is never meaningful: positions would not correspond
+    to stored bits and real duplicates could probe "definitely new" —
+    a silent exactness break, not a perf knob). A legacy bitset
+    without the param columns is still accepted, but any stored word
+    index outside the probe's ``m_bits`` range raises instead of
+    silently corrupting; a SMALLER legacy filter is undetectable —
+    rebuild with :func:`fingerprint_bloom` to get the stamped params."""
     fp = fingerprint(text_col)
     if bloom_df is None:
         bloom_df = fingerprint_bloom(history_df, text_col, m_bits, k)
+    elif {"m_bits", "k"} <= set(bloom_df.columns):
+        params = bloom_df.select("m_bits", "k").first()
+        if params is not None:  # empty bitset (empty history): nothing stored
+            m_bits, k = int(params["m_bits"]), int(params["k"])
     # (1) within-batch min-id representative per fingerprint
     w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
     reps = (
@@ -1001,7 +1029,18 @@ def incremental_dedup_bloom(
 
         nwords = (m_bits + 63) >> 6
         bitset = np.zeros(nwords, dtype=np.int64)
-        for r in bloom_df.collect():  # <= m_bits/64 rows by construction
+        # <= m_bits/64 rows by construction
+        for r in bloom_df.select("word", "mask").collect():
+            if r["word"] >= nwords:
+                raise ValueError(
+                    f"bloom_df stores word index {r['word']} >= "
+                    f"{nwords} words for m_bits={m_bits}: the filter "
+                    "was built with different params. A param mismatch "
+                    "is CORRUPTING (silent Bloom false negatives), not "
+                    "suboptimal — rebuild with fingerprint_bloom, which "
+                    "stamps m_bits/k onto the bitset so the probe "
+                    "adopts them automatically"
+                )
             bitset[r["word"]] = r["mask"]
         bc = new_df.sparkSession.sparkContext.broadcast(bitset)
 
@@ -1026,6 +1065,23 @@ def incremental_dedup_bloom(
         maybe_dup = flagged.filter(F.col("__cand")).drop("__cand")
         definitely_new = flagged.filter(~F.col("__cand")).drop("__cand")
     else:
+        if not ({"m_bits", "k"} <= set(bloom_df.columns)):
+            # legacy param-less bitset on the sparse path: the probe
+            # joins on word, so an out-of-range stored word would just
+            # never match — i.e. silent false negatives. One tiny agg
+            # (<= m_bits/64 rows) buys the same loud failure the dense
+            # path gets from its bound check.
+            top = bloom_df.agg(F.max("word").alias("w")).first()
+            nwords = (m_bits + 63) >> 6
+            if top is not None and top["w"] is not None and top["w"] >= nwords:
+                raise ValueError(
+                    f"bloom_df stores word index {top['w']} >= {nwords} "
+                    f"words for m_bits={m_bits}: the filter was built "
+                    "with different params. A param mismatch is "
+                    "CORRUPTING (silent Bloom false negatives) — "
+                    "rebuild with fingerprint_bloom, which stamps "
+                    "m_bits/k onto the bitset so the probe adopts them"
+                )
         probes = reps.select(
             F.col(id_col).alias("__pid_probe"),
             F.explode(pos).alias("e"),
@@ -1043,7 +1099,9 @@ def incremental_dedup_bloom(
             .otherwise(F.lit(0))
         )
         candidates = (
-            probes.join(F.broadcast(bloom_df), "word", "left")
+            probes.join(
+                F.broadcast(bloom_df.select("word", "mask")), "word", "left"
+            )
             .select("__pid_probe", hit.alias("__hit"))
             .groupBy("__pid_probe")
             .agg(F.min("__hit").alias("__all_hit"))

@@ -185,7 +185,10 @@ def _live_versions(spark: SparkSession, store: str) -> list[int]:
 
 
 def compact_versions(
-    spark: SparkSession, store: str, sweep: bool = True
+    spark: SparkSession,
+    store: str,
+    sweep: bool = True,
+    stage_ttl_s: float = 86400.0,
 ) -> int | None:
     """Fold every live version of a DELTA-LOG store into ONE new
     version, so per-probe listing/scan cost returns to a single
@@ -202,7 +205,16 @@ def compact_versions(
     deletes). Concurrent delta writers are safe: a delta that commits
     while compaction runs takes a higher version number than the
     marker records, so it stays live.
+
+    The sweep also reclaims ``__stage_*`` leftovers older than
+    ``stage_ttl_s`` (same in-flight-writer TTL discipline as
+    ``vacuum``): once a store has been compacted, ``vacuum`` refuses
+    it outright, so this is the ONLY reclamation path for stage dirs
+    orphaned by crashed writers or crashed compactions on delta-log
+    stores — without it they would leak forever.
     """
+    import time
+
     fs, _ = _fs_and_path(spark, store)
     live = _live_versions(spark, store)
     if sweep:
@@ -213,6 +225,15 @@ def compact_versions(
         for v in set(list_versions(spark, store)) - set(live):
             _, p = _fs_and_path(spark, f"{store}/v_{v:05d}")
             fs.delete(p, True)
+        _, root = _fs_and_path(spark, store)
+        if fs.exists(root):
+            now_ms = time.time() * 1000.0
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if name.startswith("__stage_") and (
+                    now_ms - st.getModificationTime() >= stage_ttl_s * 1000.0
+                ):
+                    fs.delete(st.getPath(), True)
     if len(live) <= 1:
         return None
     upto = max(live)

@@ -449,3 +449,57 @@ def test_jaccard_threshold_cuts_on_rounded_value(spark):
         ).count()
         == 0
     )
+
+
+def test_bloom_params_travel_with_bitset(spark):
+    """fingerprint_bloom stamps (m_bits, k) onto the bitset relation;
+    a probe given that bitset ADOPTS the stamped params even when the
+    caller's m_bits/k arguments drifted (config change / redeploy) —
+    the scenario that would otherwise silently break exactness via
+    Bloom false negatives. Covered on both probe paths (dense and
+    sparse, selected by the ADOPTED m_bits)."""
+    hist = spark.createDataFrame(
+        [(i, f"seen doc {i}") for i in range(30)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, "seen doc 3"), (101, "brand new")], "doc_id long, text string"
+    )
+    for built_m in (1 << 12, (1 << 29) + 64):  # dense-path and sparse-path
+        bloom = D.fingerprint_bloom(hist, m_bits=built_m, k=3)
+        assert {"m_bits", "k"} <= set(bloom.columns)
+        got = {
+            r["doc_id"]
+            for r in D.incremental_dedup_bloom(
+                batch, hist, m_bits=1 << 20, k=5, bloom_df=bloom  # wrong args
+            ).collect()
+        }
+        assert got == {101}, built_m
+
+
+def test_bloom_legacy_param_mismatch_raises(spark):
+    """A param-less (legacy) bitset built with LARGER m_bits than the
+    probe's must fail loudly on both paths — stored word indices out of
+    the probe's range mean the mismatch is corrupting (silent false
+    negatives), not suboptimal."""
+    hist = spark.createDataFrame(
+        [(i, f"seen doc {i}") for i in range(30)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, "seen doc 3")], "doc_id long, text string"
+    )
+    # dense probe (m_bits=64 -> 1 word) vs filter built at 2^12 bits
+    legacy = D.fingerprint_bloom(hist, m_bits=1 << 12, k=5).select(
+        "word", "mask"
+    )
+    with pytest.raises(ValueError, match="CORRUPTING|word index"):
+        D.incremental_dedup_bloom(
+            batch, hist, m_bits=64, k=5, bloom_df=legacy
+        ).collect()
+    # sparse probe (m_bits=2^30 > dense cap) vs filter built at 2^32
+    legacy_big = D.fingerprint_bloom(hist, m_bits=1 << 32, k=5).select(
+        "word", "mask"
+    )
+    with pytest.raises(ValueError, match="CORRUPTING|word index"):
+        D.incremental_dedup_bloom(
+            batch, hist, m_bits=1 << 30, k=5, bloom_df=legacy_big
+        ).collect()

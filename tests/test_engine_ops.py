@@ -399,3 +399,25 @@ def test_join_strategy_rejects_unknown(spark, eng):
     df = spark.range(3)
     with _pytest.raises(ValueError, match="unknown join strategy"):
         eng.join(df, df, "inner", on=["id"], strategy="hash_loop")
+
+
+def test_load_table_file_sample_root_named_like_data_column(eng, spark, tmp_path):
+    """An UNPARTITIONED table written under a root that LOOKS like a
+    hive partition dir of one of its own DATA columns ('.../g=2/' with
+    a real column g in the parquet files) must be read as-is: setting
+    basePath above that root would make partition discovery OVERWRITE
+    every row's g with the literal 2 — silent corruption. The guard is
+    the physical-schema check: a genuine hive partition column is
+    never stored in the data files."""
+    path = str(tmp_path / "g=2")
+    spark.range(2000).selectExpr("id", "CAST(id % 5 AS BIGINT) AS g").repartition(
+        8
+    ).write.parquet(path)
+    f = eng.load_df(path)
+    s = eng._sample_files(f.native, 0.5)
+    assert s.columns == ["id", "g"]
+    rows = s.collect()
+    assert rows
+    # g keeps its per-row data values — NOT the directory literal 2
+    assert all(r["g"] == r["id"] % 5 for r in rows)
+    assert {r["g"] for r in rows} != {2}

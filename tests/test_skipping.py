@@ -342,3 +342,38 @@ def test_versioned_upsert_rejects_dropped_columns(spark, tmp_path):
     )
     latest = {r["k"]: r["v"] for r in V.read_version(spark, store).collect()}
     assert latest == {1: 1.0, 2: None}
+
+
+def test_versioned_compact_sweeps_stale_stages(spark, tmp_path):
+    """Once a store is compacted, vacuum() refuses it — so
+    compact_versions is the ONLY reclamation path for __stage_*
+    leftovers from crashed writers. It must sweep stages older than
+    stage_ttl_s and leave fresh ones (in-flight writers) alone."""
+    import time
+
+    store = str(tmp_path / "compact_stages")
+    for i in range(3):
+        V.write_version(spark.range(i * 2, i * 2 + 2), store)
+    # a crashed writer's orphaned stage, artificially aged past the TTL
+    stale = f"{store}/__stage_deadbeef0001"
+    os.makedirs(stale)
+    old = time.time() - 100_000
+    os.utime(stale, (old, old))
+    fresh = f"{store}/__stage_cafebabe0002"
+    os.makedirs(fresh)
+    before = sorted(r["id"] for r in V.read_all_versions(spark, store).collect())
+    V.compact_versions(spark, store)
+    names = set(os.listdir(store))
+    assert "__stage_deadbeef0001" not in names, "stale stage must be swept"
+    assert "__stage_cafebabe0002" in names, "fresh stage survives (TTL)"
+    after = sorted(r["id"] for r in V.read_all_versions(spark, store).collect())
+    assert after == before
+    # vacuum still refuses the compacted store (data-not-history rule)
+    with pytest.raises(ValueError, match="compacted"):
+        V.vacuum(spark, store)
+    # force-sweep path: ttl=0 clears the remaining stage on a recompact
+    V.write_version(spark.range(100, 101), store)
+    V.compact_versions(spark, store, stage_ttl_s=0)
+    assert not [
+        n for n in os.listdir(store) if n.startswith("__stage_")
+    ]
