@@ -1,0 +1,168 @@
+"""Round-artifact consistency: BASELINE.md / README.md vs the code.
+
+Three rounds in a row shipped one mechanical documentation slip each
+(stale claim, drifted numbers, a table splice that moved a status cell
+onto the wrong row). These tests make that whole class of error fail
+CI instead of recurring:
+
+- every markdown table row in BASELINE.md has exactly as many cells as
+  its own table header (the r5 splice dropped a cell from one row and
+  dangled it on another);
+- every query name in BASELINE.md's per-query table exists in the
+  query registry (stale/renamed rows fail);
+- README's advertised test count matches `pytest --collect-only`;
+- BASELINE's recorded Spark seconds stay within a stated tolerance of
+  the latest bench sidecar (`bench_queries.json`), honoring explicit
+  `lo-hi` bands — a silently drifted point value fails until it is
+  re-measured or banded.
+
+No Spark session needed; the whole module runs in a few seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+# Driver-bench contention can tax warm best-of-3 numbers ~1.5x on this
+# host (BASELINE's banded rows document this); the tolerance must sit
+# above that noise floor so the test only fires on REAL drift. Rows
+# that legitimately wander more get an explicit lo-hi band instead.
+POINT_TOLERANCE = 2.0  # sidecar value may exceed a point claim by 2x
+BAND_TOLERANCE = 1.5  # ... or a band's hi end by 1.5x
+
+
+def _table_blocks() -> list[list[list[str]]]:
+    """Contiguous runs of `|`-rows, one block per markdown table."""
+    blocks: list[list[list[str]]] = []
+    run: list[list[str]] = []
+    for line in (REPO / "BASELINE.md").read_text().splitlines():
+        if line.lstrip().startswith("|"):
+            cells = [c.strip() for c in line.strip().strip("|").split("|")]
+            run.append(cells)
+        elif run:
+            blocks.append(run)
+            run = []
+    if run:
+        blocks.append(run)
+    return blocks
+
+
+def _table_rows() -> list[list[str]]:
+    return [cells for block in _table_blocks() for cells in block]
+
+
+def _is_separator(cells: list[str]) -> bool:
+    return all(set(c) <= set("-: ") for c in cells)
+
+
+def test_baseline_tables_well_formed():
+    """Each contiguous table block keeps ONE cell count — a row with a
+    missing or extra cell (the r5 splice) fails here."""
+    blocks = _table_blocks()
+    assert blocks, "BASELINE.md has no tables?"
+    for block in blocks:
+        width = len(block[0])
+        for cells in block:
+            assert len(cells) == width, (
+                f"table row has {len(cells)} cells, its header has "
+                f"{width}: {cells[:2]}..."
+            )
+
+
+def _query_table_rows() -> list[list[str]]:
+    """Rows of the per-query table(s): 5-cell rows whose first cell is
+    a query name (header/separator/TOTAL rows excluded)."""
+    out = []
+    for cells in _table_rows():
+        if len(cells) != 5 or _is_separator(cells):
+            continue
+        name = cells[0]
+        if name in ("query", "") or name.startswith("**TOTAL"):
+            continue
+        out.append(cells)
+    return out
+
+
+def _query_name(cell: str) -> str:
+    # allow an annotation suffix: "q21_waiting_suppliers (round-3 replan)"
+    return cell.strip("`* ").split(" (")[0].split("(")[0].strip()
+
+
+def test_baseline_query_names_exist_in_registry():
+    from fugue_warehouses_spark.queries import QUERIES
+
+    rows = _query_table_rows()
+    assert len(rows) > 50  # the table really was found
+    missing = [
+        c[0] for c in rows if _query_name(c[0]) not in QUERIES
+    ]
+    assert not missing, f"BASELINE.md rows not in the registry: {missing}"
+
+
+def test_readme_test_count_matches_collection():
+    text = (REPO / "README.md").read_text()
+    m = re.search(r"(\d+)\s+tests", text)
+    assert m, "README.md no longer states a test count"
+    claimed = int(m.group(1))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "--collect-only", "-q",
+         "-p", "no:cacheprovider", str(REPO / "tests")],
+        capture_output=True, text=True, timeout=300,
+    )
+    cm = re.search(r"(\d+) tests collected", proc.stdout)
+    assert cm, f"could not parse collection output: {proc.stdout[-400:]}"
+    collected = int(cm.group(1))
+    assert claimed == collected, (
+        f"README claims {claimed} tests but pytest collects {collected} — "
+        "update the README line when adding/removing tests"
+    )
+
+
+def _parse_sec_cell(cell: str) -> tuple[float, float] | None:
+    """Leading '~x', 'x' or 'x-y' out of a Spark-seconds cell; None for
+    non-numeric cells (e.g. '— (prose)')."""
+    m = re.match(r"\s*[~>]?(\d+(?:\.\d+)?)(?:\s*-\s*(\d+(?:\.\d+)?))?", cell)
+    if not m:
+        return None
+    lo = float(m.group(1))
+    hi = float(m.group(2)) if m.group(2) else lo
+    return lo, hi
+
+
+def test_baseline_spark_values_track_bench_sidecar():
+    """Every BASELINE per-query Spark-seconds claim must cover the
+    latest recorded bench value within tolerance: point claims may be
+    exceeded by at most POINT_TOLERANCE, explicit lo-hi bands by at
+    most BAND_TOLERANCE over the hi end. Queries absent from the
+    sidecar (prose-documented heavies) are skipped."""
+    sidecar = REPO / "bench_queries.json"
+    if not sidecar.exists():
+        pytest.skip("no bench sidecar recorded yet")
+    bench = json.loads(sidecar.read_text())["queries"]
+    stale = []
+    for cells in _query_table_rows():
+        name = _query_name(cells[0])
+        if name not in bench:
+            continue
+        parsed = _parse_sec_cell(cells[2])
+        if parsed is None:
+            continue
+        lo, hi = parsed
+        tol = BAND_TOLERANCE if hi > lo else POINT_TOLERANCE
+        if bench[name] > hi * tol:
+            stale.append(
+                f"{name}: BASELINE claims {cells[2].split('(')[0].strip()!r}"
+                f" but bench recorded {bench[name]} s (> {hi}*{tol})"
+            )
+    assert not stale, (
+        "stale BASELINE.md rows — re-measure idle warm best-of-N and "
+        "update, or convert to an explicit lo-hi band:\n" + "\n".join(stale)
+    )
