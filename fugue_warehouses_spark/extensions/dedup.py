@@ -19,6 +19,7 @@ for the 100 TB target:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -166,6 +167,7 @@ def lsh_candidate_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
+    expected_len: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH banding: split the signature into ``bands`` slices of
     ``rows_per_band``; docs colliding on any band slice become a pair.
@@ -184,7 +186,10 @@ def lsh_candidate_pairs(
     exact dedup first. Default off (exact recall preserved).
     """
     banded = _cap_buckets(
-        _band_buckets(df, id_col, bands, rows_per_band, sig_col),
+        _band_buckets(
+            df, id_col, bands, rows_per_band, sig_col,
+            expected_len=expected_len,
+        ),
         max_bucket_size,
     )
     a = banded.alias("a")
@@ -313,6 +318,41 @@ def _verify_partitions(
     return max(default_par, min(4096, need))
 
 
+def _sig_checkpoint_level(spark) -> StorageLevel:
+    """Storage level for the corpus-sized signature/gram
+    localCheckpoints (the dominant blocks of the minhash family:
+    ~10 KB shingle arrays per doc).
+
+    At tight heaps these blocks GC-thrash the verify hash build —
+    SCALE_NOTES round 5 measured a 24.5-277.5 s spread at 320k docs on
+    an 8g heap with the default level — so below the threshold they
+    are parked on local disk (DISK_ONLY: read back a handful of times,
+    sequential disk read ≪ full-GC stalls). At comfortable heaps the
+    default MEMORY_AND_DISK is simply faster: A/B at sf0.1 on a 24g
+    heap, warm best-of-5, 3.10 s vs 3.62 s (round 6). The threshold
+    uses the configured executor memory when set (cluster mode — the
+    blocks live on executors), else the live JVM's max heap (local
+    mode: one JVM holds everything); introspection failure falls back
+    to DISK_ONLY, the choice that degrades to slower instead of to
+    OOM."""
+    try:
+        sc = spark.sparkContext
+        exec_mem = sc.getConf().get("spark.executor.memory", None)
+        if exec_mem:
+            unit = exec_mem[-1].lower()
+            num = float(exec_mem[:-1])
+            heap_bytes = num * {
+                "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40
+            }.get(unit, 1.0)
+        else:
+            heap_bytes = sc._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    except Exception:
+        return StorageLevel.DISK_ONLY
+    if heap_bytes >= 15 * (1 << 30):
+        return StorageLevel.MEMORY_AND_DISK
+    return StorageLevel.DISK_ONLY
+
+
 def near_dup_pairs_minhash(
     df: DataFrame,
     id_col: str,
@@ -352,10 +392,16 @@ def near_dup_pairs_minhash(
         # lazy localCheckpoint: the signature frame feeds three branches
         # (banding + both verify sides); checkpointing materializes the
         # Arrow batch pass once instead of re-running it per branch
-        # (measured 2.05s -> 0.48s warm at sf0.1)
+        # (measured 2.05s -> 0.48s warm at sf0.1). Storage level is
+        # heap-adaptive — see _sig_checkpoint_level: DISK_ONLY at
+        # tight heaps so the verify hash build gets the heap instead
+        # of full-GC-thrashing around a cached corpus, MEMORY_AND_DISK
+        # when the heap comfortably holds the blocks
         with_sig = _shingle_minhash_numpy(
             df, id_col, text_col, num_hashes, shingle
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(
+            eager=False, storageLevel=_sig_checkpoint_level(df.sparkSession)
+        )
         with_grams = with_sig.select(id_col, "__grams")
     else:
         # Pure-expression path (JVM-side, no Python workers). The
@@ -403,7 +449,24 @@ def near_dup_pairs_minhash(
     # scale guarantee (320k probe passes at 8g with it; before, it
     # needed a 24g heap). Counting pairs here also materializes the
     # lazy checkpoints once; every later consumer reads the cache.
-    par = df.sparkSession.sparkContext.defaultParallelism
+    return _verify_pairs(pairs, with_grams, id_col, threshold, round_digits)
+
+
+def _verify_pairs(
+    pairs: DataFrame,
+    with_grams: DataFrame,
+    id_col: str,
+    threshold: float,
+    round_digits: int | None,
+) -> DataFrame:
+    """Exact-Jaccard verification of an (id_a, id_b) candidate set
+    against a grams frame ``(id_col, __grams)`` — the shared verify
+    stage of :func:`near_dup_pairs_minhash` and
+    :func:`near_dup_pairs_from_signatures`. ``pairs`` must be
+    checkpointed by the caller (it is consumed three times: the stats
+    count + both semi filters). See near_dup_pairs_minhash for the
+    semi-filter / SHUFFLE_HASH / computed-partition-count rationale."""
+    par = pairs.sparkSession.sparkContext.defaultParallelism
     stats = pairs.agg(
         F.countDistinct("id_a").alias("na"),
         F.countDistinct("id_b").alias("nb"),
@@ -446,6 +509,50 @@ def near_dup_pairs_minhash(
         .withColumn("jaccard_sim", sim)
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def near_dup_pairs_from_signatures(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """All-pairs near-dup detection over a STORED signature frame
+    ``(id, __grams, __sig)`` (the :func:`build_minhash_index` schema)
+    — no text is read and nothing is re-signed: banding + exact-
+    Jaccard verification run entirely from the persisted arrays.
+
+    This is the offline-reconciliation primitive: a rolling ingest
+    that logged every doc's signatures (survivors to the index store,
+    dropped docs to a drop log) can recompute the FULL corpus pair
+    graph from storage alone — e.g.
+    :func:`streaming.dedup.reconcile_survivors` runs batch connected
+    components over these pairs to find the docs greedy streaming
+    resolution over-kept. Pair-for-pair identical to
+    :func:`near_dup_pairs_minhash` on the original text when the
+    signatures were built with the same family params (seed,
+    num_hashes, shingle) and the banding params match.
+
+    Scale shape: one banding shuffle + candidate-sized verify (same
+    computed SHUFFLE_HASH partition sizing as the text path); the
+    signature frame rides heap-adaptive checkpoints
+    (:func:`_sig_checkpoint_level`) so tight heaps stay with the
+    verify hash build.
+    """
+    rows_per_band = max(1, num_hashes // bands)
+    sig = sig_df.localCheckpoint(
+        eager=False, storageLevel=_sig_checkpoint_level(sig_df.sparkSession)
+    )
+    pairs = lsh_candidate_pairs(
+        sig, id_col, "__sig", bands, rows_per_band, max_bucket_size,
+        expected_len=num_hashes,
+    ).localCheckpoint(eager=False)
+    return _verify_pairs(
+        pairs, sig.select(id_col, "__grams"), id_col, threshold, round_digits
     )
 
 
@@ -947,6 +1054,7 @@ def incremental_dedup_bloom(
     k: int = 5,
     bloom_df: DataFrame | None = None,
     history_fp_df: DataFrame | None = None,
+    dense_path: bool | None = None,
 ) -> DataFrame:
     """:func:`incremental_dedup` with a broadcast Bloom prefilter —
     EXACTLY the same result (Bloom false positives are removed by the
@@ -1021,7 +1129,10 @@ def incremental_dedup_bloom(
     # - SPARSE (bigger m): explode the k probes, broadcast-join the
     #   bitset relation, bool-and per doc — no driver materialization
     #   of the filter at any m.
-    dense_ok = m_bits <= (1 << 29)
+    # ``dense_path``: None = auto (dense up to the measured crossover,
+    # see SCALE_NOTES round 6); True/False force one strategy — the
+    # probe/tuning escape hatch, result-identical either way
+    dense_ok = m_bits <= (1 << 29) if dense_path is None else dense_path
     pos = _bloom_positions(F.col("__fp"), m_bits, k)
     if dense_ok:
         import numpy as np
@@ -1247,9 +1358,13 @@ def near_dup_pairs_against_index(
     guard fails the job on the first mismatching row.
     """
     rows_per_band = max(1, num_hashes // bands)
+    # heap-adaptive level for the gram-carrying batch signatures —
+    # same heap-for-hash-build trade as near_dup_pairs_minhash
     new_sig = _shingle_minhash_numpy(
         new_df, id_col, text_col, num_hashes, shingle
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(
+        eager=False, storageLevel=_sig_checkpoint_level(new_df.sparkSession)
+    )
     banded = (
         _band_buckets(new_sig, id_col, bands, rows_per_band)
         .withColumn("__new", F.lit(True))
