@@ -23,6 +23,8 @@ time; an expired checkpoint is rewritten on access, and
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import hashlib
 import os
 import uuid
@@ -202,3 +204,49 @@ def yield_table_as(df: DataFrame, name: str, spark: SparkSession | None = None) 
     """
     spark = spark or df.sparkSession
     df.write.mode("overwrite").saveAsTable(name)
+
+
+@contextmanager
+def released_after(spark: SparkSession, blocking: bool = True):
+    """Scope that releases every RDD block persisted INSIDE it on exit
+    — the lifecycle API for ``localCheckpoint``-heavy operators
+    (minhash/near-dedup/similarity), whose lineage-cut blocks otherwise
+    accumulate in the JVM across repeated same-session runs until the
+    ContextCleaner happens to notice the dropped Python references.
+    At tight heaps that accumulation is fatal: SCALE_NOTES records the
+    second back-to-back 320k minhash run dying at 8g without an
+    explicit release. Usage (bench.py / scale_probe.py iteration
+    loops)::
+
+        with released_after(spark):
+            op(df).count()       # consume the result IN the scope
+
+    Contract: blocks persisted BEFORE entry (e.g. deliberately cached
+    indexes) are untouched — only RDDs first persisted inside the
+    scope are unpersisted, ``blocking=True`` by default so the memory
+    is actually free before the next iteration starts. A local
+    checkpoint's blocks ARE its data (lineage is truncated), so a
+    result frame held past the scope cannot be recomputed — fully
+    collect/write/count it inside, or don't scope it.
+    """
+    sc = spark.sparkContext
+
+    def _ids() -> set:
+        ids = set()
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            ids.add(it.next()._1())
+        return ids
+
+    before = _ids()
+    try:
+        yield
+    finally:
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        doomed = []
+        while it.hasNext():
+            t = it.next()
+            if t._1() not in before:
+                doomed.append(t._2())
+        for rdd in doomed:
+            rdd.unpersist(blocking)

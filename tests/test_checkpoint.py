@@ -105,3 +105,34 @@ def test_no_partial_dir_visible_after_write(spark, ckpt_root):
     deterministic_checkpoint(spark.range(7))
     names = [p.name for p in ckpt_root.iterdir()]
     assert all(n.startswith("ckpt_") for n in names)
+
+
+def test_released_after_scope(spark):
+    """released_after frees exactly the RDD blocks persisted INSIDE
+    the scope: pre-existing checkpoints survive, in-scope ones are
+    unpersisted (blocking) on exit — the lifecycle API that lets
+    bench/probe loops run localCheckpoint-heavy ops back-to-back at
+    tight heaps without caller gc discipline."""
+    from fugue_warehouses_spark.plans.checkpoint import released_after
+
+    sc = spark.sparkContext
+
+    def n_persisted():
+        count = 0
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()
+            count += 1
+        return count
+
+    base = n_persisted()
+    pre = spark.range(100).localCheckpoint()
+    pre.count()
+    assert n_persisted() == base + 1
+    with released_after(spark):
+        a = spark.range(1000).localCheckpoint()
+        a.count()
+        spark.range(500).localCheckpoint(eager=False).count()
+        assert n_persisted() == base + 3
+    assert n_persisted() == base + 1, "in-scope blocks must be freed"
+    assert pre.count() == 100, "pre-existing checkpoint must survive"
