@@ -28,6 +28,7 @@ from fugue_warehouses_spark.streaming.windows import (
 from fugue_warehouses_spark.streaming.dedup import (
     dedup_within_watermark,
     incremental_ingest_dedup,
+    reconcile_survivors,
     run_near_dedup_ingest,
 )
 from fugue_warehouses_spark.streaming.joins import interval_join
@@ -44,6 +45,7 @@ __all__ = [
     "dedup_within_watermark",
     "incremental_ingest_dedup",
     "run_near_dedup_ingest",
+    "reconcile_survivors",
     "bucket_locf",
     "running_totals",
 ]

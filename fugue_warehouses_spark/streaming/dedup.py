@@ -91,6 +91,7 @@ def run_near_dedup_ingest(
     update_index: bool = True,
     timeout_sec: int = 300,
     compact_every: int | None = None,
+    dropped_store: str | None = None,
 ) -> DataFrame:
     """Rolling-corpus NEAR-dedup ingest: drain a document stream where
     each micro-batch is near-deduped (MinHash-LSH) against the
@@ -159,6 +160,20 @@ def run_near_dedup_ingest(
     against periodic rewrite cost (K ~ tens is sensible); ``None``
     (default) never compacts inline — run ``compact_versions`` in a
     maintenance window instead.
+
+    ``dropped_store``: optional second delta-log store receiving the
+    signatures of the docs each batch DROPPED. Greedy resolution's
+    over-keeps arise exclusively through dropped docs' edges (a doc
+    whose only near-neighbor was itself dropped), and dropped docs
+    never enter the index — so without this log, no post-hoc pass can
+    reconstruct the full pair graph. With it,
+    :func:`reconcile_survivors` recomputes batch-CC semantics offline
+    from stored signatures alone (no text re-read, no re-signing).
+    Costs one batch-sized re-sign + signature write per batch (the
+    probe computes signatures internally but does not expose them, so
+    the dropped subset is signed again — dropped docs are a fraction
+    of an already batch-sized frame); compacted under the same
+    ``compact_every``.
     """
     from pyspark.errors import AnalysisException
 
@@ -216,6 +231,26 @@ def run_near_dedup_ingest(
                 and len(V.list_versions(spark, index_store)) >= compact_every
             ):
                 V.compact_versions(spark, index_store)
+        if dropped_store is not None:
+            dropped = batch_df.join(
+                pairs.distinct(),
+                batch_df[id_col] == F.col("__dup"),
+                "left_semi",
+            )
+            if not dropped.rdd.isEmpty():
+                V.write_version(
+                    build_minhash_index(
+                        dropped, id_col, text_col, num_hashes, shingle
+                    ),
+                    dropped_store,
+                    spark,
+                )
+                if (
+                    compact_every is not None
+                    and len(V.list_versions(spark, dropped_store))
+                    >= compact_every
+                ):
+                    V.compact_versions(spark, dropped_store)
         survivors.write.mode("append").parquet(survivors_path)
 
     q = (
@@ -239,3 +274,76 @@ def run_near_dedup_ingest(
     except AnalysisException:
         # nothing ever arrived: the legitimate empty-stream case
         return spark.createDataFrame([], stream_df.schema)
+
+
+def reconcile_survivors(
+    spark,
+    index_store: str,
+    dropped_store: str | None = None,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 8,
+    max_bucket_size: int | None = None,
+    max_iter: int = 15,
+) -> DataFrame:
+    """Offline reconciliation of greedy streaming near-dedup to exact
+    batch connected-component semantics: returns the (small) set of
+    OVER-KEPT survivor ids — docs :func:`run_near_dedup_ingest` kept
+    that the batch resolver (:func:`extensions.dedup.dedup_near`)
+    would have dropped. Delete these from the survivors table and the
+    result equals the batch-CC survivor set EXACTLY.
+
+    Why this shape: greedy resolution provably keeps a superset of the
+    CC minima (test_streaming's divergence bound), and the over-keep
+    is confined to docs whose every near-neighbor was itself dropped —
+    edges that run THROUGH dropped docs. Survivors are pairwise
+    non-near-dup by the ingest guarantee, so a CC pass over the index
+    alone finds nothing; the full pair graph needs the dropped docs'
+    signatures too, which is what the ingest's ``dropped_store`` log
+    records. Reconciliation then runs entirely from storage:
+
+    1. union the survivor index and the drop log (both delta-log
+       stores, one multi-path parquet scan each);
+    2. :func:`extensions.dedup.near_dup_pairs_from_signatures` —
+       banding + exact-Jaccard verify straight from the stored arrays
+       (no text re-read, no re-signing; candidate-sized verify with
+       the same computed SHUFFLE_HASH partition sizing as the text
+       path);
+    3. connected components over the pair graph (label propagation,
+       O(diameter) rounds — dedup graphs are near-cliques);
+    4. over-kept = survivor ids that are NOT their component's min.
+
+    ``threshold`` / ``num_hashes`` / ``bands`` / ``max_bucket_size``
+    must match the ingest's params — the stored signature length is
+    guarded in-plan, the rest is the caller's contract (a different
+    threshold answers a different question, not a wrong one).
+
+    Scale: pair graph is corpus-wide but signature-sized; CC state is
+    two longs per paired doc. Run it in the same maintenance windows
+    as index compaction. With an empty/missing drop log the result is
+    correctly empty (nothing to reconcile through).
+    """
+    from fugue_warehouses_spark.extensions.dedup import (
+        connected_components,
+        near_dup_pairs_from_signatures,
+    )
+    from fugue_warehouses_spark.plans import versioned as V
+
+    idx = V.read_all_versions(spark, index_store)
+    all_sigs = idx
+    if dropped_store is not None:
+        try:
+            all_sigs = all_sigs.unionByName(
+                V.read_all_versions(spark, dropped_store)
+            )
+        except FileNotFoundError:
+            pass  # nothing was ever dropped: no edges beyond the index
+    pairs = near_dup_pairs_from_signatures(
+        all_sigs, id_col, threshold, num_hashes, bands, max_bucket_size
+    )
+    comps = connected_components(pairs.select("id_a", "id_b"), max_iter)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return idx.select(id_col).join(losers, id_col, "left_semi")

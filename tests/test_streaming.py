@@ -677,3 +677,94 @@ def test_run_near_dedup_ingest_replay_fails_loudly(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "ckpt2"),
             **kwargs,
         )
+
+
+def test_reconcile_survivors_restores_batch_cc(spark, tmp_path):
+    """Greedy streaming + offline reconciliation == batch CC, EXACTLY.
+
+    The divergence-bound test proves greedy over-keeps only on
+    non-clique classes; this is the promised complement: the ingest
+    logs dropped docs' signatures (``dropped_store``), and
+    reconcile_survivors recomputes the FULL pair graph from stored
+    signatures alone (union of index + drop log — no text re-read),
+    runs batch connected components, and emits the over-kept ids.
+    Removing them from the greedy survivor set must reproduce
+    dedup_near's survivor set exactly. The chain is split ACROSS
+    micro-batches so cross-batch greedy drops are exercised too."""
+    from fugue_warehouses_spark.extensions import dedup as D
+    from fugue_warehouses_spark.streaming import (
+        read_parquet_stream,
+        run_near_dedup_ingest,
+    )
+    from fugue_warehouses_spark.streaming.dedup import reconcile_survivors
+
+    import random
+
+    rng = random.Random(7)
+    word = lambda: "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+    words = [word() for _ in range(600)]
+    doc = lambda toks: " ".join(toks)
+
+    rows = []
+    # transitive chain: 1~3, 2~3, 1!~2 at threshold 0.62 (same
+    # construction as the divergence-bound test)
+    base = words[:60]
+    rows += [
+        (1, doc(words[100:109] + base[9:])),
+        (2, doc(base[:51] + words[110:119])),
+        (3, doc(base)),
+    ]
+    # clique classes (exact duplicates) + singletons
+    for cls, ids in [(0, (10, 11, 12)), (1, (20, 21)), (2, (30, 31))]:
+        text = doc(words[150 + cls * 60 : 150 + cls * 60 + 60])
+        rows += [(i, text) for i in ids]
+    rows += [(40 + i, doc(words[400 + i * 50 : 400 + i * 50 + 50])) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lsh = dict(threshold=0.62, num_hashes=64, bands=32)
+
+    # batch-CC ground truth
+    pairs = D.near_dup_pairs_minhash(docs, "doc_id", "text", **lsh)
+    cc_kept = {
+        r["doc_id"] for r in D.dedup_near(docs, pairs, "doc_id").collect()
+    }
+
+    # stream in TWO ordered micro-batches: chain head in batch 0,
+    # chain tail (2, 3) in batch 1 — 3 drops against the index (1) and
+    # within-batch against 2; 2 survives with its only neighbor dropped
+    feed = str(tmp_path / "feed")
+    b0 = {1, 10, 11, 30, 40, 41}
+    docs.filter(F.col("doc_id").isin(*b0)).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    docs.filter(~F.col("doc_id").isin(*b0)).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    greedy = run_near_dedup_ingest(
+        read_parquet_stream(spark, feed, max_files_per_trigger=1),
+        index_store=str(tmp_path / "idx"),
+        survivors_path=str(tmp_path / "kept"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dropped_store=str(tmp_path / "dropped"),
+        **lsh,
+    )
+    greedy_kept = {r["doc_id"] for r in greedy.collect()}
+    assert cc_kept < greedy_kept, "corpus must actually exercise divergence"
+
+    overkept = reconcile_survivors(
+        spark,
+        str(tmp_path / "idx"),
+        str(tmp_path / "dropped"),
+        **lsh,
+    )
+    over_ids = {r["doc_id"] for r in overkept.collect()}
+    # exact reconciliation: greedy minus over-kept == batch CC
+    assert over_ids <= greedy_kept
+    assert greedy_kept - over_ids == cc_kept
+    assert over_ids == {2}  # the transitive chain's middle survivor
+
+    # without a drop log the survivor set is pairwise clean, so a CC
+    # pass over the index alone correctly finds nothing
+    assert (
+        reconcile_survivors(spark, str(tmp_path / "idx"), **lsh).count() == 0
+    )
