@@ -78,23 +78,35 @@ def make_embeddings(spark, n: int, dim: int = 64, seed: int = 7):
     )
 
 
-def probe(spark, sizes, ops=None):
+def probe(spark, sizes, ops=None, repeat=1):
     from fugue_warehouses_spark.extensions import dedup as D
     from fugue_warehouses_spark.extensions import similarity as S
+    from fugue_warehouses_spark.plans.checkpoint import released_after
 
     out: dict[str, dict[int, float]] = {}
 
     def wanted(op):
         return ops is None or op in ops
 
-    def timed(op, n, fn):
-        if not wanted(op):
+    def timed(op, n, fn, force=False):
+        # force: caller already passed a coarser group gate (e.g. the
+        # bloom_crossover block times per-path/per-m names under one
+        # --ops key)
+        if not (force or wanted(op)):
             return
-        t0 = time.perf_counter()
-        fn()
-        dt = round(time.perf_counter() - t0, 2)
-        out.setdefault(op, {})[n] = dt
-        print(f"[probe] {op} n={n}: {dt}s", file=sys.stderr, flush=True)
+        # released_after per run: each op's localCheckpoint blocks are
+        # freed before the next run starts, so repeated runs and long
+        # op sequences survive tight heaps (8g) without relying on
+        # Python gc -> py4j -> ContextCleaner timing. Pre-existing
+        # blocks (the cached corpus, pre-built indexes) are untouched.
+        times = []
+        for _ in range(max(1, repeat)):
+            with released_after(spark):
+                t0 = time.perf_counter()
+                fn()
+                times.append(round(time.perf_counter() - t0, 2))
+        out.setdefault(op, {})[n] = times[0] if repeat <= 1 else times
+        print(f"[probe] {op} n={n}: {out[op][n]}s", file=sys.stderr, flush=True)
 
     for n in sizes:
         docs = make_docs(spark, n).repartition(32).cache()
@@ -142,6 +154,44 @@ def probe(spark, sizes, ops=None):
                 docs.filter(f"doc_id >= {n - n // 5}"), hist_b,
                 m_bits=m_bits, k=5, bloom_df=bloom_b, history_fp_df=fps_b,
             ).count())
+        # dense vs sparse Bloom-probe crossover: the dense path collects
+        # the bitset into a numpy array (m_bits/8 driver+broadcast
+        # bytes) and probes in one vectorized Arrow pass; the sparse
+        # path explodes k probes and broadcast-joins the bitset
+        # relation. Auto currently routes dense for m_bits <= 2^29 —
+        # this probe measures BOTH paths across the boundary so the
+        # constant is a measurement, not an assertion. History/bitset
+        # built once per m OUTSIDE the timed region (rolling shape).
+        if wanted("bloom_crossover"):
+            from fugue_warehouses_spark.functions.text import fingerprint
+
+            hist_x = docs.filter(f"doc_id < {n - n // 5}")
+            batch_x = docs.filter(f"doc_id >= {n - n // 5}")
+            fps_x = (
+                hist_x.select(fingerprint("text").alias("__fp"))
+                .distinct()
+                .localCheckpoint()
+            )
+            for log_m in (26, 27, 28, 29, 30):
+                # nested released_after: the per-m bitset checkpoint is
+                # freed before the next m's (they reach 128 MB at 2^30)
+                with released_after(spark):
+                    bloom_x = D.fingerprint_bloom(
+                        hist_x, "text", m_bits=1 << log_m, k=5
+                    ).localCheckpoint()
+                    for dense in (True, False):
+                        name = (
+                            f"bloom_{'dense' if dense else 'sparse'}"
+                            f"_m2e{log_m}"
+                        )
+                        timed(name, n, lambda bx=bloom_x, d=dense,
+                              m=1 << log_m: (
+                            D.incremental_dedup_bloom(
+                                batch_x, hist_x, m_bits=m, k=5,
+                                bloom_df=bx, history_fp_df=fps_x,
+                                dense_path=d,
+                            ).count()
+                        ), force=True)
         # incremental NEAR-dedup: index built once OUTSIDE the timed
         # region (that is the point — the rolling-corpus loop pays only
         # the batch signing per run), batch = the newest 20%
@@ -177,6 +227,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="5000,20000,80000")
     ap.add_argument("--ops", default=None, help="comma list; default all")
+    ap.add_argument(
+        "--repeat", type=int, default=1,
+        help="timed runs per op in ONE session (each scoped by "
+        "released_after); records a list when > 1",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     ops = set(args.ops.split(",")) if args.ops else None
@@ -184,7 +239,7 @@ def main():
         app_name="wf-scale-probe",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    out = probe(spark, sizes, ops)
+    out = probe(spark, sizes, ops, repeat=args.repeat)
     spark.stop()
     sys.stdout.flush()
     print(json.dumps(out), flush=True)
