@@ -36,6 +36,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from fugue_warehouses_spark.plans.checkpoint import released_after  # noqa: E402
 from fugue_warehouses_spark.queries import QUERIES  # noqa: E402
 from fugue_warehouses_spark.session import get_spark  # noqa: E402
 
@@ -173,14 +174,24 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
+        # warmup runs UNSCOPED: first-call process caches (the Bloom
+        # bitset handle, the persisted IVF serving handle) are built
+        # here and must survive into the timed reps — released_after
+        # only frees blocks first persisted inside its scope
         start = time.perf_counter()
         fn(spark, sf_dir).count()  # warmup: codegen compile, footer cache
         cold[name] = round(time.perf_counter() - start, 3)
         best = float("inf")
         for _ in range(3):
-            start = time.perf_counter()
-            fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - start)
+            # each timed rep builds fresh frames, so its checkpoint
+            # blocks are garbage the moment the count returns; without
+            # the scope they accumulate across 42 queries x 3 reps in
+            # the one bench JVM and late queries pay unrelated GC —
+            # the round-5 "unattributed sketch drift" signature
+            with released_after(spark):
+                start = time.perf_counter()
+                fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
