@@ -81,3 +81,147 @@ def test_resize_images_stub_gate(spark):
     df = spark.createDataFrame([(1, b"abc")], "id long, payload binary")
     with pytest.raises(Exception, match="PIL|libvips|NotImplemented"):
         resize_images(df, "payload", "id", decode_stub=False).collect()
+
+
+# ---------------- round 6: real PNG kernel --------------------------
+
+
+def _encode_with_filter(px, f):
+    """Test-only PNG writer that uses scanline filter ``f`` on every
+    row — exercises the decoder's five unfilter paths (the library
+    encoder only emits filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fugue_warehouses_spark.extensions import png as P
+
+    h, w, c = px.shape
+    bpp = c
+    rows = []
+    prior = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int16)
+        out = np.zeros(w * c, dtype=np.uint8)
+        for x in range(w * c):
+            left = int(line[x - bpp]) if x >= bpp else 0
+            up = int(prior[x])
+            ul = int(prior[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                )
+            out[x] = (line[x] - pred) % 256
+        rows.append(bytes([f]) + out.tobytes())
+        prior = px[y].reshape(-1)
+    raw = b"".join(rows)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 6: 6, 4: 6}[c], 0, 0, 0)
+    return (
+        P._SIGNATURE
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"IDAT", zlib.compress(raw))
+        + P._chunk(b"IEND", b"")
+    )
+
+
+def test_png_codec_roundtrip_and_filters():
+    """encode->decode is identity for gray/RGB/RGBA, and the decoder
+    handles all five scanline filter types (spec-valid inputs built by
+    a per-filter test encoder)."""
+    import numpy as np
+    import pytest
+
+    from fugue_warehouses_spark.extensions import png as P
+
+    rng = np.random.default_rng(42)
+    for shape in [(5, 7, 1), (8, 8, 3), (3, 4, 4), (1, 1, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert (P.decode_png(P.encode_png(px)) == px).all()
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    for f in range(5):
+        assert (P.decode_png(_encode_with_filter(px, f)) == px).all()
+    # honest edges: garbage and unsupported shapes fail loudly
+    with pytest.raises(ValueError, match="signature"):
+        P.decode_png(b"not a png")
+    with pytest.raises(ValueError):
+        P.encode_png(np.zeros((4, 4, 2), dtype=np.uint8))
+
+
+def test_png_resize_box_exact_mean():
+    """Integral-factor box resample equals the exact block mean."""
+    import numpy as np
+
+    from fugue_warehouses_spark.extensions.png import resize_box
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8, 1)
+    out = resize_box(px, 4, 4)
+    expect = np.rint(px.reshape(4, 2, 4, 2, 1).mean(axis=(1, 3)))
+    assert (out == expect).all()
+    assert resize_box(px.repeat(3, axis=2), 3, 5).shape == (5, 3, 3)
+
+
+def test_resize_images_real_png_kernel(spark):
+    """decode_stub=False on PNG payloads runs the REAL pipeline:
+    decode -> box resample -> re-encode; the thumb column holds valid
+    PNGs of exactly the requested dims whose pixels equal the
+    driver-side resample of the same source."""
+    import numpy as np
+
+    from fugue_warehouses_spark.extensions import png as P
+    from fugue_warehouses_spark.extensions.multimodal import resize_images
+
+    rng = np.random.default_rng(7)
+    sources = {
+        i: rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+        for i in range(4)
+    }
+    df = spark.createDataFrame(
+        [(i, P.encode_png(px)) for i, px in sources.items()],
+        "id long, payload binary",
+    )
+    rows = {
+        r["id"]: r
+        for r in resize_images(
+            df, "payload", "id", width=6, height=8, decode_stub=False
+        ).collect()
+    }
+    assert len(rows) == 4
+    for i, src in sources.items():
+        thumb = P.decode_png(bytes(rows[i]["thumb"]))
+        assert thumb.shape == (8, 6, 3)
+        assert (thumb == P.resize_box(src, 6, 8)).all()
+
+
+def test_extract_features_real_png_kernel(spark):
+    """decode_stub=False featurizes PNG pixels (dims + per-channel
+    mean/std) instead of hashing payload bytes."""
+    import numpy as np
+
+    from fugue_warehouses_spark.extensions import png as P
+    from fugue_warehouses_spark.extensions.multimodal import extract_features
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:, :, 0] = 200  # constant red channel: mean 200, std 0
+    df = spark.createDataFrame(
+        [(1, P.encode_png(px))], "id long, payload binary"
+    )
+    (row,) = extract_features(
+        df, "payload", "id", n_features=9, decode_stub=False
+    ).collect()
+    f = row["features"]
+    assert len(f) == 9
+    assert abs(f[0] - 4 / 4096) < 1e-9 and abs(f[1] - 4 / 4096) < 1e-9
+    assert abs(f[2] - 3 / 4.0) < 1e-9
+    assert abs(f[3] - 200 / 255) < 1e-9 and f[4] == 0.0  # red mean/std
+    assert f[5] == 0.0 and f[6] == 0.0  # green mean/std
