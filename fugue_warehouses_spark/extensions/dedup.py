@@ -1119,7 +1119,7 @@ def incremental_dedup_bloom(
     # (2) Bloom probe: k (word, mask) lookups per doc, candidate iff
     # every probed bit is set. Two physical strategies, same result:
     #
-    # - DENSE (default for m_bits <= 2^29 = 64 MB of words): the
+    # - DENSE (default for m_bits <= 2^24 = 2 MB of bitset): the
     #   bitset is collected once into a numpy array and rides an
     #   executor broadcast into one vectorized Arrow-batch test —
     #   the probe is then pure scan work (no explode, no join, no
@@ -1129,10 +1129,16 @@ def incremental_dedup_bloom(
     # - SPARSE (bigger m): explode the k probes, broadcast-join the
     #   bitset relation, bool-and per doc — no driver materialization
     #   of the filter at any m.
-    # ``dense_path``: None = auto (dense up to the measured crossover,
-    # see SCALE_NOTES round 6); True/False force one strategy — the
-    # probe/tuning escape hatch, result-identical either way
-    dense_ok = m_bits <= (1 << 29) if dense_path is None else dense_path
+    # The 2^24 auto boundary is MEASURED, not asserted (round 6
+    # crossover probe, 320k docs: dense==sparse at 2^23, sparse wins
+    # 1.6x at 2^25 and 2-3x at 2^26..2^30 — the per-call
+    # collect+broadcast scales with m while the sparse join's moved
+    # bytes scale with the PROBE count; SCALE_NOTES round 6).
+    # ``dense_path``: True/False force one strategy — the probe/
+    # tuning escape hatch, result-identical either way; callers that
+    # amortize one collected bitset across many batches can justify
+    # dense at larger m than the per-call default assumes.
+    dense_ok = m_bits <= (1 << 24) if dense_path is None else dense_path
     pos = _bloom_positions(F.col("__fp"), m_bits, k)
     if dense_ok:
         import numpy as np

@@ -172,7 +172,13 @@ def probe(spark, sizes, ops=None, repeat=1):
                 .distinct()
                 .localCheckpoint()
             )
-            for log_m in (26, 27, 28, 29, 30):
+            log_ms = [
+                int(s)
+                for s in os.environ.get(
+                    "SPARK_GRAFT_BLOOM_LOGM", "26,27,28,29,30"
+                ).split(",")
+            ]
+            for log_m in log_ms:
                 # nested released_after: the per-m bitset checkpoint is
                 # freed before the next m's (they reach 128 MB at 2^30)
                 with released_after(spark):

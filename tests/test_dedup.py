@@ -373,7 +373,7 @@ def test_incremental_dedup_bloom_sparse_probe_path(spark):
     got = {
         r["doc_id"]
         for r in D.incremental_dedup_bloom(
-            batch, hist, m_bits=1 << 30, k=5  # > 2^29 dense cap
+            batch, hist, m_bits=1 << 30, k=5  # > 2^24 dense cap
         ).collect()
     }
     assert got == {101}
