@@ -61,6 +61,13 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.driver.memory": os.environ.get(
         "SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()
     ),
+    # extra driver JVM flags (local mode: the one JVM). Main use:
+    # pinning -Xms=-Xmx for GC-variance probes — a growing heap takes
+    # full GCs at every expansion step under a localCheckpoint-heavy
+    # workload (SCALE_NOTES round 6)
+    "spark.driver.extraJavaOptions": os.environ.get(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS", ""
+    ),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
