@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "embedding_kmeans",
     "embedding_semantic_dedup",
     "embedding_ivf_persisted_topk",
+    "embedding_incremental_dedup",
+    "embedding_incremental_dedup_indexed",
     "events_rollup_cascade",
     "orders_weighted_sample",
     "star_quality_checks",

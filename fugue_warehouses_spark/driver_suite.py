@@ -91,6 +91,8 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_tfidf_keywords": (("source", "s"), ("token", "s"), ("tf", "i"), ("score", "f"),),
     "doc_hybrid_search": (("doc_id", "i"), ("rrf_score", "f"), ("r_lex", "i"), ("r_sem", "i"),),
     "embedding_ivf_persisted_topk": (("query_id", "i"), ("match_id", "i"), ("cosine_sim", "f"),),
+    "embedding_incremental_dedup": (("vec_id", "i"), ("label", "i"),),
+    "embedding_incremental_dedup_indexed": (("vec_id", "i"), ("label", "i"),),
     "embedding_semantic_dedup": (("label", "i"), ("n_vecs", "i"), ("n_kept", "i"), ("n_dropped", "i"),),
     "events_ewma": (("user_id", "i"), ("n_events", "i"), ("ewma_value", "f"),),
     "events_anomaly_mad": (("user_id", "i"), ("n_values", "i"), ("n_anomalies", "i"), ("median_value", "f"), ("mad_value", "f"),),
@@ -281,7 +283,8 @@ SUITES: dict[str, tuple[str, ...]] = {
     "embedding_misc_suite": (
         "embedding_norms_by_label", "embedding_semantic_dedup",
         "embedding_outliers", "embedding_matryoshka_topk",
-        "embedding_ivf_persisted_topk",
+        "embedding_ivf_persisted_topk", "embedding_incremental_dedup",
+        "embedding_incremental_dedup_indexed",
     ),
     # funnel/cohort analytics
     "behavior_suite": ("events_cohort_retention", "events_funnel_stages"),

@@ -1088,3 +1088,101 @@ def hard_negative_topk(
         mask,
         extra_fields=("match_label",),
     )
+
+
+# ---------------- incremental embedding dedup ----------------------
+
+
+def incremental_embedding_dedup(
+    batch: DataFrame,
+    history: DataFrame | None = None,
+    *,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    n_probe: int | None = None,
+    centroid_rows: list | None = None,
+    round_digits: int | None = 6,
+    max_iter: int = 15,
+) -> DataFrame:
+    """Rolling-corpus SEMANTIC dedup: drop batch vectors whose cosine
+    to any already-accepted (history) vector reaches ``threshold``,
+    then near-dedup the remainder within the batch (exact pair graph →
+    connected components → keep each component's min id). The
+    embedding-space counterpart of ``dedup.incremental_dedup`` /
+    ``incremental_dedup_bloom`` (exact fingerprints) and
+    ``near_dup_pairs_against_index`` (MinHash text), completing the
+    family: text and embeddings both get batch, incremental, and
+    index-served shapes.
+
+    Two history-probe strategies:
+
+    - ``history=`` (exact): :func:`brute_force_topk` with k=1 — the
+      batch is collected as a normalized matrix (bounded by contract:
+      this is a per-ingest-batch operator) and the history corpus
+      streams through one Arrow-batched BLAS matmul with NO shuffle.
+      Per-batch cost is one history scan, independent of how many
+      batches came before — but linear in history size.
+    - ``assigned=``/``centroids=`` (index-served): probe a persisted
+      :func:`build_ivf_hash_index` via :func:`ivf_topk_from_index`;
+      only the probed cells' vectors are scored, so per-batch cost is
+      probe-proportional. ``n_probe=None`` (default) probes EVERY
+      centroid — still exact (bucketing without pruning), still
+      cheaper than the flat scan when the index is cached and the
+      rerank is cell-local. Set ``n_probe < n_centroids`` for the
+      approximate scale shape and accept the documented recall trade:
+      a missed true neighbor KEEPS a duplicate (never drops an
+      original); the over-kept set is recoverable later by the same
+      reconcile pattern as streaming text dedup.
+
+    Contract: batch and history/index id sets must be disjoint (the
+    probe excludes identical ids to support self-probing top-k, so a
+    shared id would mask its own true duplicate). Within-batch
+    resolution is exact regardless of probe strategy.
+
+    Returns the surviving batch rows with all original columns.
+    """
+    from fugue_warehouses_spark.extensions.dedup import dedup_near
+
+    if assigned is not None:
+        if centroids is None and centroid_rows is None:
+            raise ValueError("index probing needs centroids/centroid_rows")
+        hits = ivf_topk_from_index(
+            assigned,
+            centroids,
+            batch,
+            k=1,
+            n_probe=n_probe if n_probe is not None else 1 << 30,
+            corpus_id=id_col,
+            corpus_vec=vec_col,
+            query_id=id_col,
+            query_vec=vec_col,
+            centroid_rows=centroid_rows,
+        )
+    elif history is not None:
+        hits = brute_force_topk(
+            history,
+            batch,
+            k=1,
+            corpus_id=id_col,
+            corpus_vec=vec_col,
+            query_id=id_col,
+            query_vec=vec_col,
+            round_digits=round_digits,
+        )
+    else:
+        raise ValueError("pass history= (exact) or assigned=/centroids= (index)")
+    dropped = (
+        hits.filter(F.col("cosine_sim") >= threshold)
+        .select(F.col("query_id").alias(id_col))
+        .distinct()
+    )
+    survivors = batch.join(dropped, on=id_col, how="left_anti")
+    # within-batch: exact pair graph over the (batch-sized) survivor
+    # set; similarity_pairs picks broadcast vs blocked by plan stats
+    pairs = similarity_pairs(
+        survivors, threshold, id_col, vec_col, round_digits
+    )
+    return dedup_near(survivors, pairs, id_col, max_iter)

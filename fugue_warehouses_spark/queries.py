@@ -1328,6 +1328,82 @@ def embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_near(emb, pairs, "vec_id").select("vec_id", "label")
 
 
+# Rolling-corpus SEMANTIC dedup, the embedding counterpart of
+# doc_incremental_dedup: history = the first half of the corpus
+# (already accepted), batch = the second half; batch vectors near any
+# history vector drop, the remainder near-dedups within the batch
+# (exact pair graph -> CC -> keep min). One oracle serves both the
+# brute-force and index-probed facets — the index path probes every
+# cell (bucketing without pruning), so it must answer IDENTICALLY,
+# and that identity is the index-consistency check.
+_EMB_INCR_DEDUP_SQL = """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    thr AS (SELECT max(vec_id) // 2 AS t FROM e),
+    hist AS (SELECT * FROM e WHERE vec_id < (SELECT t FROM thr)),
+    surv AS (
+      SELECT b.* FROM e b
+      WHERE b.vec_id >= (SELECT t FROM thr)
+        AND NOT EXISTS (
+          SELECT 1 FROM hist h
+          WHERE round(list_cosine_similarity(b.v, h.v), 6) >= 0.35)),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM surv a JOIN surv b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    comp AS (SELECT a AS id, min(b) AS m FROM reach GROUP BY a)
+    SELECT vec_id, label FROM surv
+    WHERE vec_id NOT IN (SELECT id FROM comp WHERE m < id)
+    """
+
+
+def _emb_split(spark: SparkSession, sf_dir: str):
+    emb = _t(spark, sf_dir, "embeddings")
+    thr = emb.agg(F.max("vec_id")).collect()[0][0] // 2
+    return emb.filter(F.col("vec_id") < thr), emb.filter(
+        F.col("vec_id") >= thr
+    )
+
+
+@_q("embedding_incremental_dedup", _EMB_INCR_DEDUP_SQL)
+def embedding_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling semantic dedup: the batch is collected as one
+    normalized matrix and the history corpus streams through a k=1
+    BLAS top-k (no shuffle before the hit set); within-batch
+    resolution is the exact CC keep-min."""
+    hist, batch = _emb_split(spark, sf_dir)
+    return SS.incremental_embedding_dedup(
+        batch, hist, threshold=0.35
+    ).select("vec_id", "label")
+
+
+@_q("embedding_incremental_dedup_indexed", _EMB_INCR_DEDUP_SQL)
+def embedding_incremental_dedup_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The index-served shape of the same dedup: the history's IVF
+    index (built inline here for oracle self-containment — a rolling
+    pipeline reads it from the versioned store) is probed at
+    n_probe=ALL cells, so the result is exact by construction and
+    must hash-match the brute-force facet's oracle. The scale knob is
+    n_probe < n_centroids: probe-proportional cost, documented
+    recall trade (a miss over-keeps, never over-drops)."""
+    hist, batch = _emb_split(spark, sf_dir)
+    assigned, centroids = SS.build_ivf_hash_index(hist, n_centroids=16)
+    return SS.incremental_embedding_dedup(
+        batch,
+        assigned=assigned.localCheckpoint(eager=False),
+        centroids=centroids,
+        threshold=0.35,
+    ).select("vec_id", "label")
+
+
 @_q(
     "embedding_norms_by_label",
     """

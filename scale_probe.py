@@ -208,6 +208,29 @@ def probe(spark, sizes, ops=None, repeat=1):
             timed("near_dedup_against_index", n, lambda: D.near_dup_pairs_against_index(
                 docs.filter(f"doc_id >= {n - n // 5}"), idx, "doc_id", "text",
                 threshold=0.6, max_bucket_size=64).count())
+        # storage-only reconcile primitive: all-pairs banding + exact
+        # verify + connected components straight from a STORED
+        # signature frame — the maintenance-window cost of
+        # reconcile_survivors, with the signature build (the ingest's
+        # sunk cost) outside the timed region
+        if wanted("reconcile_from_signatures"):
+            from fugue_warehouses_spark.extensions.dedup import (
+                connected_components,
+            )
+
+            sigs = D.build_minhash_index(
+                docs, "doc_id", "text"
+            ).localCheckpoint()
+
+            def _reconcile():
+                pairs = D.near_dup_pairs_from_signatures(
+                    sigs, "doc_id", threshold=0.6,
+                    max_bucket_size=64,
+                )
+                comps = connected_components(pairs.select("id_a", "id_b"))
+                comps.filter("id != component").count()
+
+            timed("reconcile_from_signatures", n, _reconcile)
         # distributed exact global rank (the no-global-window primitive
         # behind equi-depth histograms and epoch shuffles): rank n*3
         # rows (3 epochs) — one range shuffle + offsets collect

@@ -325,3 +325,98 @@ def test_ivf_empty_query_set_returns_typed_empty(spark):
     ):
         assert out.columns == ["query_id", "match_id", "cosine_sim"]
         assert out.count() == 0
+
+
+# ---------------- incremental embedding dedup -----------------------
+
+
+def _vec(*xs):
+    return [float(x) for x in xs]
+
+
+def test_incremental_embedding_dedup_exact(spark):
+    """History-near batch vectors drop; the remainder near-dedups
+    within the batch by exact CC keep-min; far vectors survive."""
+    import pytest
+
+    from fugue_warehouses_spark.extensions.similarity import (
+        incremental_embedding_dedup,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, _vec(1, 0, 0), 0), (2, _vec(0, 1, 0), 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, _vec(0.99, 0.14, 0), 1),   # ~cos 0.99 to hist 1 -> drop
+            (11, _vec(0, 0, 1), 1),          # orthogonal to history
+            (12, _vec(0, 0.05, 0.99), 1),    # near 11 -> within-batch dup
+            (13, _vec(-1, 1, -1), 1),        # far from everything
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    kept = {
+        r["vec_id"]
+        for r in incremental_embedding_dedup(
+            batch, hist, threshold=0.9
+        ).collect()
+    }
+    assert kept == {11, 13}  # 10 drops vs history, 12 loses to 11
+    with pytest.raises(ValueError, match="history"):
+        incremental_embedding_dedup(batch, threshold=0.9)
+
+
+def test_incremental_embedding_dedup_indexed_matches_exact(spark):
+    """Full-probe index serving (n_probe=ALL) is exact by construction
+    — identical survivor set to the brute-force path; and pruned
+    probing (n_probe=1) can only OVER-KEEP (a missed neighbor keeps a
+    duplicate), never over-drop."""
+    import random
+
+    from fugue_warehouses_spark.extensions.similarity import (
+        build_ivf_hash_index,
+        incremental_embedding_dedup,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)], i % 3) for i in range(80)
+    ]
+    # plant exact-duplicate vectors across the id split so real drops occur
+    for dup, src in [(60, 3), (61, 10), (70, 45), (71, 70)]:
+        rows[dup] = (dup, list(rows[src][1]), rows[dup][2])
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    hist = emb.filter("vec_id < 40")
+    batch = emb.filter("vec_id >= 40")
+    exact = {
+        r["vec_id"]
+        for r in incremental_embedding_dedup(
+            batch, hist, threshold=0.999
+        ).collect()
+    }
+    assert 60 not in exact and 61 not in exact  # history dups dropped
+    # {45, 70, 71} share one vector and all sit in the batch: CC
+    # keep-min keeps 45, drops both copies
+    assert 45 in exact and 70 not in exact and 71 not in exact
+    assigned, centroids = build_ivf_hash_index(hist, n_centroids=8)
+    indexed = {
+        r["vec_id"]
+        for r in incremental_embedding_dedup(
+            batch, assigned=assigned, centroids=centroids, threshold=0.999
+        ).collect()
+    }
+    assert indexed == exact
+    pruned = {
+        r["vec_id"]
+        for r in incremental_embedding_dedup(
+            batch,
+            assigned=assigned,
+            centroids=centroids,
+            threshold=0.999,
+            n_probe=1,
+        ).collect()
+    }
+    assert exact <= pruned  # pruning may over-keep, never over-drop
