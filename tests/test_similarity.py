@@ -420,3 +420,59 @@ def test_incremental_embedding_dedup_indexed_matches_exact(spark):
         ).collect()
     }
     assert exact <= pruned  # pruning may over-keep, never over-drop
+
+
+def test_incremental_embedding_dedup_overkeeps_recoverable(spark):
+    """The over-keep escape hatch is closed: whatever a pruned probe
+    (n_probe=1) over-keeps is recovered by one exact CC pass over the
+    ACCEPTED set (dedup_near) — embeddings need no drop-log, because a
+    missed duplicate leaves BOTH vectors in the accepted corpus.
+    history ∪ pruned-survivors, exactly reconciled, equals
+    history ∪ exact-survivors."""
+    import random
+
+    from fugue_warehouses_spark.extensions.dedup import dedup_near
+    from fugue_warehouses_spark.extensions.similarity import (
+        build_ivf_hash_index,
+        incremental_embedding_dedup,
+        similarity_pairs,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)], i % 3) for i in range(80)
+    ]
+    for dup, src in [(55, 2), (62, 17), (66, 33), (77, 41)]:
+        rows[dup] = (dup, list(rows[src][1]), rows[dup][2])
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    hist = emb.filter("vec_id < 50")
+    batch = emb.filter("vec_id >= 50")
+    exact = {
+        r["vec_id"]
+        for r in incremental_embedding_dedup(
+            batch, hist, threshold=0.999
+        ).collect()
+    }
+    assigned, centroids = build_ivf_hash_index(hist, n_centroids=8)
+    pruned = incremental_embedding_dedup(
+        batch,
+        assigned=assigned,
+        centroids=centroids,
+        threshold=0.999,
+        n_probe=1,
+    )
+    accepted = hist.select("vec_id", "embedding", "label").unionByName(
+        pruned.select("vec_id", "embedding", "label")
+    )
+    reconciled = {
+        r["vec_id"]
+        for r in dedup_near(
+            accepted,
+            similarity_pairs(accepted, 0.999, "vec_id", "embedding"),
+            "vec_id",
+        ).collect()
+    }
+    hist_ids = {r["vec_id"] for r in hist.select("vec_id").collect()}
+    assert reconciled == hist_ids | exact
