@@ -872,6 +872,7 @@ def ivf_topk_from_index(
     query_id: str = "vec_id",
     query_vec: str = "embedding",
     centroid_rows: list | None = None,
+    sim_floor: float | None = None,
 ) -> DataFrame:
     """The probe half of :func:`ivf_topk_hash` over a (possibly
     persisted) index from :func:`build_ivf_hash_index`: rank centroids
@@ -989,6 +990,13 @@ def ivf_topk_from_index(
         "match_id",
         F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine_sim"),
     )
+    # sim_floor: filter BEFORE the rank window, so threshold-style
+    # consumers (incremental_embedding_dedup) rank only the hits —
+    # the candidate join still scores every probed-cell pair (that is
+    # the IVF cost model), but the top-k shuffle moves hit rows, not
+    # the full candidate set
+    if sim_floor is not None:
+        scored = scored.filter(F.col("cosine_sim") >= sim_floor)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("match_id").asc()
     )
@@ -1093,6 +1101,178 @@ def hard_negative_topk(
 # ---------------- incremental embedding dedup ----------------------
 
 
+def max_cosine_against(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Per-query MAX cosine against a streaming corpus:
+    (query_id, max_sim), one row per query.
+
+    This is the all-queries-at-once primitive the batch-dedup path
+    needs, and it deliberately bypasses :func:`brute_force_topk`: the
+    top-k scaffold runs a per-query Python loop (mask + lexsort) per
+    Arrow batch — right for a bounded serving query set, quadratic
+    agony for a 16k-row dedup batch (measured 117-334 s at 80k docs,
+    round 6; this shape re-measures in seconds). Here each corpus
+    batch does ONE matmul + ONE ``sims.max(axis=0)`` and emits one
+    narrow row per query; a single groupBy-max merges batches. No id
+    masking — callers guarantee disjoint id sets (dedup batches are
+    new rows by construction). Rounding commutes with max, so
+    rounding the merged max equals maxing rounded sims.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qids, qmat = _collect_query_matrix(queries, query_id, query_vec)
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id].dataType),
+            T.StructField("max_sim", T.DoubleType()),
+        ]
+    )
+    if len(qids) == 0:
+        return corpus.sparkSession.createDataFrame([], schema)
+
+    # slab both matmul axes so the sims buffer stays cache-resident:
+    # a 10k-row Arrow batch x a 64k-query matrix is a 5 GB float64
+    # buffer per task (x32 concurrent = memory-bandwidth collapse,
+    # the round-3 all-pairs lesson); 2048x2048 slabs hold it at 32 MB
+    # with identical FLOPs
+    _SLAB = 2048
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[corpus_vec].to_numpy()).astype("float64")
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mat = mat / norms
+            best = np.full(len(qids), -np.inf)
+            for r0 in range(0, mat.shape[0], _SLAB):
+                sub = mat[r0 : r0 + _SLAB]
+                for q0 in range(0, len(qids), _SLAB):
+                    np.maximum(
+                        best[q0 : q0 + _SLAB],
+                        (sub @ qmat[q0 : q0 + _SLAB].T).max(axis=0),
+                        out=best[q0 : q0 + _SLAB],
+                    )
+            yield pd.DataFrame({"query_id": qids, "max_sim": best})
+
+    merged = (
+        corpus.select(corpus_vec)
+        .mapInPandas(score, schema)
+        .groupBy("query_id")
+        .agg(F.max("max_sim").alias("max_sim"))
+    )
+    if round_digits is not None:
+        merged = merged.withColumn(
+            "max_sim", F.round(F.col("max_sim"), round_digits)
+        )
+    return merged
+
+
+def _ivf_threshold_hits(
+    assigned: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    n_probe: int,
+    centroids: DataFrame | None,
+    centroid_rows: list | None,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    round_digits: int | None,
+) -> DataFrame:
+    """Distinct query ids whose cosine against ANY vector in their
+    probed IVF cells reaches ``threshold`` — the existence question
+    behind index-served batch dedup.
+
+    Deliberately NOT :func:`ivf_topk_from_index`: that plan joins the
+    probe set into the assignment table and scores candidates with
+    the JVM expression cosine — right for a small serving query set,
+    but a 16k-query dedup batch probing 1/8 of a 64k index makes
+    ~128M candidate rows of per-pair interpreted array math (the
+    round-6 probe never finished the leg). Here the query matrix and
+    the per-cell query lists ride the closure; each Arrow batch of
+    the index groups its rows by cell and runs ONE BLAS matmul per
+    (batch, cell) pair against just the queries probing that cell —
+    no join, no shuffle before the (tiny) hit set. Closure size is
+    bounded by the batch contract (qmat + n_q * n_probe cell slots).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent_rows = sorted(
+        centroids.collect() if centroid_rows is None else centroid_rows,
+        key=lambda r: r["cidx"],
+    )
+    if not cent_rows:
+        raise ValueError("empty centroid table (bad or empty index version?)")
+    cmat = np.array([list(r["centroid"]) for r in cent_rows], dtype="float64")
+    cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    qids, qmat = _collect_query_matrix(queries, query_id, query_vec)
+    schema = T.StructType(
+        [T.StructField("query_id", queries.schema[query_id].dataType)]
+    )
+    if len(qids) == 0:
+        return assigned.sparkSession.createDataFrame([], schema)
+    qsims = qmat @ (cmat / cn).T  # (n_q, n_c); qmat arrives normalized
+    n_probe = min(n_probe, qsims.shape[1])
+    # per-query probed cells -> per-cell query-index lists
+    order = np.argsort(-np.round(qsims, 6), axis=1, kind="stable")[:, :n_probe]
+    cell_map: dict[int, list] = {}
+    for qi in range(order.shape[0]):
+        for c in order[qi]:
+            cell_map.setdefault(int(c), []).append(qi)
+    cell_map = {c: np.asarray(v) for c, v in cell_map.items()}
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[corpus_vec].to_numpy()).astype("float64")
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mat = mat / norms
+            cidxs = pdf["cidx"].to_numpy()
+            hit: list = []
+            for c in np.unique(cidxs):
+                qidx = cell_map.get(int(c))
+                if qidx is None:
+                    continue
+                cell = mat[cidxs == c]
+                # slab both axes: a hot cell probed by most of a
+                # large batch would otherwise allocate
+                # cell_rows x n_probing doubles in one shot (same
+                # bandwidth-collapse mode as the flat-scan kernel)
+                slab = 2048
+                for q0 in range(0, len(qidx), slab):
+                    qsel = qidx[q0 : q0 + slab]
+                    qt = qmat[qsel].T
+                    alive = np.zeros(len(qsel), dtype=bool)
+                    for r0 in range(0, cell.shape[0], slab):
+                        sims = cell[r0 : r0 + slab] @ qt
+                        if round_digits is not None:
+                            sims = np.round(sims, round_digits)
+                        alive |= (sims >= threshold).any(axis=0)
+                    hit.extend(qids[qsel[alive]])
+            yield pd.DataFrame({"query_id": hit})
+
+    return (
+        assigned.select(corpus_vec, "cidx")
+        .mapInPandas(score, schema)
+        .distinct()
+    )
+
+
 def incremental_embedding_dedup(
     batch: DataFrame,
     history: DataFrame | None = None,
@@ -1119,20 +1299,23 @@ def incremental_embedding_dedup(
 
     Two history-probe strategies:
 
-    - ``history=`` (exact): :func:`brute_force_topk` with k=1 — the
-      batch is collected as a normalized matrix (bounded by contract:
-      this is a per-ingest-batch operator) and the history corpus
-      streams through one Arrow-batched BLAS matmul with NO shuffle.
+    - ``history=`` (exact): :func:`max_cosine_against` — the batch is
+      collected as a normalized matrix (bounded by contract: this is
+      a per-ingest-batch operator) and the history corpus streams
+      through one Arrow-batched BLAS matmul + vectorized per-query
+      max with NO shuffle before the narrow (query, max_sim) merge.
       Per-batch cost is one history scan, independent of how many
       batches came before — but linear in history size.
     - ``assigned=``/``centroids=`` (index-served): probe a persisted
-      :func:`build_ivf_hash_index` via :func:`ivf_topk_from_index`;
-      only the probed cells' vectors are scored, so per-batch cost is
-      probe-proportional. ``n_probe=None`` (default) probes EVERY
-      centroid — still exact (bucketing without pruning), still
-      cheaper than the flat scan when the index is cached and the
-      rerank is cell-local. Set ``n_probe < n_centroids`` for the
-      approximate scale shape and accept the documented recall trade:
+      :func:`build_ivf_hash_index` via the cell-grouped BLAS
+      existence probe (:func:`_ivf_threshold_hits` — the query matrix
+      and per-cell query lists ride the closure; one matmul per
+      (index batch, cell), no join); only the probed cells' vectors
+      are scored, so per-batch cost is probe-proportional.
+      ``n_probe=None`` (default) probes EVERY centroid — exact
+      (bucketing without pruning), degenerating to the flat scan's
+      FLOPs. Set ``n_probe < n_centroids`` for the approximate scale
+      shape and accept the documented recall trade:
       a missed true neighbor KEEPS a duplicate (never drops an
       original); the over-kept set is recoverable later by the same
       reconcile pattern as streaming text dedup.
@@ -1149,36 +1332,33 @@ def incremental_embedding_dedup(
     if assigned is not None:
         if centroids is None and centroid_rows is None:
             raise ValueError("index probing needs centroids/centroid_rows")
-        hits = ivf_topk_from_index(
+        dropped = _ivf_threshold_hits(
             assigned,
+            batch,
+            threshold,
+            n_probe if n_probe is not None else 1 << 30,
             centroids,
-            batch,
-            k=1,
-            n_probe=n_probe if n_probe is not None else 1 << 30,
-            corpus_id=id_col,
-            corpus_vec=vec_col,
-            query_id=id_col,
-            query_vec=vec_col,
-            centroid_rows=centroid_rows,
-        )
+            centroid_rows,
+            vec_col,
+            id_col,
+            vec_col,
+            round_digits,
+        ).select(F.col("query_id").alias(id_col))
     elif history is not None:
-        hits = brute_force_topk(
-            history,
-            batch,
-            k=1,
-            corpus_id=id_col,
-            corpus_vec=vec_col,
-            query_id=id_col,
-            query_vec=vec_col,
-            round_digits=round_digits,
+        dropped = (
+            max_cosine_against(
+                history,
+                batch,
+                corpus_vec=vec_col,
+                query_id=id_col,
+                query_vec=vec_col,
+                round_digits=round_digits,
+            )
+            .filter(F.col("max_sim") >= threshold)
+            .select(F.col("query_id").alias(id_col))
         )
     else:
         raise ValueError("pass history= (exact) or assigned=/centroids= (index)")
-    dropped = (
-        hits.filter(F.col("cosine_sim") >= threshold)
-        .select(F.col("query_id").alias(id_col))
-        .distinct()
-    )
     survivors = batch.join(dropped, on=id_col, how="left_anti")
     # within-batch: exact pair graph over the (batch-sized) survivor
     # set; similarity_pairs picks broadcast vs blocked by plan stats

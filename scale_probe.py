@@ -108,15 +108,21 @@ def probe(spark, sizes, ops=None, repeat=1):
         out.setdefault(op, {})[n] = times[0] if repeat <= 1 else times
         print(f"[probe] {op} n={n}: {out[op][n]}s", file=sys.stderr, flush=True)
 
+    EMB_ONLY = {
+        "similarity_pairs_block",
+        "ivf_topk_hash",
+        "incremental_embedding_dedup",
+        "incremental_embedding_dedup_ivf",
+    }
     for n in sizes:
-        docs = make_docs(spark, n).repartition(32).cache()
-        docs.count()
-        need_emb = (
-            wanted("similarity_pairs_block")
-            or wanted("ivf_topk_hash")
-            or wanted("incremental_embedding_dedup")
-            or wanted("incremental_embedding_dedup_ivf")
-        )
+        # the 250-token doc corpus takes minutes to synthesize at 320k;
+        # embedding-only probe runs skip it entirely
+        need_docs = ops is None or bool(set(ops) - EMB_ONLY)
+        docs = None
+        if need_docs:
+            docs = make_docs(spark, n).repartition(32).cache()
+            docs.count()
+        need_emb = ops is None or bool(set(ops) & EMB_ONLY)
         emb = None
         if need_emb:
             emb = make_embeddings(spark, n).repartition(32).cache()
@@ -268,7 +274,7 @@ def probe(spark, sizes, ops=None, repeat=1):
             batch_e = emb.filter(f"vec_id >= {n - n // 5}")
             timed("incremental_embedding_dedup", n, lambda: (
                 S.incremental_embedding_dedup(
-                    batch_e, hist_e, threshold=0.35
+                    batch_e, hist_e, threshold=0.9
                 ).count()))
             asg, cents = S.build_ivf_hash_index(hist_e, n_centroids=64)
             asg = asg.localCheckpoint()
@@ -276,14 +282,15 @@ def probe(spark, sizes, ops=None, repeat=1):
             timed("incremental_embedding_dedup_ivf", n, lambda: (
                 S.incremental_embedding_dedup(
                     batch_e, assigned=asg, centroids=cents,
-                    centroid_rows=cent_rows, threshold=0.35, n_probe=8,
+                    centroid_rows=cent_rows, threshold=0.9, n_probe=8,
                 ).count()))
         timed("similarity_pairs_block", n, lambda: S.similarity_pairs(
             emb, threshold=0.35, method="block").count())
         timed("ivf_topk_hash", n, lambda: S.ivf_topk_hash(
             emb, emb.filter("vec_id < 10"), k=10).count())
 
-        docs.unpersist()
+        if docs is not None:
+            docs.unpersist()
         if emb is not None:
             emb.unpersist()
     return out

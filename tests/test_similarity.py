@@ -476,3 +476,29 @@ def test_incremental_embedding_dedup_overkeeps_recoverable(spark):
     }
     hist_ids = {r["vec_id"] for r in hist.select("vec_id").collect()}
     assert reconciled == hist_ids | exact
+
+
+def test_ivf_topk_from_index_sim_floor(spark):
+    """sim_floor filters scored candidates BEFORE the rank window:
+    results are exactly the no-floor results with cosine_sim below
+    the floor removed."""
+    import random
+
+    from fugue_warehouses_spark.extensions.similarity import (
+        build_ivf_hash_index,
+        ivf_topk_from_index,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, centroids = build_ivf_hash_index(emb, n_centroids=4)
+    queries = emb.filter("vec_id < 6")
+    base = ivf_topk_from_index(assigned, centroids, queries, k=3, n_probe=4)
+    floored = ivf_topk_from_index(
+        assigned, centroids, queries, k=3, n_probe=4, sim_floor=0.2
+    )
+    b = {(r["query_id"], r["match_id"], r["cosine_sim"]) for r in base.collect()}
+    f = {(r["query_id"], r["match_id"], r["cosine_sim"]) for r in floored.collect()}
+    assert f == {t for t in b if t[2] >= 0.2}
+    assert all(t[2] >= 0.2 for t in f)
