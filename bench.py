@@ -38,7 +38,49 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from fugue_warehouses_spark.plans.checkpoint import released_after  # noqa: E402
 from fugue_warehouses_spark.queries import QUERIES  # noqa: E402
-from fugue_warehouses_spark.session import get_spark  # noqa: E402
+from fugue_warehouses_spark.session import get_spark, pinned_heap_conf  # noqa: E402
+
+
+def _host_controls(spark, sf_dir: str) -> dict[str, float]:
+    """Fixed-work host-state calibration, recorded in the sidecar as
+    ``control``. Two probes whose code never changes round-to-round:
+
+    - ``numpy_matmul_sec``: one driver-process 1536^2 float64 matmul,
+      best of 3 — pure CPU, no JVM, no I/O. Inflation here is host
+      tenancy, full stop.
+    - ``tpch_scan_agg_sec``: warm best-of-3 of ``q1_pricing_summary``
+      (untouched since round 1) — calibrates the Spark path (JVM, the
+      32-thread scheduler, parquet scan) under the same session the
+      bench queries use.
+
+    Three rounds of judge/builder time went to re-litigating whether a
+    bench regression was code or tenancy; these numbers let any reader
+    of BENCH_r{N} divide that out, and tests/test_docs.py scales its
+    staleness tolerance by the measured inflation."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((1536, 1536))
+    b = rng.standard_normal((1536, 1536))
+    (a @ b).sum()  # warm BLAS
+    mm = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ b).sum()
+        mm = min(mm, time.perf_counter() - t0)
+
+    fn = QUERIES["q1_pricing_summary"]
+    fn(spark, sf_dir).count()  # warm
+    q1 = float("inf")
+    for _ in range(3):
+        with released_after(spark):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            q1 = min(q1, time.perf_counter() - t0)
+    return {
+        "numpy_matmul_sec": round(mm, 3),
+        "tpch_scan_agg_sec": round(q1, 3),
+    }
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -161,9 +203,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     # stdout must stay a single parseable JSON line: no progress bars
+    # -Xms pinned by default (round 6: heap growth is the variance
+    # driver; SPARK_GRAFT_DRIVER_JAVA_OPTS overrides)
     spark = get_spark(
         app_name="wf-bench",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            **pinned_heap_conf(),
+        },
     )
     # log level ERROR: stray WARN lines (e.g. WindowExec) land on the
     # captured stream and can crowd the final JSON line out of the
@@ -171,6 +218,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # absorb session/JVM + python-worker pool startup before timing
     spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
+    control = _host_controls(spark, sf_dir)
+    print(f"[bench] control: {control}", file=sys.stderr, flush=True)
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -208,6 +257,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_first_run_sec": cold,
+                "control": control,
                 "timing": "1 untimed warmup + best of N timed runs",
                 "runs_per_query": 3,
                 "sf": sf,
@@ -226,6 +276,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "queries_file": queries_file,
+        "control_sec": round(sum(control.values()), 3),
         "queries": {},
     }
     budget = 1400

@@ -340,10 +340,14 @@ def _sig_checkpoint_level(spark) -> StorageLevel:
         exec_mem = sc.getConf().get("spark.executor.memory", None)
         if exec_mem:
             unit = exec_mem[-1].lower()
-            num = float(exec_mem[:-1])
-            heap_bytes = num * {
-                "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40
-            }.get(unit, 1.0)
+            if unit.isdigit():
+                # bare number: Spark's JavaUtils treats a suffix-less
+                # memory string as MiB ("16384" == 16g), not bytes
+                heap_bytes = float(exec_mem) * (1 << 20)
+            else:
+                heap_bytes = float(exec_mem[:-1]) * {
+                    "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40
+                }.get(unit, 1.0)
         else:
             heap_bytes = sc._jvm.java.lang.Runtime.getRuntime().maxMemory()
     except Exception:
@@ -1144,9 +1148,21 @@ def incremental_dedup_bloom(
     if bloom_df is None:
         bloom_df = fingerprint_bloom(history_df, text_col, m_bits, k)
     elif {"m_bits", "k"} <= set(bloom_df.columns):
-        params = bloom_df.select("m_bits", "k").first()
-        if params is not None:  # empty bitset (empty history): nothing stored
-            m_bits, k = int(params["m_bits"]), int(params["k"])
+        # one distinct (m_bits, k) pair REQUIRED: a bitset unioned from
+        # filters built with different params (e.g. a versioned-store
+        # read across a config change) has no single correct probe
+        # geometry — adopting an arbitrary row's params reintroduces
+        # the build/probe skew the stamping exists to prevent
+        params = bloom_df.select("m_bits", "k").distinct().collect()
+        if len(params) > 1:
+            raise ValueError(
+                "bloom_df mixes bitsets built with different params: "
+                f"{sorted((int(r['m_bits']), int(r['k'])) for r in params)}"
+                " — rebuild/compact the filter with one (m_bits, k) "
+                "before probing"
+            )
+        if params:  # empty bitset (empty history): nothing stored
+            m_bits, k = int(params[0]["m_bits"]), int(params[0]["k"])
     # (1) within-batch min-id representative per fingerprint
     w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
     reps = (

@@ -81,6 +81,23 @@ _DEFAULT_CONF: dict[str, str] = {
 }
 
 
+def pinned_heap_conf() -> dict[str, str]:
+    """extra_conf that pins the driver JVM's -Xms to its -Xmx.
+
+    Round 6 measured a growing heap as THE bench/probe variance driver
+    under localCheckpoint-heavy workloads (full GC at every expansion
+    step: 320k/8g spread 4.8-11x unpinned vs 1.86x pinned), so
+    ``bench.py`` and ``scale_probe.py`` pin by default. A caller-set
+    ``SPARK_GRAFT_DRIVER_JAVA_OPTS`` wins — this helper then returns
+    {} and the env passthrough in ``_DEFAULT_CONF`` applies as-is.
+    Cluster note: local-mode driver == the one executing JVM; on a real
+    cluster pin ``spark.executor.extraJavaOptions`` instead."""
+    if os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS"):
+        return {}
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem())
+    return {"spark.driver.extraJavaOptions": f"-Xms{mem}"}
+
+
 def get_spark(
     app_name: str = "fugue_warehouses_spark",
     master: str | None = None,

@@ -137,7 +137,12 @@ def run_near_dedup_ingest(
     collides with its own index copies and the in-plan disjointness
     guard fails the query instead of silently double-appending.
     Recover by deleting the newest index version (and, for the second
-    window, the duplicated append) before restarting. The guard is
+    window, the duplicated append; with ``dropped_store`` set, also
+    the newest dropped_store version — a replayed batch re-logs its
+    dropped docs' signatures, and duplicate drop-log rows inflate
+    :func:`reconcile_survivors`'s candidate set). Reconcile also
+    dedups ids defensively on read, so a missed cleanup costs verify
+    work, never correctness. The guard is
     best-effort by nature: it fires when the replayed doc still
     COLLIDES with its index copy, which identical text does unless
     every one of its buckets is dropped by ``max_bucket_size`` —
@@ -287,12 +292,20 @@ def reconcile_survivors(
     max_bucket_size: int | None = None,
     max_iter: int = 15,
 ) -> DataFrame:
-    """Offline reconciliation of greedy streaming near-dedup to exact
-    batch connected-component semantics: returns the (small) set of
+    """Offline reconciliation of greedy streaming near-dedup to batch
+    connected-component semantics: returns the (small) set of
     OVER-KEPT survivor ids — docs :func:`run_near_dedup_ingest` kept
     that the batch resolver (:func:`extensions.dedup.dedup_near`)
-    would have dropped. Delete these from the survivors table and the
-    result equals the batch-CC survivor set EXACTLY.
+    would have dropped. Delete these from the survivors table and
+    every duplicate class keeps EXACTLY ONE representative: the
+    minimum SURVIVING id of its component. When each component's
+    global min-id doc arrived before its neighbors (so greedy kept
+    it), that representative IS the batch-CC survivor and the result
+    equals the batch-CC survivor set exactly; when a smaller-id doc
+    arrived late and was greedily dropped, the class is represented
+    by its min survivor instead — reconciliation over-keeps relative
+    to batch CC but NEVER over-drops (the one-representative
+    guarantee is unconditional).
 
     Why this shape: greedy resolution provably keeps a superset of the
     CC minima (test_streaming's divergence bound), and the over-keep
@@ -312,7 +325,17 @@ def reconcile_survivors(
        path);
     3. connected components over the pair graph (label propagation,
        O(diameter) rounds — dedup graphs are near-cliques);
-    4. over-kept = survivor ids that are NOT their component's min.
+    4. over-kept = survivor ids that are NOT the minimum SURVIVOR of
+       their component. Computing against the min survivor (not the
+       raw component min, which may be a dropped doc) is what makes
+       the one-representative guarantee unconditional: flagging every
+       non-min survivor of a component whose min was dropped would
+       delete the whole class.
+
+    The index/drop-log union is deduplicated on id before banding:
+    a crash-replayed batch re-logs its dropped docs (see the recovery
+    note on :func:`run_near_dedup_ingest`), and duplicate signature
+    rows would otherwise inflate the candidate set.
 
     ``threshold`` / ``num_hashes`` / ``bands`` / ``max_bucket_size``
     must match the ingest's params — the stored signature length is
@@ -339,11 +362,22 @@ def reconcile_survivors(
             )
         except FileNotFoundError:
             pass  # nothing was ever dropped: no edges beyond the index
+    all_sigs = all_sigs.dropDuplicates([id_col])
     pairs = near_dup_pairs_from_signatures(
         all_sigs, id_col, threshold, num_hashes, bands, max_bucket_size
     )
     comps = connected_components(pairs.select("id_a", "id_b"), max_iter)
-    losers = comps.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
+    # component labels of SURVIVORS only, then per-component min
+    # survivor — the unconditional representative. A component whose
+    # min id was dropped (late arrival) keeps its min survivor.
+    surv_comps = comps.join(
+        idx.select(F.col(id_col).alias("id")), "id", "left_semi"
     )
-    return idx.select(id_col).join(losers, id_col, "left_semi")
+    keep = surv_comps.groupBy("component").agg(
+        F.min("id").alias("__keep")
+    )
+    return (
+        surv_comps.join(keep, "component")
+        .filter(F.col("id") != F.col("__keep"))
+        .select(F.col("id").alias(id_col))
+    )

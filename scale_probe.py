@@ -36,7 +36,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from fugue_warehouses_spark.session import get_spark  # noqa: E402
+from fugue_warehouses_spark.session import get_spark, pinned_heap_conf  # noqa: E402
 
 # 50k-word vocabulary: unrelated docs then share few shingles (like a
 # real corpus); the tiny driver-fixture vocab is a separate regime —
@@ -308,9 +308,15 @@ def main():
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     ops = set(args.ops.split(",")) if args.ops else None
+    # -Xms pinned by default: a growing heap full-GCs at every
+    # expansion step under checkpoint-heavy probes (SCALE_NOTES r6);
+    # SPARK_GRAFT_DRIVER_JAVA_OPTS overrides
     spark = get_spark(
         app_name="wf-scale-probe",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            **pinned_heap_conf(),
+        },
     )
     out = probe(spark, sizes, ops, repeat=args.repeat)
     spark.stop()

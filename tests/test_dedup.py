@@ -505,6 +505,25 @@ def test_bloom_legacy_param_mismatch_raises(spark):
         ).collect()
 
 
+def test_bloom_mixed_param_bitset_raises(spark):
+    """A bitset relation unioned from filters built with DIFFERENT
+    (m_bits, k) — e.g. a versioned-store read across a config change —
+    has no single correct probe geometry; adopting an arbitrary row's
+    params reintroduces the build/probe skew the stamping prevents.
+    Probe must refuse loudly."""
+    hist = spark.createDataFrame(
+        [(i, f"seen doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, "seen doc 3")], "doc_id long, text string"
+    )
+    mixed = D.fingerprint_bloom(hist, m_bits=1 << 12, k=3).unionByName(
+        D.fingerprint_bloom(hist, m_bits=1 << 13, k=5)
+    )
+    with pytest.raises(ValueError, match="different params"):
+        D.incremental_dedup_bloom(batch, hist, bloom_df=mixed).collect()
+
+
 def test_sig_checkpoint_level_heap_adaptive(spark):
     """The signature-checkpoint storage level is picked from the heap:
     DISK_ONLY below the threshold (tight heaps GC-thrash the verify
@@ -538,6 +557,10 @@ def test_sig_checkpoint_level_heap_adaptive(spark):
     assert _sig_checkpoint_level(_Spark("14g")) == StorageLevel.DISK_ONLY
     assert _sig_checkpoint_level(_Spark("16g")) == StorageLevel.MEMORY_AND_DISK
     assert _sig_checkpoint_level(_Spark("16384m")) == StorageLevel.MEMORY_AND_DISK
+    # suffix-less config: Spark's JavaUtils reads a bare number as MiB
+    # ("16384" == 16g) — must NOT land on DISK_ONLY via a bytes reading
+    assert _sig_checkpoint_level(_Spark("16384")) == StorageLevel.MEMORY_AND_DISK
+    assert _sig_checkpoint_level(_Spark("8192")) == StorageLevel.DISK_ONLY
     # introspection failure degrades to slower, never to OOM
     assert _sig_checkpoint_level(object()) == StorageLevel.DISK_ONLY
     # the live local session must resolve without throwing

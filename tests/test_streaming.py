@@ -768,3 +768,74 @@ def test_reconcile_survivors_restores_batch_cc(spark, tmp_path):
     assert (
         reconcile_survivors(spark, str(tmp_path / "idx"), **lsh).count() == 0
     )
+
+
+def test_reconcile_never_over_drops_on_late_min_arrival(spark, tmp_path):
+    """The one-representative guarantee must hold when a component's
+    MIN-id doc arrives AFTER a larger-id neighbor (advice r6, medium):
+    greedy keeps the larger id and drops the min; over-kept computed
+    against the raw component min would then flag every survivor of
+    that class — deleting them leaves the duplicate class with no
+    representative. Over-kept is therefore defined against the min
+    SURVIVOR per component: here the late-min class keeps its (sole)
+    survivor and reconcile flags nothing, while a min-first class
+    still reconciles to exact batch-CC semantics."""
+    from fugue_warehouses_spark.streaming import (
+        read_parquet_stream,
+        run_near_dedup_ingest,
+    )
+    from fugue_warehouses_spark.streaming.dedup import reconcile_survivors
+
+    import random
+
+    rng = random.Random(11)
+    word = lambda: "".join(
+        rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8)
+    )
+    words = [word() for _ in range(300)]
+    doc = lambda toks: " ".join(toks)
+
+    late_min_text = doc(words[:60])  # ids 50 ~ 51, min (50) arrives LAST
+    min_first_text = doc(words[60:120])  # ids 60 ~ 61, min arrives first
+    rows = [
+        (50, late_min_text),
+        (51, late_min_text),
+        (60, min_first_text),
+        (61, min_first_text),
+        (70, doc(words[120:170])),  # singleton
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lsh = dict(threshold=0.62, num_hashes=64, bands=32)
+
+    feed = str(tmp_path / "feed")
+    b0 = {51, 60, 70}  # larger id of the late-min class goes first
+    docs.filter(F.col("doc_id").isin(*b0)).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    docs.filter(~F.col("doc_id").isin(*b0)).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    greedy = run_near_dedup_ingest(
+        read_parquet_stream(spark, feed, max_files_per_trigger=1),
+        index_store=str(tmp_path / "idx"),
+        survivors_path=str(tmp_path / "kept"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dropped_store=str(tmp_path / "dropped"),
+        **lsh,
+    )
+    greedy_kept = {r["doc_id"] for r in greedy.collect()}
+    assert greedy_kept == {51, 60, 70}  # 50 dropped vs index, 61 in-batch
+
+    over_ids = {
+        r["doc_id"]
+        for r in reconcile_survivors(
+            spark, str(tmp_path / "idx"), str(tmp_path / "dropped"), **lsh
+        ).collect()
+    }
+    # NOTHING is over-kept: 51 is its component's only survivor (the
+    # raw component min, 50, was dropped — flagging 51 would orphan
+    # the class), 60 is its component's min survivor, 70 is clean.
+    assert over_ids == set()
+    # every duplicate class retains exactly one representative
+    assert greedy_kept - over_ids == {51, 60, 70}
