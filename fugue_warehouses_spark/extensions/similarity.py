@@ -1108,6 +1108,7 @@ def max_cosine_against(
     query_id: str = "vec_id",
     query_vec: str = "embedding",
     round_digits: int | None = 6,
+    _qmatrix: tuple | None = None,
 ) -> DataFrame:
     """Per-query MAX cosine against a streaming corpus:
     (query_id, max_sim), one row per query.
@@ -1128,7 +1129,15 @@ def max_cosine_against(
     import pandas as pd
     from pyspark.sql import types as T
 
-    qids, qmat = _collect_query_matrix(queries, query_id, query_vec)
+    # _qmatrix: a caller that already collected the (ids, normalized
+    # matrix) pair — e.g. incremental_embedding_dedup, which reuses it
+    # for the within-batch resolution — passes it through to avoid a
+    # second collect job
+    qids, qmat = (
+        _collect_query_matrix(queries, query_id, query_vec)
+        if _qmatrix is None
+        else _qmatrix
+    )
     schema = T.StructType(
         [
             T.StructField("query_id", queries.schema[query_id].dataType),
@@ -1188,6 +1197,7 @@ def _ivf_threshold_hits(
     query_id: str,
     query_vec: str,
     round_digits: int | None,
+    _qmatrix: tuple | None = None,
 ) -> DataFrame:
     """Distinct query ids whose cosine against ANY vector in their
     probed IVF cells reaches ``threshold`` — the existence question
@@ -1216,23 +1226,36 @@ def _ivf_threshold_hits(
     if not cent_rows:
         raise ValueError("empty centroid table (bad or empty index version?)")
     cmat = np.array([list(r["centroid"]) for r in cent_rows], dtype="float64")
-    cn = np.linalg.norm(cmat, axis=1, keepdims=True)
-    cn[cn == 0] = 1.0
-    qids, qmat = _collect_query_matrix(queries, query_id, query_vec)
+    qids, qmat = (
+        _collect_query_matrix(queries, query_id, query_vec)
+        if _qmatrix is None
+        else _qmatrix
+    )
     schema = T.StructType(
         [T.StructField("query_id", queries.schema[query_id].dataType)]
     )
     if len(qids) == 0:
         return assigned.sparkSession.createDataFrame([], schema)
-    qsims = qmat @ (cmat / cn).T  # (n_q, n_c); qmat arrives normalized
-    n_probe = min(n_probe, qsims.shape[1])
-    # per-query probed cells -> per-cell query-index lists
-    order = np.argsort(-np.round(qsims, 6), axis=1, kind="stable")[:, :n_probe]
-    cell_map: dict[int, list] = {}
-    for qi in range(order.shape[0]):
-        for c in order[qi]:
-            cell_map.setdefault(int(c), []).append(qi)
-    cell_map = {c: np.asarray(v) for c, v in cell_map.items()}
+    n_c = cmat.shape[0]
+    if n_probe >= n_c:
+        # probing every cell: the centroid-sim matmul + argsort picks
+        # all of them anyway — skip both (the exact/identity facet's
+        # hot path at small sf, where job+driver floor dominates)
+        all_q = np.arange(len(qids))
+        cell_map = {int(r["cidx"]): all_q for r in cent_rows}
+    else:
+        cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        qsims = qmat @ (cmat / cn).T  # (n_q, n_c); qmat arrives normalized
+        # per-query probed cells -> per-cell query-index lists
+        order = np.argsort(-np.round(qsims, 6), axis=1, kind="stable")[
+            :, :n_probe
+        ]
+        cell_map = {}
+        for qi in range(order.shape[0]):
+            for c in order[qi]:
+                cell_map.setdefault(int(c), []).append(qi)
+        cell_map = {c: np.asarray(v) for c, v in cell_map.items()}
 
     def score(batches):
         for pdf in batches:
@@ -1271,6 +1294,56 @@ def _ivf_threshold_hits(
         .mapInPandas(score, schema)
         .distinct()
     )
+
+
+def _local_cc_keep_min(ids, mat, threshold: float, round_digits: int | None):
+    """Driver-side exact within-batch resolution: pairwise cosine over
+    an already-collected normalized matrix (slabbed, reduction dim
+    never split — bit-identical to the distributed ``_pairs_numpy``
+    sims), union-find connected components, keep each component's
+    min id (singletons keep themselves). Used by
+    :func:`incremental_embedding_dedup` when the survivor count fits
+    the driver FLOP budget — the batch matrix is already ON the driver
+    by the operator's contract, so the distributed pair graph + CC
+    rounds there are pure job-floor overhead at small batch sizes
+    (measured 3.4 s of a 3.0 s facet at sf0.1, round 7)."""
+    import numpy as np
+
+    n = len(ids)
+    parent = list(range(n))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    slab = 2048
+    for r0 in range(0, n, slab):
+        sub = mat[r0 : r0 + slab]
+        for c0 in range(r0, n, slab):
+            sims = sub @ mat[c0 : c0 + slab].T
+            if round_digits is not None:
+                sims = np.round(sims, round_digits)
+            for i, j in zip(*np.nonzero(sims >= threshold)):
+                gi, gj = r0 + int(i), c0 + int(j)
+                if gi < gj:
+                    ri, rj = find(gi), find(gj)
+                    if ri != rj:
+                        parent[ri] = rj
+    best: dict = {}
+    for i in range(n):
+        r = find(i)
+        v = ids[i]
+        if r not in best or v < best[r]:
+            best[r] = v
+    return list(best.values())
+
+
+# within-batch driver-resolution budget: n^2 * dim multiply-adds. 2e10
+# is < 1 s of one-socket BLAS; bigger survivor sets take the
+# distributed triangle-block + CC path (the 320k probe's regime)
+_LOCAL_CC_MAX_FLOPS = 2e10
 
 
 def incremental_embedding_dedup(
@@ -1323,12 +1396,23 @@ def incremental_embedding_dedup(
     Contract: batch and history/index id sets must be disjoint (the
     probe excludes identical ids to support self-probing top-k, so a
     shared id would mask its own true duplicate). Within-batch
-    resolution is exact regardless of probe strategy.
+    resolution is exact regardless of probe strategy — driver-side
+    union-find over the already-collected batch matrix when the
+    survivor set fits ``_LOCAL_CC_MAX_FLOPS`` (bit-identical numerics,
+    2 jobs instead of pair-shuffle + CC rounds), else the distributed
+    ``similarity_pairs`` + ``dedup_near`` path (the 320k-probe
+    regime).
 
     Returns the surviving batch rows with all original columns.
     """
+    from pyspark.sql import types as T
+
     from fugue_warehouses_spark.extensions.dedup import dedup_near
 
+    # ONE collect serves both phases: the history/index probe needs the
+    # batch as a normalized query matrix, and the same matrix drives
+    # the within-batch resolution below
+    qids, qmat = _collect_query_matrix(batch, id_col, vec_col)
     if assigned is not None:
         if centroids is None and centroid_rows is None:
             raise ValueError("index probing needs centroids/centroid_rows")
@@ -1343,6 +1427,7 @@ def incremental_embedding_dedup(
             id_col,
             vec_col,
             round_digits,
+            _qmatrix=(qids, qmat),
         ).select(F.col("query_id").alias(id_col))
     elif history is not None:
         dropped = (
@@ -1353,12 +1438,34 @@ def incremental_embedding_dedup(
                 query_id=id_col,
                 query_vec=vec_col,
                 round_digits=round_digits,
+                _qmatrix=(qids, qmat),
             )
             .filter(F.col("max_sim") >= threshold)
             .select(F.col("query_id").alias(id_col))
         )
     else:
         raise ValueError("pass history= (exact) or assigned=/centroids= (index)")
+
+    dim = qmat.shape[1] if len(qids) else 0
+    if len(qids) and len(qids) ** 2 * dim <= _LOCAL_CC_MAX_FLOPS:
+        # the batch matrix is already on the driver (by contract) and
+        # small: finish there. Collect the (batch-bounded) dropped ids,
+        # resolve within-batch exactly via union-find over the same
+        # numerics as _pairs_numpy, and semi-join the tiny kept-id list
+        # back — 2 jobs total after the probe, vs anti-join + pair
+        # shuffle + O(diameter) CC rounds
+        dropped_ids = {r[0] for r in dropped.collect()}
+        alive = [i for i in range(len(qids)) if qids[i] not in dropped_ids]
+        kept = _local_cc_keep_min(
+            qids[alive], qmat[alive], threshold, round_digits
+        )
+        spark = batch.sparkSession
+        kept_df = spark.createDataFrame(
+            [(v.item() if hasattr(v, "item") else v,) for v in kept],
+            T.StructType([T.StructField(id_col, batch.schema[id_col].dataType)]),
+        )
+        return batch.join(F.broadcast(kept_df), on=id_col, how="left_semi")
+
     survivors = batch.join(dropped, on=id_col, how="left_anti")
     # within-batch: exact pair graph over the (batch-sized) survivor
     # set; similarity_pairs picks broadcast vs blocked by plan stats

@@ -1363,9 +1363,47 @@ _EMB_INCR_DEDUP_SQL = """
     """
 
 
+def _parquet_col_max(sf_dir: str, table: str, col: str):
+    """max(col) from parquet FOOTER statistics — no Spark job (the
+    same scan-stats class as frame.py's footer count fast path; int
+    min/max stats are exact). Returns None when any row group lacks
+    stats, signalling the caller to fall back to an agg."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(glob.glob(os.path.join(path, "*.parquet")))
+    )
+    if not files:
+        return None
+    mx = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            stats = None
+            for i in range(row_group.num_columns):
+                c = row_group.column(i)
+                if c.path_in_schema == col:
+                    stats = c.statistics
+                    break
+            if stats is None or not stats.has_min_max:
+                return None
+            mx = stats.max if mx is None else max(mx, stats.max)
+    return mx
+
+
 def _emb_split(spark: SparkSession, sf_dir: str):
     emb = _t(spark, sf_dir, "embeddings")
-    thr = emb.agg(F.max("vec_id")).collect()[0][0] // 2
+    thr = _parquet_col_max(sf_dir, "embeddings", "vec_id")
+    if thr is None:  # footer stats absent: one agg job
+        thr = emb.agg(F.max("vec_id")).collect()[0][0]
+    thr = thr // 2
     return emb.filter(F.col("vec_id") < thr), emb.filter(
         F.col("vec_id") >= thr
     )
