@@ -789,7 +789,7 @@ def ivf_topk_hash(
 
 def build_ivf_hash_index(
     corpus: DataFrame,
-    n_centroids: int = 32,
+    n_centroids: int | None = None,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
@@ -805,11 +805,25 @@ def build_ivf_hash_index(
     probes WITHOUT re-scanning or re-assigning the corpus — the
     embedding analog of the MinHash signature index
     (dedup.build_minhash_index).
+
+    ``n_centroids=None`` (default) picks ~sqrt(n) cells (one count
+    job, amortized over a persisted build). Cell GEOMETRY is the
+    probe's real cost dial, not just a recall knob: at 320k vectors a
+    deliberately coarse 64-cell index probed 8/64 ran only 1.25x
+    under the exact scan — per-cell bookkeeping (query-matrix
+    fancy-index copies) ate the 8x FLOP saving because each cell held
+    ~4k vectors (SCALE_NOTES round 6). sqrt(n) cells keep the probed
+    fraction, not the copy overhead, as the dominant term; callers
+    pinning ``n_centroids`` explicitly own that trade.
     """
+    import math
+
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    if n_centroids is None:
+        n_centroids = max(1, math.isqrt(corpus.count()))
     cent_rows = (
         corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cv"))
         .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))

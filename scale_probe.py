@@ -276,13 +276,18 @@ def probe(spark, sizes, ops=None, repeat=1):
                 S.incremental_embedding_dedup(
                     batch_e, hist_e, threshold=0.9
                 ).count()))
-            asg, cents = S.build_ivf_hash_index(hist_e, n_centroids=64)
+            # n_centroids=None -> ~sqrt(|hist|) cells (512 at 256k),
+            # probed at 1/8 — the production geometry; the r6 probe's
+            # fixed 64 cells made per-cell copies eat the FLOP saving
+            asg, cents = S.build_ivf_hash_index(hist_e)
             asg = asg.localCheckpoint()
             cent_rows = cents.collect()
+            n_probe = max(1, len(cent_rows) // 8)
             timed("incremental_embedding_dedup_ivf", n, lambda: (
                 S.incremental_embedding_dedup(
                     batch_e, assigned=asg, centroids=cents,
-                    centroid_rows=cent_rows, threshold=0.9, n_probe=8,
+                    centroid_rows=cent_rows, threshold=0.9,
+                    n_probe=n_probe,
                 ).count()))
         timed("similarity_pairs_block", n, lambda: S.similarity_pairs(
             emb, threshold=0.35, method="block").count())
