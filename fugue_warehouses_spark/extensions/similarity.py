@@ -869,8 +869,20 @@ def build_ivf_hash_index(
                 }
             )
 
-    assigned = corpus.select(corpus_id, corpus_vec).mapInPandas(
-        assign, out_schema
+    # INVERTED-LIST LAYOUT: cluster the assignment by cell before it
+    # is persisted/checkpointed. In corpus order every downstream
+    # Arrow batch holds rows of ~ALL cells, so a cell-grouped probe
+    # (_ivf_threshold_hits) pays its per-cell bookkeeping (query-list
+    # fancy-index copy) n_cells times per batch — the round-6/7
+    # probe's dominant cost. Clustered, a batch spans O(1) cells, the
+    # per-cell copy amortizes over the whole cell, and a parquet-
+    # persisted index gets row-group pruning for cell filters. One
+    # extra build-time shuffle, amortized over every probe.
+    assigned = (
+        corpus.select(corpus_id, corpus_vec)
+        .mapInPandas(assign, out_schema)
+        .repartition("cidx")
+        .sortWithinPartitions("cidx")
     )
     return assigned, centroids
 
@@ -1303,11 +1315,14 @@ def _ivf_threshold_hits(
                     hit.extend(qids[qsel[alive]])
             yield pd.DataFrame({"query_id": hit})
 
-    return (
-        assigned.select(corpus_vec, "cidx")
-        .mapInPandas(score, schema)
-        .distinct()
-    )
+    probe = assigned.select(corpus_vec, "cidx")
+    if len(cell_map) < n_c:
+        # n_probe pruning: drop unprobed cells AT THE SCAN — on a
+        # parquet-persisted inverted-list index (build clusters by
+        # cidx) this is row-group pruning, so unprobed cells are
+        # never read, not just never scored
+        probe = probe.filter(F.col("cidx").isin(*cell_map.keys()))
+    return probe.mapInPandas(score, schema).distinct()
 
 
 def _local_cc_keep_min(ids, mat, threshold: float, round_digits: int | None):

@@ -137,16 +137,44 @@ def _parse_sec_cell(cell: str) -> tuple[float, float] | None:
     return lo, hi
 
 
+def _host_inflation(sidecar_data: dict) -> float:
+    """Tolerance multiplier from the bench preamble's fixed-work host
+    controls (bench.py `_host_controls`): the sidecar's measured
+    tpch_scan_agg control divided by BASELINE.md's stated idle
+    reference. >1 means the whole bench window ran on a loaded host —
+    EVERY query inflates together, so the staleness gate scales its
+    tolerance rather than flagging code that didn't change (the
+    rounds-4-6 re-litigation this control exists to end). Floored at
+    1.0 (a fast window never tightens the gate) and capped at 3.0 (a
+    window worse than 3x is too noisy to normalize against — the
+    artifact should be re-recorded instead)."""
+    ctrl = (sidecar_data.get("control") or {}).get("tpch_scan_agg_sec")
+    if not ctrl:
+        return 1.0
+    m = re.search(
+        r"tpch_scan_agg_sec=(\d+(?:\.\d+)?)", (REPO / "BASELINE.md").read_text()
+    )
+    if not m:
+        return 1.0
+    ref = float(m.group(1))
+    if ref <= 0:
+        return 1.0
+    return min(3.0, max(1.0, ctrl / ref))
+
+
 def test_baseline_spark_values_track_bench_sidecar():
     """Every BASELINE per-query Spark-seconds claim must cover the
     latest recorded bench value within tolerance: point claims may be
     exceeded by at most POINT_TOLERANCE, explicit lo-hi bands by at
-    most BAND_TOLERANCE over the hi end. Queries absent from the
-    sidecar (prose-documented heavies) are skipped."""
+    most BAND_TOLERANCE over the hi end — both scaled by the sidecar's
+    own host-state control (see _host_inflation). Queries absent from
+    the sidecar (prose-documented heavies) are skipped."""
     sidecar = REPO / "bench_queries.json"
     if not sidecar.exists():
         pytest.skip("no bench sidecar recorded yet")
-    bench = json.loads(sidecar.read_text())["queries"]
+    data = json.loads(sidecar.read_text())
+    bench = data["queries"]
+    infl = _host_inflation(data)
     stale = []
     for cells in _query_table_rows():
         name = _query_name(cells[0])
@@ -156,11 +184,11 @@ def test_baseline_spark_values_track_bench_sidecar():
         if parsed is None:
             continue
         lo, hi = parsed
-        tol = BAND_TOLERANCE if hi > lo else POINT_TOLERANCE
+        tol = (BAND_TOLERANCE if hi > lo else POINT_TOLERANCE) * infl
         if bench[name] > hi * tol:
             stale.append(
                 f"{name}: BASELINE claims {cells[2].split('(')[0].strip()!r}"
-                f" but bench recorded {bench[name]} s (> {hi}*{tol})"
+                f" but bench recorded {bench[name]} s (> {hi}*{tol:.2f})"
             )
     assert not stale, (
         "stale BASELINE.md rows — re-measure idle warm best-of-N and "
