@@ -1173,14 +1173,26 @@ def max_cosine_against(
     if len(qids) == 0:
         return corpus.sparkSession.createDataFrame([], schema)
 
-    # slab both matmul axes so the sims buffer stays cache-resident:
-    # a 10k-row Arrow batch x a 64k-query matrix is a 5 GB float64
-    # buffer per task (x32 concurrent = memory-bandwidth collapse,
-    # the round-3 all-pairs lesson); 2048x2048 slabs hold it at 32 MB
-    # with identical FLOPs
-    _SLAB = 2048
+    # TILE the max-reduce GEMM so the sims tile stays CACHE-resident,
+    # not merely bounded: this kernel's arithmetic intensity is low
+    # (dim madds per sims element), so the wall is sims-buffer memory
+    # traffic, not FLOPs. 2048x2048 tiles (33 MB) spill every tile to
+    # RAM and read it back for the max — measured 11.7 s of matmul per
+    # task at the 320k probe; 512x256 tiles (1 MB, reused by the
+    # allocator, consumed immediately by the max) re-measure at 2.3 s
+    # for identical FLOPs (round 7, 5 shapes probed). Query-major loop
+    # order keeps each 256-query slab of qmat (a contiguous .copy())
+    # cached across the whole row loop. Tiling never splits the
+    # reduction dim, so sims values are bit-identical.
+    _RSLAB, _QSLAB = 512, 256
+    # spark broadcast, NOT closure capture: a closure-captured query
+    # matrix is re-unpickled by every TASK (32 tasks x 33 MB at the
+    # 320k probe); a broadcast is materialized once per worker process
+    # and cached across tasks (same choice as _pairs_numpy)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qmat))
 
     def score(batches):
+        b_qids, b_qmat = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1188,16 +1200,17 @@ def max_cosine_against(
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             mat = mat / norms
-            best = np.full(len(qids), -np.inf)
-            for r0 in range(0, mat.shape[0], _SLAB):
-                sub = mat[r0 : r0 + _SLAB]
-                for q0 in range(0, len(qids), _SLAB):
+            best = np.full(len(b_qids), -np.inf)
+            for q0 in range(0, len(b_qids), _QSLAB):
+                qt = b_qmat[q0 : q0 + _QSLAB].T.copy()
+                b = best[q0 : q0 + _QSLAB]
+                for r0 in range(0, mat.shape[0], _RSLAB):
                     np.maximum(
-                        best[q0 : q0 + _SLAB],
-                        (sub @ qmat[q0 : q0 + _SLAB].T).max(axis=0),
-                        out=best[q0 : q0 + _SLAB],
+                        b,
+                        (mat[r0 : r0 + _RSLAB] @ qt).max(axis=0),
+                        out=b,
                     )
-            yield pd.DataFrame({"query_id": qids, "max_sim": best})
+            yield pd.DataFrame({"query_id": b_qids, "max_sim": best})
 
     merged = (
         corpus.select(corpus_vec)
@@ -1272,18 +1285,46 @@ def _ivf_threshold_hits(
     else:
         cn = np.linalg.norm(cmat, axis=1, keepdims=True)
         cn[cn == 0] = 1.0
-        qsims = qmat @ (cmat / cn).T  # (n_q, n_c); qmat arrives normalized
-        # per-query probed cells -> per-cell query-index lists
-        order = np.argsort(-np.round(qsims, 6), axis=1, kind="stable")[
-            :, :n_probe
-        ]
-        cell_map = {}
-        for qi in range(order.shape[0]):
-            for c in order[qi]:
-                cell_map.setdefault(int(c), []).append(qi)
-        cell_map = {c: np.asarray(v) for c, v in cell_map.items()}
+        cmat_nt = (cmat / cn).T
+        # per-query probed cells, BLOCKED over queries so the
+        # sims/rank temporaries stay a few MB and get reused by the
+        # allocator (fresh large temps fault at single-digit MB/s on
+        # this host class — session._tune_malloc); round+negate run
+        # in place, argsort(-round(sims)) per block == the global
+        # stable ranking. Replaces a per-(query, probe) Python dict
+        # loop (6-22 s at the 320k probe) AND a monolithic 258 MB
+        # round/argsort (20-40 s cold) with ~1 s of blocked numpy.
+        n_q = len(qids)
+        order = np.empty((n_q, n_probe), dtype=np.int64)
+        blk = 4096
+        for s in range(0, n_q, blk):
+            sims = qmat[s : s + blk] @ cmat_nt  # qmat arrives normalized
+            np.round(sims, 6, out=sims)
+            np.negative(sims, out=sims)
+            order[s : s + blk] = np.argsort(
+                sims, axis=1, kind="stable"
+            )[:, :n_probe]
+        cells_flat = order.ravel()
+        qi_flat = np.repeat(np.arange(order.shape[0]), n_probe)
+        by_cell = np.argsort(cells_flat, kind="stable")
+        cells_sorted = cells_flat[by_cell]
+        qi_sorted = qi_flat[by_cell]
+        uniq, starts = np.unique(cells_sorted, return_index=True)
+        bounds = np.append(starts, len(cells_sorted))
+        cell_map = {
+            int(uniq[k]): qi_sorted[bounds[k] : bounds[k + 1]]
+            for k in range(len(uniq))
+        }
+
+    # broadcast, not closure capture: query matrix + per-cell lists
+    # are ~65 MB at the 320k probe and would be re-unpickled per TASK
+    # from a closure; a broadcast materializes once per worker
+    bc = assigned.sparkSession.sparkContext.broadcast(
+        (qids, qmat, cell_map)
+    )
 
     def score(batches):
+        b_qids, b_qmat, b_cells = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1294,25 +1335,32 @@ def _ivf_threshold_hits(
             cidxs = pdf["cidx"].to_numpy()
             hit: list = []
             for c in np.unique(cidxs):
-                qidx = cell_map.get(int(c))
+                qidx = b_cells.get(int(c))
                 if qidx is None:
                     continue
                 cell = mat[cidxs == c]
-                # slab both axes: a hot cell probed by most of a
-                # large batch would otherwise allocate
-                # cell_rows x n_probing doubles in one shot (same
-                # bandwidth-collapse mode as the flat-scan kernel)
-                slab = 2048
-                for q0 in range(0, len(qidx), slab):
-                    qsel = qidx[q0 : q0 + slab]
-                    qt = qmat[qsel].T
-                    alive = np.zeros(len(qsel), dtype=bool)
-                    for r0 in range(0, cell.shape[0], slab):
-                        sims = cell[r0 : r0 + slab] @ qt
-                        if round_digits is not None:
-                            sims = np.round(sims, round_digits)
-                        alive |= (sims >= threshold).any(axis=0)
-                    hit.extend(qids[qsel[alive]])
+                # cache-resident tiles, query-major (see
+                # max_cosine_against: the sims tile is the traffic,
+                # not the FLOPs)
+                for q0 in range(0, len(qidx), 256):
+                    qsel = qidx[q0 : q0 + 256]
+                    qt = np.ascontiguousarray(b_qmat[qsel].T)
+                    best = np.full(len(qsel), -np.inf)
+                    for r0 in range(0, cell.shape[0], 512):
+                        np.maximum(
+                            best,
+                            (cell[r0 : r0 + 512] @ qt).max(axis=0),
+                            out=best,
+                        )
+                    # round AFTER the max reduction: round is
+                    # monotone, so round(max) >= t ⟺ any round(s) >= t
+                    # — identical hits, but the per-element round over
+                    # the full sims matrix (~2e9 elements at the 320k
+                    # probe, ~20 s of pure np.round) collapses to one
+                    # round per (query, cell)
+                    if round_digits is not None:
+                        best = np.round(best, round_digits)
+                    hit.extend(b_qids[qsel[best >= threshold]])
             yield pd.DataFrame({"query_id": hit})
 
     probe = assigned.select(corpus_vec, "cidx")

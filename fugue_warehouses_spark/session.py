@@ -46,6 +46,31 @@ def _default_driver_mem() -> str:
     return "8g"
 
 
+def _tune_malloc() -> None:
+    """Keep large glibc allocations heap-resident instead of
+    mmap-per-allocation (mallopt M_MMAP_THRESHOLD / M_TRIM_THRESHOLD
+    -> 1 GB). On this class of host, first-touch page faults on fresh
+    mmap regions run at single-digit MB/s, so every numpy temp over
+    the 128 KB default threshold re-pays a fault storm on EVERY
+    allocation — measured 4.5-49 s for 64-258 MB temps, dropping to
+    0.03-0.6 s once the region is reused (round 7; this is the
+    mechanism behind three rounds of 'host noise' banding). With the
+    thresholds raised, freed large buffers stay in the process heap
+    and are reused fault-free; the one-time first-touch cost lands in
+    session/query warmups. Workers get the same via the
+    MALLOC_*_THRESHOLD_ env vars in ``_DEFAULT_CONF`` (env is read at
+    process start, which is exactly when executor Python workers are
+    forked). Non-glibc platforms no-op."""
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
 _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
@@ -78,6 +103,10 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
     "spark.executorEnv.OMP_NUM_THREADS": "1",
     "spark.executorEnv.MKL_NUM_THREADS": "1",
+    # worker-side twin of _tune_malloc (see its docstring): keep big
+    # numpy temps heap-resident; glibc reads these at process start
+    "spark.executorEnv.MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+    "spark.executorEnv.MALLOC_TRIM_THRESHOLD_": str(1 << 30),
 }
 
 
@@ -113,6 +142,7 @@ def get_spark(
     # reference; make the package importable on workers regardless of
     # the driver's cwd. (On a real cluster, ship the package via pip /
     # --py-files instead; this covers local mode + tests.)
+    _tune_malloc()
     pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     existing = os.environ.get("PYTHONPATH", "")
     if pkg_parent not in existing.split(os.pathsep):

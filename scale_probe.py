@@ -113,6 +113,8 @@ def probe(spark, sizes, ops=None, repeat=1):
         "ivf_topk_hash",
         "incremental_embedding_dedup",
         "incremental_embedding_dedup_ivf",
+        "emb_probe_exact",
+        "emb_probe_ivf",
     }
     for n in sizes:
         # the 250-token doc corpus takes minutes to synthesize at 320k;
@@ -288,6 +290,28 @@ def probe(spark, sizes, ops=None, repeat=1):
                     batch_e, assigned=asg, centroids=cents,
                     centroid_rows=cent_rows, threshold=0.9,
                     n_probe=n_probe,
+                ).count()))
+        # probe PRIMITIVES in isolation: the full dedup op shares its
+        # within-batch resolution term (batch^2 FLOPs) between both
+        # strategies, which floors the full-op ratio near 2x at this
+        # batch size; the index's value proposition is the history
+        # probe alone, so measure that head-to-head
+        if emb is not None and (
+            wanted("emb_probe_exact") or wanted("emb_probe_ivf")
+        ):
+            hist_e = emb.filter(f"vec_id < {n - n // 5}")
+            batch_e = emb.filter(f"vec_id >= {n - n // 5}")
+            timed("emb_probe_exact", n, lambda: (
+                S.max_cosine_against(hist_e, batch_e)
+                .filter("max_sim >= 0.9").count()))
+            asg, cents = S.build_ivf_hash_index(hist_e)
+            asg = asg.localCheckpoint()
+            cent_rows = cents.collect()
+            n_probe = max(1, len(cent_rows) // 8)
+            timed("emb_probe_ivf", n, lambda: (
+                S._ivf_threshold_hits(
+                    asg, batch_e, 0.9, n_probe, None, cent_rows,
+                    "embedding", "vec_id", "embedding", 6,
                 ).count()))
         timed("similarity_pairs_block", n, lambda: S.similarity_pairs(
             emb, threshold=0.35, method="block").count())
