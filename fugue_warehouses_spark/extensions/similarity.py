@@ -1305,10 +1305,12 @@ def _ivf_threshold_hits(
                 sims, axis=1, kind="stable"
             )[:, :n_probe]
         cells_flat = order.ravel()
-        qi_flat = np.repeat(np.arange(order.shape[0]), n_probe)
+        qi_flat = np.repeat(
+            np.arange(order.shape[0], dtype=np.int32), n_probe
+        )
         by_cell = np.argsort(cells_flat, kind="stable")
         cells_sorted = cells_flat[by_cell]
-        qi_sorted = qi_flat[by_cell]
+        qi_sorted = qi_flat[by_cell]  # int32: halves the broadcast
         uniq, starts = np.unique(cells_sorted, return_index=True)
         bounds = np.append(starts, len(cells_sorted))
         cell_map = {
@@ -1364,12 +1366,22 @@ def _ivf_threshold_hits(
             yield pd.DataFrame({"query_id": hit})
 
     probe = assigned.select(corpus_vec, "cidx")
-    if len(cell_map) < n_c:
-        # n_probe pruning: drop unprobed cells AT THE SCAN — on a
-        # parquet-persisted inverted-list index (build clusters by
-        # cidx) this is row-group pruning, so unprobed cells are
-        # never read, not just never scored
+    if len(cell_map) <= 128:
+        # small probe set (serving queries): isin -> Catalyst In ->
+        # parquet row-group pruning on the cidx-clustered index; the
+        # per-literal py4j cost is bounded by the 128 cap
         probe = probe.filter(F.col("cidx").isin(*cell_map.keys()))
+    elif len(cell_map) < n_c:
+        # big probe set (dedup batches): one array literal instead of
+        # n_c isin round-trips (measured whole seconds of py4j under
+        # hypervisor steal). array_contains doesn't push down, but a
+        # probe set this wide prunes few row groups anyway
+        probe = probe.filter(
+            F.array_contains(
+                F.lit([int(c) for c in sorted(cell_map)]),
+                F.col("cidx").cast("bigint"),
+            )
+        )
     return probe.mapInPandas(score, schema).distinct()
 
 
