@@ -88,11 +88,12 @@ def extract_features(
     """binary payload -> array<double> feature vector via mapInPandas.
 
     Output schema: (id, features array<double>, n_bytes long). With
-    ``decode_stub=False`` PNG payloads are REALLY decoded
-    (extensions.png) and featurized from pixels — dims + per-channel
-    mean/std, normalized to [0,1], padded/truncated to
-    ``n_features`` — while any other format raises
-    ``NotImplementedError`` (its codec is genuinely absent here)."""
+    ``decode_stub=False`` PNG payloads (extensions.png) and baseline
+    JPEG payloads (extensions.jpeg, round 7) are REALLY decoded and
+    featurized from pixels — dims + per-channel mean/std, normalized
+    to [0,1], padded/truncated to ``n_features`` — while any other
+    format raises ``NotImplementedError`` (its codec is genuinely
+    absent here)."""
     schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -106,12 +107,19 @@ def extract_features(
 
         from fugue_warehouses_spark.extensions.png import decode_png
 
-        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            px = decode_png(payload)
+        elif payload[:2] == b"\xff\xd8":
+            from fugue_warehouses_spark.extensions.jpeg import decode_jpeg
+
+            px = decode_jpeg(payload)
+            if px.ndim == 2:
+                px = px[:, :, None]
+        else:
             raise NotImplementedError(
-                "real decode beyond PNG requires codec libraries "
+                "real decode beyond PNG/JPEG requires codec libraries "
                 "(PIL/ffmpeg) not present in this environment"
             )
-        px = decode_png(payload)
         h, w, c = px.shape
         feats = [min(w, 4096) / 4096.0, min(h, 4096) / 4096.0, c / 4.0]
         flat = px.reshape(-1, c).astype(np.float64)
@@ -205,9 +213,11 @@ def resize_images(
     partitioning/batch plumbing and output sizing are testable with
     no codec. ``decode_stub=False``: PNG payloads take the REAL
     pipeline — stdlib-only decode, box-average resample, PNG
-    re-encode (extensions.png); the thumb column is a valid PNG of
-    exactly (width, height). Other formats raise
-    ``NotImplementedError`` (their codecs are genuinely absent).
+    re-encode (extensions.png) — and baseline JPEG payloads decode
+    via extensions.jpeg, resample the same way, and re-encode as
+    JPEG (format-preserving: the thumb column keeps the source
+    container). Other formats raise ``NotImplementedError`` (their
+    codecs are genuinely absent).
     Either way thumbnails are bounded (*not* payload-sized), which is
     the property that matters at scale: the shuffle after a resize
     moves thumbnails, never source payloads.
@@ -232,12 +242,26 @@ def resize_images(
             resize_box,
         )
 
-        if payload[:8] != b"\x89PNG\r\n\x1a\n":
-            raise NotImplementedError(
-                "image decode/resample beyond PNG requires PIL/libvips, "
-                "absent here"
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return encode_png(resize_box(decode_png(payload), width, height))
+        if payload[:2] == b"\xff\xd8":
+            import numpy as np
+
+            from fugue_warehouses_spark.extensions.jpeg import (
+                decode_jpeg,
+                encode_jpeg,
             )
-        return encode_png(resize_box(decode_png(payload), width, height))
+
+            px = decode_jpeg(payload)
+            if px.ndim == 2:  # resize_box expects (h, w, c)
+                small = resize_box(px[:, :, None], width, height)[:, :, 0]
+            else:
+                small = resize_box(px, width, height)
+            return encode_jpeg(np.asarray(small, dtype=np.uint8))
+        raise NotImplementedError(
+            "image decode/resample beyond PNG/JPEG requires PIL/libvips, "
+            "absent here"
+        )
 
     def _stub_thumb(payload: bytes) -> bytes:
         seed = _hl.sha256(payload).digest()

@@ -225,3 +225,104 @@ def test_extract_features_real_png_kernel(spark):
     assert abs(f[2] - 3 / 4.0) < 1e-9
     assert abs(f[3] - 200 / 255) < 1e-9 and f[4] == 0.0  # red mean/std
     assert f[5] == 0.0 and f[6] == 0.0  # green mean/std
+
+
+def test_jpeg_codec_roundtrip_and_guards():
+    """Baseline JPEG encode->decode: near-lossless on a constant
+    image (only quantization error), high-PSNR on smooth gradients,
+    shape-exact on noise and odd (non-multiple-of-8) dims, grayscale
+    supported; non-baseline and garbage inputs fail loudly."""
+    import numpy as np
+    import pytest
+
+    from fugue_warehouses_spark.extensions import jpeg as J
+
+    img = np.full((16, 24, 3), [200, 64, 30], dtype=np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(img))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+    yy, xx = np.mgrid[0:48, 0:32]
+    grad = np.stack(
+        [np.clip(yy * 4, 0, 255), np.clip(xx * 6, 0, 255),
+         np.clip(255 - yy * 3, 0, 255)], axis=-1,
+    ).astype(np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg(grad))
+    err = (dec.astype(float) - grad.astype(float)) ** 2
+    psnr = 10 * np.log10(255**2 / err.mean())
+    assert psnr > 35.0, psnr
+
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, size=(13, 11, 3)).astype(np.uint8)
+    assert J.decode_jpeg(J.encode_jpeg(noise)).shape == (13, 11, 3)
+
+    gray = np.clip(yy * 5, 0, 255).astype(np.uint8)
+    gdec = J.decode_jpeg(J.encode_jpeg(gray))
+    assert gdec.shape == gray.shape and gdec.ndim == 2
+
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg(b"not a jpeg")
+    # a progressive (SOF2) header must be refused, not mis-decoded
+    prog = bytearray(J.encode_jpeg(img))
+    idx = bytes(prog).find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        J.decode_jpeg(bytes(prog))
+
+
+def test_jpeg_dc_only_exactness():
+    """Analytic check that FDCT/quant/Huffman agree end-to-end: a
+    block-constant image has only DC energy, so the decode must
+    reproduce each 8x8 block's value within DC quantization error
+    (Q[0,0]=16 -> max error 8 in Y, smaller after RGB round trip)."""
+    import numpy as np
+
+    from fugue_warehouses_spark.extensions import jpeg as J
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:8, :8] = 50
+    img[:8, 8:] = 100
+    img[8:, :8] = 150
+    img[8:, 8:] = 250
+    dec = J.decode_jpeg(J.encode_jpeg(img)).astype(int)
+    for (y0, x0), v in (((0, 0), 50), ((0, 8), 100), ((8, 0), 150), ((8, 8), 250)):
+        blk = dec[y0 : y0 + 8, x0 : x0 + 8]
+        assert np.abs(blk - v).max() <= 8, (v, blk[0, 0])
+
+
+def test_resize_and_features_real_jpeg_kernel(spark):
+    """decode_stub=False accepts JPEG payloads end-to-end in BOTH
+    kernels: resize produces a valid JPEG thumb of the requested dims
+    (format-preserving), features come from decoded pixels."""
+    import numpy as np
+
+    from fugue_warehouses_spark.extensions import jpeg as J
+    from fugue_warehouses_spark.extensions.multimodal import (
+        extract_features,
+        resize_images,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:12]
+    src = np.stack(
+        [np.clip(yy * 12, 0, 255), np.clip(xx * 16, 0, 255),
+         np.full_like(yy, 90)], axis=-1,
+    ).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, J.encode_jpeg(src))], "id long, payload binary"
+    )
+    (row,) = resize_images(
+        df, "payload", "id", width=6, height=8, decode_stub=False
+    ).collect()
+    thumb = bytes(row["thumb"])
+    assert thumb[:2] == b"\xff\xd8"  # still a JPEG
+    px = J.decode_jpeg(thumb)
+    assert px.shape == (8, 6, 3)
+
+    (frow,) = extract_features(
+        df, "payload", "id", n_features=9, decode_stub=False
+    ).collect()
+    f = frow["features"]
+    # dims features are exact; channel means within JPEG loss of truth
+    assert abs(f[0] - 12 / 4096) < 1e-9 and abs(f[1] - 16 / 4096) < 1e-9
+    assert abs(f[2] - 3 / 4.0) < 1e-9
+    assert abs(f[7] - 90 / 255) < 0.02  # blue mean survives the codec
