@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def cooccurrence_edges(
@@ -83,6 +84,7 @@ def pagerank(
     checkpoint_every: int = 4,
     materialize_edges: bool = True,
     broadcast_ranks_below: int = 2_000_000,
+    local_edges_below: int = 8_000_000,
 ) -> DataFrame:
     """PageRank over a dangling-free edge list (every node has
     out-degree >= 1 — true for co-occurrence graphs, where edges are
@@ -106,11 +108,56 @@ def pagerank(
     cluster scale the materialization is "write edges once, iterate
     over the materialization", the standard iterative-graph
     discipline.
+
+    Small graphs (edge count <= ``local_edges_below``) iterate on the
+    DRIVER instead: one Arrow transfer of the materialized edge list,
+    then the whole recurrence is two bincounts per round — numerically
+    identical contributions (same per-dst float sums after the 6-digit
+    facet rounding, oracle-hash-verified at sf0.01 AND sf0.1), and one
+    Spark job instead of ~6 per iteration. On a host with scheduler
+    jitter each extra job is another chance to catch a bad window (the
+    distributed facet measured 5.6/15.2/46.7/5.9 s across reps in one
+    round-7 session; the local path 2.0-2.4 s flat). 8M edges ≈
+    128 MB — past that the graph earns its distributed loop.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
     if materialize_edges:
         edges = edges.localCheckpoint(eager=False)
+    # the size gate needs a count; it doubles as the checkpoint's
+    # materialization. Without materialize_edges a count would be one
+    # EXTRA execution of the upstream, so the local path is gated on
+    # the materialized case (its only sane pairing anyway).
+    n_edges = edges.count() if materialize_edges else None
+    if n_edges == 0:
+        return edges.select(
+            F.col("src").alias("node"), F.lit(0.0).alias("score")
+        )
+    if n_edges is not None and n_edges <= local_edges_below:
+        import numpy as np
+        import pandas as pd
+
+        ep = edges.select("src", "dst").toPandas()
+        node_vals = pd.unique(
+            pd.concat([ep["src"], ep["dst"]], ignore_index=True)
+        )
+        pos = pd.Series(np.arange(len(node_vals)), index=node_vals)
+        s = pos[ep["src"]].to_numpy()
+        d = pos[ep["dst"]].to_numpy()
+        n_loc = len(node_vals)
+        deg = np.bincount(s, minlength=n_loc).astype("float64")
+        r = np.full(n_loc, 1.0 / n_loc)
+        for _ in range(iters):
+            contrib = np.bincount(
+                d, weights=r[s] / deg[s], minlength=n_loc
+            )
+            r = (1.0 - damping) / n_loc + damping * contrib
+        spark = edges.sparkSession
+        out = pd.DataFrame({"node": node_vals, "score": r})
+        return spark.createDataFrame(out, schema=T.StructType([
+            T.StructField("node", edges.schema["src"].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]))
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst"))
     ).distinct()

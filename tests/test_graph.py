@@ -65,8 +65,10 @@ def test_pagerank_checkpoint_bounds_plan_depth(spark):
     """With checkpointing every 2 rounds, 6 rounds must not build a
     6-deep join lineage: the plan string stops growing linearly."""
     e = cooccurrence_edges(_orders(spark), "oid", "item")
-    deep = pagerank(e, iters=6, checkpoint_every=2)
-    shallow = pagerank(e, iters=2, checkpoint_every=2)
+    # local_edges_below=0: the lineage bound is a property of the
+    # DISTRIBUTED loop; the default would take the local path here
+    deep = pagerank(e, iters=6, checkpoint_every=2, local_edges_below=0)
+    shallow = pagerank(e, iters=2, checkpoint_every=2, local_edges_below=0)
     dlen = len(deep._jdf.queryExecution().optimizedPlan().toString())
     slen = len(shallow._jdf.queryExecution().optimizedPlan().toString())
     assert dlen < 3 * slen
@@ -75,3 +77,29 @@ def test_pagerank_checkpoint_bounds_plan_depth(spark):
 def test_pagerank_empty_graph(spark):
     e = spark.createDataFrame([], "src string, dst string")
     assert pagerank(e, iters=3).count() == 0
+
+
+def test_pagerank_local_and_distributed_paths_agree(spark):
+    """The driver-local small-graph path (round 7) must reproduce the
+    distributed loop's scores: same nodes, same values to 1e-12 (the
+    two differ only in float summation order; the facet's 6-digit
+    rounding is far coarser). local_edges_below=0 forces the
+    distributed loop, the default takes the local one."""
+    e = cooccurrence_edges(_orders(spark), "oid", "item")
+    local = {r["node"]: r["score"] for r in pagerank(e, iters=4).collect()}
+    dist = {
+        r["node"]: r["score"]
+        for r in pagerank(e, iters=4, local_edges_below=0).collect()
+    }
+    assert local.keys() == dist.keys()
+    for k in local:
+        assert abs(local[k] - dist[k]) < 1e-12, k
+    # mass conserved on both paths
+    assert abs(sum(local.values()) - 1.0) < 1e-9
+    # materialize_edges=False skips the gate count and stays distributed
+    nomat = {
+        r["node"]: r["score"]
+        for r in pagerank(e, iters=4, materialize_edges=False).collect()
+    }
+    for k in local:
+        assert abs(local[k] - nomat[k]) < 1e-12, k
