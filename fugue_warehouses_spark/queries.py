@@ -3210,6 +3210,17 @@ _INCR_DEDUP_SQL = r"""
     """
 
 
+def _doc_split_thr(spark: SparkSession, sf_dir: str) -> int:
+    """max(doc_id)//2 via parquet footer stats (no job; agg fallback)
+    — the documents twin of _emb_split's scan-stats fast path."""
+    thr = _parquet_col_max(sf_dir, "documents", "doc_id")
+    if thr is None:
+        thr = _t(spark, sf_dir, "documents").agg(
+            F.max("doc_id")
+        ).collect()[0][0]
+    return thr // 2
+
+
 @_q("doc_incremental_dedup", _INCR_DEDUP_SQL)
 def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest dedup (dedup.incremental_dedup): treat the
@@ -3219,7 +3230,7 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-byte fingerprint — at 100 TB the history side is a materialized
     fingerprint set, not a rescan."""
     docs = _t(spark, sf_dir, "documents")
-    thr = docs.agg(F.max("doc_id")).collect()[0][0] // 2  # O(1) scalar
+    thr = _doc_split_thr(spark, sf_dir)  # footer stats: no job
     hist = docs.filter(F.col("doc_id") < thr)
     batch = docs.filter(F.col("doc_id") >= thr)
     return DD.incremental_dedup(batch, hist, "text", "doc_id").select(
@@ -3243,7 +3254,7 @@ def doc_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     never changes (asserted by sharing doc_incremental_dedup's
     oracle)."""
     docs = _t(spark, sf_dir, "documents")
-    thr = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    thr = _doc_split_thr(spark, sf_dir)
     hist = docs.filter(F.col("doc_id") < thr)
     batch = docs.filter(F.col("doc_id") >= thr)
     return DD.incremental_dedup_bloom(
@@ -3279,7 +3290,7 @@ def _bloom_handle_for(spark: SparkSession, sf_dir: str):
     store = tempfile.mkdtemp(prefix="wf_fp_bloom_")
     atexit.register(shutil.rmtree, store, ignore_errors=True)
     docs = _t(spark, sf_dir, "documents")
-    thr = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    thr = _doc_split_thr(spark, sf_dir)
     hist = docs.filter(F.col("doc_id") < thr)
     V.write_version(
         DD.fingerprint_bloom(hist, "text", m_bits=1 << 20, k=5),
