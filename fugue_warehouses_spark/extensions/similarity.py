@@ -845,10 +845,46 @@ def build_ivf_hash_index(
         "cidx int, centroid array<double>",
     )
 
+    assigned = _assign_to_centroids(corpus, cmat_n, corpus_id, corpus_vec)
+    return assigned, centroids
+
+
+def _assign_to_centroids(
+    df: DataFrame, centroids, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec) -> (id, vec, cidx) against a fixed centroid geometry
+    (a normalized centroid matrix, a ``(cidx, centroid)`` DataFrame,
+    or collected centroid rows), emitted in INVERTED-LIST LAYOUT:
+    clustered by cell before it is persisted/checkpointed. In corpus
+    order every downstream Arrow batch holds rows of ~ALL cells, so a
+    cell-grouped probe (_ivf_threshold_hits) pays its per-cell
+    bookkeeping (query-list fancy-index copy) n_cells times per batch
+    — the round-6/7 probe's dominant cost. Clustered, a batch spans
+    O(1) cells, the per-cell copy amortizes over the whole cell, and
+    a parquet-persisted index gets row-group pruning for cell
+    filters. One shuffle, amortized over every probe. Shared by
+    :func:`build_ivf_hash_index` (build-time) and the rolling-IVF
+    streaming ingest (per-delta assignment against the STORED
+    geometry)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if isinstance(centroids, DataFrame):
+        centroids = centroids.collect()
+    if isinstance(centroids, list):
+        rows = sorted(centroids, key=lambda r: r["cidx"])
+        cmat = np.array([list(r["centroid"]) for r in rows], dtype="float64")
+        cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        cmat_n = cmat / cn
+    else:
+        cmat_n = centroids  # already the normalized matrix
+
     out_schema = T.StructType(
         [
-            T.StructField(corpus_id, corpus.schema[corpus_id].dataType),
-            T.StructField(corpus_vec, corpus.schema[corpus_vec].dataType),
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField(vec_col, df.schema[vec_col].dataType),
             T.StructField("cidx", T.IntegerType()),
         ]
     )
@@ -857,34 +893,24 @@ def build_ivf_hash_index(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = np.stack(pdf[corpus_vec].to_numpy()).astype("float64")
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             nr = np.linalg.norm(m, axis=1, keepdims=True)
             nr[nr == 0] = 1.0
             sims = np.round((m / nr) @ cmat_n.T, 6)
             yield pd.DataFrame(
                 {
-                    corpus_id: pdf[corpus_id],
-                    corpus_vec: pdf[corpus_vec],
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
                     "cidx": sims.argmax(axis=1).astype("int32"),
                 }
             )
 
-    # INVERTED-LIST LAYOUT: cluster the assignment by cell before it
-    # is persisted/checkpointed. In corpus order every downstream
-    # Arrow batch holds rows of ~ALL cells, so a cell-grouped probe
-    # (_ivf_threshold_hits) pays its per-cell bookkeeping (query-list
-    # fancy-index copy) n_cells times per batch — the round-6/7
-    # probe's dominant cost. Clustered, a batch spans O(1) cells, the
-    # per-cell copy amortizes over the whole cell, and a parquet-
-    # persisted index gets row-group pruning for cell filters. One
-    # extra build-time shuffle, amortized over every probe.
-    assigned = (
-        corpus.select(corpus_id, corpus_vec)
+    return (
+        df.select(id_col, vec_col)
         .mapInPandas(assign, out_schema)
         .repartition("cidx")
         .sortWithinPartitions("cidx")
     )
-    return assigned, centroids
 
 
 def ivf_topk_from_index(

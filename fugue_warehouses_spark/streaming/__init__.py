@@ -31,6 +31,10 @@ from fugue_warehouses_spark.streaming.dedup import (
     reconcile_survivors,
     run_near_dedup_ingest,
 )
+from fugue_warehouses_spark.streaming.embedding import (
+    reconcile_embedding_survivors,
+    run_embedding_dedup_ingest,
+)
 from fugue_warehouses_spark.streaming.joins import interval_join
 from fugue_warehouses_spark.streaming.stateful import bucket_locf, running_totals
 
@@ -46,6 +50,8 @@ __all__ = [
     "incremental_ingest_dedup",
     "run_near_dedup_ingest",
     "reconcile_survivors",
+    "run_embedding_dedup_ingest",
+    "reconcile_embedding_survivors",
     "bucket_locf",
     "running_totals",
 ]
