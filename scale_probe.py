@@ -33,6 +33,7 @@ import sys
 import time
 
 import numpy as np
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -115,6 +116,7 @@ def probe(spark, sizes, ops=None, repeat=1):
         "incremental_embedding_dedup_ivf",
         "emb_probe_exact",
         "emb_probe_ivf",
+        "embedding_ingest",
     }
     for n in sizes:
         # the 250-token doc corpus takes minutes to synthesize at 320k;
@@ -313,6 +315,42 @@ def probe(spark, sizes, ops=None, repeat=1):
                     asg, batch_e, 0.9, n_probe, None, cent_rows,
                     "embedding", "vec_id", "embedding", 6,
                 ).count()))
+        # streaming embedding-dedup ingest (round 7): drain the corpus
+        # in 4 micro-batches through the exact probe path — per-batch
+        # cost = one scan of the accepted-so-far store, so the drain's
+        # wall clock grows ~linearly in n with a serial-batch floor
+        if emb is not None and wanted("embedding_ingest"):
+            import shutil
+            import tempfile
+
+            from fugue_warehouses_spark.streaming import (
+                read_parquet_stream,
+                run_embedding_dedup_ingest,
+            )
+
+            def _ingest():
+                d = tempfile.mkdtemp(prefix="wf_emb_ingest_")
+                try:
+                    feed = f"{d}/feed"
+                    for i in range(4):
+                        emb.filter(
+                            (F.col("vec_id") % 4) == i
+                        ).coalesce(4).write.mode("append").parquet(feed)
+                    run_embedding_dedup_ingest(
+                        read_parquet_stream(
+                            spark, feed, max_files_per_trigger=4
+                        ),
+                        index_store=f"{d}/idx",
+                        survivors_path=f"{d}/kept",
+                        checkpoint_dir=f"{d}/ckpt",
+                        dropped_store=f"{d}/dropped",
+                        threshold=0.9,
+                        timeout_sec=1200,
+                    ).count()
+                finally:
+                    shutil.rmtree(d, ignore_errors=True)
+
+            timed("embedding_ingest", n, _ingest)
         timed("similarity_pairs_block", n, lambda: S.similarity_pairs(
             emb, threshold=0.35, method="block").count())
         timed("ivf_topk_hash", n, lambda: S.ivf_topk_hash(

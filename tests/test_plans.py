@@ -430,3 +430,37 @@ def test_bigram_logprob_broadcasts_small_sides(spark, sf_dir):
     plan = _plan(bigram_logprob(docs, "doc_id", "text"))
     assert plan.count("BroadcastExchange") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_cell_pruning_pushes_to_parquet_scan(spark, tmp_path):
+    """A persisted inverted-list IVF index probed with a SMALL cell
+    set must push the cidx membership filter into the parquet scan
+    (PushedFilters In(cidx,...)) — with the build clustering the
+    index by cell, that is row-group pruning: unprobed cells are
+    never read. The wide-probe path deliberately trades pushdown for
+    one array-literal filter (construction cost), so only the
+    <=128-cell case asserts In()."""
+    import numpy as np
+
+    from fugue_warehouses_spark.extensions.similarity import (
+        _ivf_threshold_hits,
+        build_ivf_hash_index,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=8)]) for i in range(256)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = build_ivf_hash_index(emb, n_centroids=16)
+    path = str(tmp_path / "ivf")
+    assigned.write.parquet(path)
+    stored = spark.read.parquet(path)
+    queries = emb.filter("vec_id < 3")
+    hits = _ivf_threshold_hits(
+        stored, queries, 0.99, 2, cents, None,
+        "embedding", "vec_id", "embedding", 6,
+    )
+    plan = _plan(hits)
+    assert "PushedFilters" in plan
+    assert "In(cidx" in plan.replace(" ", "").replace("[", "(")
