@@ -1455,10 +1455,15 @@ def _local_cc_keep_min(ids, mat, threshold: float, round_digits: int | None):
     return list(best.values())
 
 
-# within-batch driver-resolution budget: n^2 * dim multiply-adds. 2e10
-# is < 1 s of one-socket BLAS; bigger survivor sets take the
-# distributed triangle-block + CC path (the 320k probe's regime)
-_LOCAL_CC_MAX_FLOPS = 2e10
+# within-batch driver-resolution budget: n^2 * dim multiply-adds.
+# 1e11 is ~1-3 s of driver BLAS (the driver is NOT thread-capped —
+# only executor python workers pin OPENBLAS_NUM_THREADS=1), i.e.
+# ~44k 64-dim vectors; bigger survivor sets take the distributed
+# triangle-block + CC path. The knee is real and measured: the
+# streaming-ingest probe at 80k total (20k-vector batches, 2.6e10
+# FLOPs) ran 14x slower than 4x-smaller data when the old 2e10
+# budget pushed every batch onto the distributed path (round 7).
+_LOCAL_CC_MAX_FLOPS = 1e11
 
 
 def incremental_embedding_dedup(

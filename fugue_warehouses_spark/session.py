@@ -124,7 +124,12 @@ def pinned_heap_conf() -> dict[str, str]:
     if os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS"):
         return {}
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem())
-    return {"spark.driver.extraJavaOptions": f"-Xms{mem}"}
+    # -Xss16m: Catalyst analysis recurses deeply on big triangle-block
+    # + iterative-CC plans; Structured Streaming's stream-execution
+    # thread overflowed the default 1 MB stack running that plan shape
+    # inside foreachBatch (round-7 320k ingest probe). 16 MB per
+    # thread is noise against the pinned heap.
+    return {"spark.driver.extraJavaOptions": f"-Xms{mem} -Xss16m"}
 
 
 def get_spark(

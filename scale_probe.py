@@ -316,9 +316,15 @@ def probe(spark, sizes, ops=None, repeat=1):
                     "embedding", "vec_id", "embedding", 6,
                 ).count()))
         # streaming embedding-dedup ingest (round 7): drain the corpus
-        # in 4 micro-batches through the exact probe path — per-batch
-        # cost = one scan of the accepted-so-far store, so the drain's
-        # wall clock grows ~linearly in n with a serial-batch floor
+        # in FIXED-size micro-batches (16k — the operator family's
+        # bounded-batch contract; per-batch cost = one scan of the
+        # accepted-so-far store + bounded within-batch work, so the
+        # drain grows ~linearly in n with a serial-batch floor).
+        # n/4-sized batches were probed first and are the WRONG shape:
+        # at 320k they put an 80k-vector pair graph + CC inside every
+        # micro-batch (distributed per-batch path, stream-thread
+        # StackOverflow before -Xss16m, >1200 s) — that regime belongs
+        # to the batch operator, not an ingest loop.
         if emb is not None and wanted("embedding_ingest"):
             import shutil
             import tempfile
@@ -332,9 +338,10 @@ def probe(spark, sizes, ops=None, repeat=1):
                 d = tempfile.mkdtemp(prefix="wf_emb_ingest_")
                 try:
                     feed = f"{d}/feed"
-                    for i in range(4):
+                    n_batches = max(1, n // 16_000)
+                    for i in range(n_batches):
                         emb.filter(
-                            (F.col("vec_id") % 4) == i
+                            (F.col("vec_id") % n_batches) == i
                         ).coalesce(4).write.mode("append").parquet(feed)
                     run_embedding_dedup_ingest(
                         read_parquet_stream(
@@ -345,7 +352,7 @@ def probe(spark, sizes, ops=None, repeat=1):
                         checkpoint_dir=f"{d}/ckpt",
                         dropped_store=f"{d}/dropped",
                         threshold=0.9,
-                        timeout_sec=1200,
+                        timeout_sec=2400,
                     ).count()
                 finally:
                     shutil.rmtree(d, ignore_errors=True)
