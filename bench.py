@@ -41,7 +41,7 @@ from fugue_warehouses_spark.queries import QUERIES  # noqa: E402
 from fugue_warehouses_spark.session import get_spark, pinned_heap_conf  # noqa: E402
 
 
-def _host_controls(spark, sf_dir: str) -> dict[str, float]:
+def _host_controls(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     """Fixed-work host-state calibration, recorded in the sidecar as
     ``control``. Two probes whose code never changes round-to-round:
 
@@ -56,7 +56,12 @@ def _host_controls(spark, sf_dir: str) -> dict[str, float]:
     Three rounds of judge/builder time went to re-litigating whether a
     bench regression was code or tenancy; these numbers let any reader
     of BENCH_r{N} divide that out, and tests/test_docs.py scales its
-    staleness tolerance by the measured inflation."""
+    staleness tolerance by the measured inflation.
+
+    Returns (control, seed_cold): q1's TRUE cold first run is timed
+    here, before the control warms it, and seeded into the sidecar's
+    cold map — previously the control's four q1 executions made
+    cold_first_run_sec[q1] a warm reading (round-8 ADVICE fix)."""
     import numpy as np
 
     rng = np.random.default_rng(7)
@@ -70,7 +75,9 @@ def _host_controls(spark, sf_dir: str) -> dict[str, float]:
         mm = min(mm, time.perf_counter() - t0)
 
     fn = QUERIES["q1_pricing_summary"]
-    fn(spark, sf_dir).count()  # warm
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).count()  # q1's real cold run doubles as the warm
+    q1_cold = round(time.perf_counter() - t0, 3)
     q1 = float("inf")
     for _ in range(3):
         with released_after(spark):
@@ -80,7 +87,7 @@ def _host_controls(spark, sf_dir: str) -> dict[str, float]:
     return {
         "numpy_matmul_sec": round(mm, 3),
         "tpch_scan_agg_sec": round(q1, 3),
-    }
+    }, {"q1_pricing_summary": q1_cold}
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -218,11 +225,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # absorb session/JVM + python-worker pool startup before timing
     spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
-    control = _host_controls(spark, sf_dir)
+    control, cold = _host_controls(spark, sf_dir)
     print(f"[bench] control: {control}", file=sys.stderr, flush=True)
 
     timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         # warmup runs UNSCOPED: first-call process caches (the Bloom
@@ -231,7 +237,9 @@ def main() -> None:
         # only frees blocks first persisted inside its scope
         start = time.perf_counter()
         fn(spark, sf_dir).count()  # warmup: codegen compile, footer cache
-        cold[name] = round(time.perf_counter() - start, 3)
+        # q1's cold reading was seeded by _host_controls (its warmup
+        # here is warm by then) — don't overwrite it
+        cold.setdefault(name, round(time.perf_counter() - start, 3))
         best = float("inf")
         for _ in range(3):
             # each timed rep builds fresh frames, so its checkpoint

@@ -85,6 +85,7 @@ def pagerank(
     materialize_edges: bool = True,
     broadcast_ranks_below: int = 2_000_000,
     local_edges_below: int = 8_000_000,
+    local_bytes_below: int = 256 << 20,
 ) -> DataFrame:
     """PageRank over a dangling-free edge list (every node has
     out-degree >= 1 — true for co-occurrence graphs, where edges are
@@ -119,6 +120,15 @@ def pagerank(
     distributed facet measured 5.6/15.2/46.7/5.9 s across reps in one
     round-7 session; the local path 2.0-2.4 s flat). 8M edges ≈
     128 MB — past that the graph earns its distributed loop.
+
+    The local gate is EDGES AND BYTES: the 8M-edge default assumes
+    numeric ids (16 B/row in the numpy recurrence). String node ids
+    cost 60+ B per value as pandas objects, so the gate also estimates
+    driver bytes from a 1024-row sample (id byte-width × n_edges ×
+    ~3 for the pandas frame + unique index + position Series) and
+    requires it under ``local_bytes_below`` — a string-id graph just
+    under the edge cap no longer risks a multi-GB driver transfer
+    (round-8 ADVICE fix).
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -133,7 +143,37 @@ def pagerank(
         return edges.select(
             F.col("src").alias("node"), F.lit(0.0).alias("score")
         )
-    if n_edges is not None and n_edges <= local_edges_below:
+    def _local_bytes_ok() -> bool:
+        # numeric ids: 8 B each in the transfer, 8 B in numpy — the
+        # edge cap already encodes that regime. Anything else (string
+        # node ids are the co-occurrence norm): sample actual widths
+        # and charge the pandas object overhead, because 8M object
+        # rows is GBs, not 128 MB.
+        numeric = all(
+            isinstance(
+                edges.schema[c].dataType,
+                (T.IntegralType, T.FractionalType),
+            )
+            for c in ("src", "dst")
+        )
+        if numeric:
+            # compact int64/float64 pandas columns; 8M rows ≈ 128 MB
+            return n_edges * 16 <= local_bytes_below
+        sample = edges.select("src", "dst").limit(1024).collect()
+        if not sample:
+            return True
+        per_row = sum(
+            len(str(r["src"])) + len(str(r["dst"])) + 120
+            for r in sample
+        ) / len(sample)
+        # ×3: the toPandas frame plus pd.unique/position-Series copies
+        return n_edges * per_row * 3 <= local_bytes_below
+
+    if (
+        n_edges is not None
+        and n_edges <= local_edges_below
+        and _local_bytes_ok()
+    ):
         import numpy as np
         import pandas as pd
 

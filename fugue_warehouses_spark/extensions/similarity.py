@@ -27,6 +27,28 @@ from pyspark.sql.window import Window
 from fugue_warehouses_spark.functions.vectors import cosine, dot, l2_normalize, norm
 
 
+# one live broadcast per call site: these functions run once per
+# micro-batch in the streaming ingest, and an un-released broadcast
+# of the query matrix (+cell lists — tens of MB at probe scale)
+# accumulates on driver and executors until Python GC happens to drop
+# the handle (round-8 ADVICE fix). unpersist (NOT destroy) keeps a
+# rotated-out broadcast usable: a still-live frame that re-executes
+# just re-ships it from the driver.
+_LIVE_BROADCASTS: dict = {}
+
+
+def _rotate_broadcast(sc, site: str, value):
+    old = _LIVE_BROADCASTS.pop(site, None)
+    if old is not None:
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+    bc = sc.broadcast(value)
+    _LIVE_BROADCASTS[site] = bc
+    return bc
+
+
 def _collect_query_matrix(queries: DataFrame, query_id: str, query_vec: str):
     """Driver-side collect of the (small) query set into a normalized
     float64 matrix. Query sets are bounded by contract (top-k search);
@@ -429,7 +451,9 @@ def _pairs_numpy(
 
     spark = corpus.sparkSession
     all_ids, all_mat = _collect_query_matrix(corpus, id_col, vec_col)
-    bc = spark.sparkContext.broadcast((all_ids, all_mat))
+    bc = _rotate_broadcast(
+        spark.sparkContext, "_pairs_numpy", (all_ids, all_mat)
+    )
     id_type = corpus.schema[id_col].dataType
     schema = T.StructType(
         [
@@ -1214,8 +1238,11 @@ def max_cosine_against(
     # spark broadcast, NOT closure capture: a closure-captured query
     # matrix is re-unpickled by every TASK (32 tasks x 33 MB at the
     # 320k probe); a broadcast is materialized once per worker process
-    # and cached across tasks (same choice as _pairs_numpy)
-    bc = corpus.sparkSession.sparkContext.broadcast((qids, qmat))
+    # and cached across tasks (same choice as _pairs_numpy); rotated —
+    # one live broadcast per site, prior micro-batches' released
+    bc = _rotate_broadcast(
+        corpus.sparkSession.sparkContext, "max_cosine_against", (qids, qmat)
+    )
 
     def score(batches):
         b_qids, b_qmat = bc.value
@@ -1339,16 +1366,26 @@ def _ivf_threshold_hits(
         qi_sorted = qi_flat[by_cell]  # int32: halves the broadcast
         uniq, starts = np.unique(cells_sorted, return_index=True)
         bounds = np.append(starts, len(cells_sorted))
+        # key by the STORED cidx values, not matrix column positions:
+        # cmat is cidx-SORTED cent_rows, so column j is cidx
+        # cidx_vals[j] — identical only while cidx is contiguous
+        # 0..n_c-1 (always true for build_ivf_hash_index output, but a
+        # pruned/filtered centroid table would silently mis-probe;
+        # round-8 ADVICE fix, matching the n_probe>=n_c path's keying)
+        cidx_vals = [int(r["cidx"]) for r in cent_rows]
         cell_map = {
-            int(uniq[k]): qi_sorted[bounds[k] : bounds[k + 1]]
+            cidx_vals[int(uniq[k])]: qi_sorted[bounds[k] : bounds[k + 1]]
             for k in range(len(uniq))
         }
 
     # broadcast, not closure capture: query matrix + per-cell lists
     # are ~65 MB at the 320k probe and would be re-unpickled per TASK
-    # from a closure; a broadcast materializes once per worker
-    bc = assigned.sparkSession.sparkContext.broadcast(
-        (qids, qmat, cell_map)
+    # from a closure; a broadcast materializes once per worker;
+    # rotated — one live broadcast per site across micro-batches
+    bc = _rotate_broadcast(
+        assigned.sparkSession.sparkContext,
+        "_ivf_threshold_hits",
+        (qids, qmat, cell_map),
     )
 
     def score(batches):

@@ -45,14 +45,22 @@ probe-proportional cost with the documented one-sided error: a missed
 neighbor OVER-KEEPS (the vector still enters the corpus), never
 over-drops, and reconciliation recovers it offline.
 
-Delivery is at-least-once with SELF-SUPPRESSING replays: a replayed
-batch collides with its own index copies at cosine 1.0 >= threshold,
-so its rows are dropped rather than double-appended to the index —
-but the survivors-table append itself is plain at-least-once (dedup
-the survivors table on id downstream, or rerun with the same
-checkpoint_dir so the offset never replays). With ``dropped_store``
-set a replay also re-logs its rows as dropped; reconcile dedups ids
-on read, so the cost is verify work, never correctness.
+Delivery is at-least-once, and the per-batch write ORDER makes that
+true across crash windows: survivors append FIRST, then the index
+version, then the drop log. A crash after the survivors append but
+before the index version leaves the rows un-indexed, so the replayed
+batch re-survives and re-appends — duplicate survivor rows (deduped
+on id at read; the returned frame is already deduped), never lost
+rows. A crash after the index version self-suppresses the replay
+(cosine 1.0 against its own copies), and the survivors are already
+durable. The inverse order (index first — the round-7 shape) had a
+zero-times-delivery hole: rows indexed but not yet appended
+self-suppressed on replay and never reached survivors_path (round-8
+ADVICE fix; regression test at tests/test_streaming.py). With
+``dropped_store`` set a replay may re-log its rows as dropped;
+reconcile dedups ids on read and keys survivorship off the INDEX, so
+a survivor id in the drop log is verify noise, never a correctness
+error.
 """
 
 from __future__ import annotations
@@ -145,8 +153,11 @@ def run_embedding_dedup_ingest(
                 threshold=threshold, id_col=id_col, vec_col=vec_col,
                 round_digits=round_digits,
             ).localCheckpoint()
-        # index delta FIRST (crash window leaves ids indexed; a replay
-        # then self-suppresses against its own copies — module note)
+        # survivors append FIRST (module note: a crash before the index
+        # version makes the replay re-survive and re-append — duplicate
+        # rows, deduped on read; index-first inverted that into
+        # zero-times delivery for the crash window)
+        survivors.write.mode("append").parquet(survivors_path)
         delta = survivors.select(id_col, vec_col)
         if cents is not None:
             from fugue_warehouses_spark.extensions.similarity import (
@@ -172,7 +183,6 @@ def run_embedding_dedup_ingest(
                     >= compact_every
                 ):
                     V.compact_versions(spark, dropped_store)
-        survivors.write.mode("append").parquet(survivors_path)
 
     q = (
         stream_df.writeStream.foreachBatch(_apply)
@@ -191,7 +201,10 @@ def run_embedding_dedup_ingest(
     finally:
         q.stop()
     try:
-        return spark.read.parquet(survivors_path)
+        # dedup on id: survivors-before-index ordering means a crash
+        # replay can append the same row twice (at-least-once files,
+        # exactly-once presentation)
+        return spark.read.parquet(survivors_path).dropDuplicates([id_col])
     except AnalysisException:
         return spark.createDataFrame([], stream_df.schema)
 

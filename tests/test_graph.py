@@ -74,6 +74,44 @@ def test_pagerank_checkpoint_bounds_plan_depth(spark):
     assert dlen < 3 * slen
 
 
+def test_pagerank_local_gate_respects_string_id_bytes(spark):
+    """The local-path gate is edges AND estimated driver bytes (round-8
+    ADVICE fix): string node ids cost 60+ B each as pandas objects, so
+    a string-id graph under the edge cap but over the byte cap must
+    take the distributed loop — and still answer identically."""
+    e = cooccurrence_edges(_orders(spark), "oid", "item")
+
+    took_local = []
+
+    # patch the CONCRETE class (pyspark 4's classic DataFrame defines
+    # its own toPandas, shadowing the abstract base)
+    cls = type(e)
+    real_topandas = cls.toPandas
+    try:
+        def spy(self):
+            took_local.append(True)
+            return real_topandas(self)
+
+        cls.toPandas = spy
+        # byte cap of 1: even this tiny string graph must refuse the
+        # driver transfer
+        tight = {
+            r["node"]: r["score"]
+            for r in pagerank(e, iters=3, local_bytes_below=1).collect()
+        }
+        assert not took_local
+        # default caps: 12 edges of 1-char ids fit easily -> local path
+        loose = {
+            r["node"]: r["score"] for r in pagerank(e, iters=3).collect()
+        }
+        assert took_local
+    finally:
+        cls.toPandas = real_topandas
+    assert tight.keys() == loose.keys()
+    for k in tight:
+        assert abs(tight[k] - loose[k]) < 1e-12, k
+
+
 def test_pagerank_empty_graph(spark):
     e = spark.createDataFrame([], "src string, dst string")
     assert pagerank(e, iters=3).count() == 0

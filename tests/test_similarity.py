@@ -422,6 +422,53 @@ def test_incremental_embedding_dedup_indexed_matches_exact(spark):
     assert exact <= pruned  # pruning may over-keep, never over-drop
 
 
+def test_ivf_threshold_hits_non_contiguous_cidx(spark):
+    """Pruned probing must key cells by the STORED cidx values, not by
+    positions in the cidx-sorted centroid matrix (round-8 ADVICE fix):
+    with cidx remapped to a non-contiguous range (i*10+5) the pruned
+    path previously looked up positional keys 0..n_c-1, probed nothing,
+    and silently returned no hits."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.extensions.similarity import (
+        _ivf_threshold_hits,
+        build_ivf_hash_index,
+    )
+
+    rng = random.Random(23)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = build_ivf_hash_index(emb, n_centroids=8)
+    remap = F.col("cidx") * 10 + 5
+    assigned_nc = assigned.withColumn("cidx", remap)
+    cents_nc = cents.withColumn("cidx", remap)
+    # queries: exact copies of corpus vectors (cosine 1.0) under new ids
+    queries = emb.filter("vec_id < 6").select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    full = {
+        r["query_id"]
+        for r in _ivf_threshold_hits(
+            assigned_nc, queries, 0.999, 8, cents_nc, None,
+            "embedding", "vec_id", "embedding", 6,
+        ).collect()
+    }
+    pruned = {
+        r["query_id"]
+        for r in _ivf_threshold_hits(
+            assigned_nc, queries, 0.999, 2, cents_nc, None,
+            "embedding", "vec_id", "embedding", 6,
+        ).collect()
+    }
+    expect = {1000 + i for i in range(6)}
+    assert full == expect
+    # an identical copy lives in its query's own top-1 cell, so even a
+    # pruned probe must find every planted hit
+    assert pruned == expect
+
+
 def test_incremental_embedding_dedup_overkeeps_recoverable(spark):
     """The over-keep escape hatch is closed: whatever a pruned probe
     (n_probe=1) over-keeps is recovered by one exact CC pass over the

@@ -191,6 +191,65 @@ def test_embedding_ingest_rolling_ivf_full_probe_identity(spark, tmp_path):
     assert "cidx" in idx.columns
 
 
+def test_embedding_ingest_crash_before_index_never_loses_survivors(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-window delivery (round-8 ADVICE fix): survivors are
+    appended BEFORE the index version, so a crash between the two
+    writes re-delivers the batch on replay (duplicate survivor files,
+    deduped on read) instead of the round-7 zero-times hole (rows
+    indexed but never appended self-suppressed on replay)."""
+    from fugue_warehouses_spark.plans import versioned as V
+
+    docs = _corpus(spark)
+    thr = 0.9
+    feed = str(tmp_path / "feed")
+    docs.coalesce(1).write.mode("append").parquet(feed)
+    idx_store = str(tmp_path / "idx")
+    kept_path = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+
+    real_write = V.write_version
+    calls = {"n": 0}
+
+    def crashing_write(df, store, sp):
+        if store == idx_store and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("simulated crash after survivors append")
+        return real_write(df, store, sp)
+
+    monkeypatch.setattr(V, "write_version", crashing_write)
+    with pytest.raises(Exception, match="simulated crash|STREAM"):
+        run_embedding_dedup_ingest(
+            read_parquet_stream(spark, feed),
+            index_store=idx_store,
+            survivors_path=kept_path,
+            checkpoint_dir=ckpt,
+            threshold=thr,
+        )
+    # survivors were appended before the crash; the index version was not
+    assert spark.read.parquet(kept_path).count() > 0
+    with pytest.raises(FileNotFoundError):
+        V.read_all_versions(spark, idx_store)
+
+    # recovery: rerun with the SAME checkpoint — the uncommitted batch
+    # replays, re-survives (nothing indexed to suppress it), re-appends
+    monkeypatch.setattr(V, "write_version", real_write)
+    out = run_embedding_dedup_ingest(
+        read_parquet_stream(spark, feed),
+        index_store=idx_store,
+        survivors_path=kept_path,
+        checkpoint_dir=ckpt,
+        threshold=thr,
+    )
+    kept = [r["vec_id"] for r in out.collect()]
+    # exactly-once presentation: every survivor exactly once, none lost
+    assert sorted(kept) == sorted(set(kept))
+    assert set(kept) == _batch_cc_kept(docs, thr)
+    # ... while the files really did record the at-least-once replay
+    assert spark.read.parquet(kept_path).count() == 2 * len(kept)
+
+
 def test_embedding_ingest_empty_stream(spark, tmp_path):
     feed = str(tmp_path / "feed")
     spark.createDataFrame(
