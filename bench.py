@@ -75,6 +75,7 @@ def _host_controls(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
         mm = min(mm, time.perf_counter() - t0)
 
     fn = QUERIES["q1_pricing_summary"]
+    jf = _job_floor(spark)
     t0 = time.perf_counter()
     fn(spark, sf_dir).count()  # q1's real cold run doubles as the warm
     q1_cold = round(time.perf_counter() - t0, 3)
@@ -87,7 +88,28 @@ def _host_controls(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
     return {
         "numpy_matmul_sec": round(mm, 3),
         "tpch_scan_agg_sec": round(q1, 3),
+        "jobfloor_32x_sec": jf,
     }, {"q1_pricing_summary": q1_cold}
+
+
+def _job_floor(spark) -> float:
+    """Best-of-3 wall time for 32 trivial jobs (range(1).count()) —
+    the per-job scheduling floor. Multi-job facets (k-means loops,
+    inline index rebuilds) amplify this floor, and a burst of
+    hypervisor steal between the other controls' samples is invisible
+    to them but taxes every job in a long query; recording the floor
+    at session START and END (control vs control_end in the sidecar)
+    lets a reader attribute a late-query inflation to the window
+    without re-running anything (round-8: the r7
+    embedding_semantic_dedup 0.73-vs-2.53 inversion was
+    unattributable for lack of exactly this number)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(32):
+            spark.range(1).count()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -188,6 +210,7 @@ BENCH_QUERIES = [
     "doc_incremental_dedup_bloom",
     "doc_incremental_dedup_bloom_persisted",
     "doc_incremental_near_dedup",
+    "doc_incremental_near_dedup_persisted",
     "doc_export_manifest",
     "doc_webdataset_export",
     "events_anomaly_mad",
@@ -255,6 +278,22 @@ def main() -> None:
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
+    # end-of-run window state: did the session/host degrade while the
+    # late queries ran? (see _job_floor)
+    rng_end = __import__("numpy").random.default_rng(7)
+    a = rng_end.standard_normal((1536, 1536))
+    b = rng_end.standard_normal((1536, 1536))
+    (a @ b).sum()
+    mm_end = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ b).sum()
+        mm_end = min(mm_end, time.perf_counter() - t0)
+    control_end = {
+        "numpy_matmul_sec": round(mm_end, 3),
+        "jobfloor_32x_sec": _job_floor(spark),
+    }
+    print(f"[bench] control_end: {control_end}", file=sys.stderr, flush=True)
     here = os.path.dirname(os.path.abspath(__file__))
     queries_file = "bench_queries.json"
     with open(os.path.join(here, queries_file), "w") as f:
@@ -266,6 +305,7 @@ def main() -> None:
                 "queries": timings,
                 "cold_first_run_sec": cold,
                 "control": control,
+                "control_end": control_end,
                 "timing": "1 untimed warmup + best of N timed runs",
                 "runs_per_query": 3,
                 "sf": sf,

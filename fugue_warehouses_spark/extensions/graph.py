@@ -143,12 +143,13 @@ def pagerank(
         return edges.select(
             F.col("src").alias("node"), F.lit(0.0).alias("score")
         )
-    def _local_bytes_ok() -> bool:
-        # numeric ids: 8 B each in the transfer, 8 B in numpy — the
-        # edge cap already encodes that regime. Anything else (string
-        # node ids are the co-occurrence norm): sample actual widths
-        # and charge the pandas object overhead, because 8M object
-        # rows is GBs, not 128 MB.
+    def _est_driver_bytes() -> float:
+        # numeric ids: 8 B each in the transfer, 8 B in numpy — compact
+        # int64/float64 pandas columns, 8M rows ≈ 128 MB. Anything else
+        # (string node ids are the co-occurrence norm): sample actual
+        # widths and charge the pandas object overhead ×3 (the toPandas
+        # frame plus pd.unique/position-Series copies), because 8M
+        # object rows is GBs, not 128 MB.
         numeric = all(
             isinstance(
                 edges.schema[c].dataType,
@@ -157,22 +158,26 @@ def pagerank(
             for c in ("src", "dst")
         )
         if numeric:
-            # compact int64/float64 pandas columns; 8M rows ≈ 128 MB
-            return n_edges * 16 <= local_bytes_below
+            return n_edges * 16.0
         sample = edges.select("src", "dst").limit(1024).collect()
         if not sample:
-            return True
+            return 0.0
         per_row = sum(
             len(str(r["src"])) + len(str(r["dst"])) + 120
             for r in sample
         ) / len(sample)
-        # ×3: the toPandas frame plus pd.unique/position-Series copies
-        return n_edges * per_row * 3 <= local_bytes_below
+        return n_edges * per_row * 3.0
+
+    from fugue_warehouses_spark.plans.bounded import driver_fast_path_ok
 
     if (
         n_edges is not None
         and n_edges <= local_edges_below
-        and _local_bytes_ok()
+        and driver_fast_path_ok(
+            "pagerank_local",
+            edges=(n_edges, local_edges_below),
+            driver_bytes=(_est_driver_bytes(), local_bytes_below),
+        )
     ):
         import numpy as np
         import pandas as pd

@@ -1603,8 +1603,13 @@ def incremental_embedding_dedup(
     else:
         raise ValueError("pass history= (exact) or assigned=/centroids= (index)")
 
+    from fugue_warehouses_spark.plans.bounded import driver_fast_path_ok
+
     dim = qmat.shape[1] if len(qids) else 0
-    if len(qids) and len(qids) ** 2 * dim <= _LOCAL_CC_MAX_FLOPS:
+    if len(qids) and driver_fast_path_ok(
+        "within_batch_cc",
+        flops=(float(len(qids)) ** 2 * dim, _LOCAL_CC_MAX_FLOPS),
+    ):
         # the batch matrix is already on the driver (by contract) and
         # small: finish there. Collect the (batch-bounded) dropped ids,
         # resolve within-batch exactly via union-find over the same

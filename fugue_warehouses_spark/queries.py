@@ -1693,10 +1693,23 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str):
         "centroids": centroids,
         "centroid_rows": cent_rows,
     }
-    # throwaway probe: JIT the probe plan shape outside timed regions
-    SS.ivf_topk_from_index(
-        assigned, centroids, emb.filter(F.col("vec_id") < 1), k=1, n_probe=1
-    ).count()
+    # throwaway probes: JIT the probe plan outside timed regions — the
+    # EXACT facet shape (k=10, n_probe=8, 10 queries), three times.
+    # The old single k=1/n_probe=1 probe compiled the codegen class but
+    # left the hot candidate-scoring loops interpreted/C1: a fresh JVM
+    # measured 1.03/1.03/0.79 s for the first three facet reps vs a
+    # 0.65-0.70 s steady state (round-8 probe, SCALE_NOTES), so a
+    # best-of-3 bench window in a fresh JVM sat entirely inside the C2
+    # warming region — the r6/r7 "persisted-IVF above band" readings.
+    for _ in range(3):
+        SS.ivf_topk_from_index(
+            assigned,
+            centroids,
+            emb.filter(F.col("vec_id") < 10),
+            k=10,
+            n_probe=8,
+            centroid_rows=cent_rows,
+        ).count()
     return _IVF_STORES[sf_dir]
 
 
@@ -3500,6 +3513,76 @@ def doc_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = DD.near_dup_pairs_against_index(
         new, idx, "doc_id", "text", threshold=0.6
+    )
+    return pairs.select(
+        "id_new", "id_match", F.round("jaccard_sim", 6).alias("jaccard_sim")
+    )
+
+
+_MINHASH_STORES: dict = {}
+
+
+def _minhash_index_for(spark: SparkSession, sf_dir: str):
+    """Build-and-persist ONCE per (process, sf_dir) the MinHash
+    signature index of the historical corpus (doc_id % 5 != 4) — the
+    near-dedup analog of _bloom_handle_for: written to the versioned
+    store (the durable source of truth a real rolling pipeline
+    maintains across crawls), served from cluster memory, with one
+    throwaway probe so the banding/verify plan's codegen compiles
+    outside any timed region."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from fugue_warehouses_spark.plans import versioned as V
+
+    entry = _MINHASH_STORES.get(sf_dir)
+    if entry is not None:
+        return entry
+    store = tempfile.mkdtemp(prefix="wf_minhash_idx_")
+    atexit.register(shutil.rmtree, store, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 5 != 4)
+    V.write_version(
+        DD.build_minhash_index(hist, "doc_id", "text"),
+        os.path.join(store, "sigs"),
+        spark,
+    )
+    idx = V.read_version(spark, os.path.join(store, "sigs")).persist()
+    idx.count()  # eager: hot in storage memory
+    entry = {"idx": idx}
+    _MINHASH_STORES[sf_dir] = entry
+    DD.near_dup_pairs_against_index(
+        docs.filter(F.col("doc_id") % 5 == 4).limit(20),
+        idx,
+        "doc_id",
+        "text",
+        threshold=0.6,
+    ).count()  # compile the probe plan shape here, not in timed runs
+    return entry
+
+
+@_q("doc_incremental_near_dedup_persisted", _INCR_NEAR_DEDUP_SQL)
+def doc_incremental_near_dedup_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The amortized rolling-crawl shape of the MinHash near-dedup
+    (same oracle as doc_incremental_near_dedup — the persisted index
+    must answer identically to the inline rebuild, and that identity
+    IS the index-consistency check): the history's signature index is
+    built once, versioned-store-backed and memory-cached
+    (_minhash_index_for); each batch then pays only its own
+    shingle/signature cost plus the banding join against cached
+    signatures. History TEXT is never re-read per batch — the benched
+    row measures the per-crawl marginal cost, while the inline sibling
+    keeps paying the 80%-corpus index rebuild for oracle
+    self-containment (round-8 re-band, VERDICT r7 #6)."""
+    docs = _t(spark, sf_dir, "documents")
+    h = _minhash_index_for(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    pairs = DD.near_dup_pairs_against_index(
+        new, h["idx"], "doc_id", "text", threshold=0.6
     )
     return pairs.select(
         "id_new", "id_match", F.round("jaccard_sim", 6).alias("jaccard_sim")

@@ -118,10 +118,13 @@ def probe(spark, sizes, ops=None, repeat=1):
         "emb_probe_ivf",
         "embedding_ingest",
     }
+    # synthesizes its own DISTRIBUTED corpus (1.28M rows never touch
+    # the driver) — needs neither the docs nor the driver-built emb
+    SELF_CONTAINED = {"embedding_ingest_deep"}
     for n in sizes:
         # the 250-token doc corpus takes minutes to synthesize at 320k;
         # embedding-only probe runs skip it entirely
-        need_docs = ops is None or bool(set(ops) - EMB_ONLY)
+        need_docs = ops is None or bool(set(ops) - EMB_ONLY - SELF_CONTAINED)
         docs = None
         if need_docs:
             docs = make_docs(spark, n).repartition(32).cache()
@@ -358,6 +361,116 @@ def probe(spark, sizes, ops=None, repeat=1):
                     shutil.rmtree(d, ignore_errors=True)
 
             timed("embedding_ingest", n, _ingest)
+        # deep-history regime (round 8, VERDICT r7 #5): the drain probe
+        # above grows history and batch count together, so its total is
+        # batch-floor dominated. HERE n is the PRE-SEEDED history and
+        # the work is a fixed 4x16k-batch ingest against it — the
+        # steady-state shape of a long-running ingest pipeline, where
+        # the question is how PER-BATCH cost grows with history depth:
+        # exact probes scan the whole accepted store per batch (linear
+        # in history), rolling-IVF probes only the queries' top-1/8
+        # cells (probe-proportional, flat-ish). History is synthesized
+        # DISTRIBUTED (mapInPandas) — 1.28M rows never touch the
+        # driver.
+        if wanted("embedding_ingest_deep"):
+            import shutil
+            import tempfile
+
+            import pandas as pd
+
+            from fugue_warehouses_spark.plans import versioned as V
+            from fugue_warehouses_spark.streaming import (
+                read_parquet_stream,
+                run_embedding_dedup_ingest,
+            )
+
+            dim = 64
+            centers = np.random.default_rng(7).normal(size=(10, dim))
+
+            def _gen(batches):
+                for pdf in batches:
+                    rng = np.random.default_rng(
+                        1000 + int(pdf["id"].iloc[0])
+                    )
+                    ids = pdf["id"].to_numpy()
+                    labels = rng.integers(0, 10, size=len(ids))
+                    vecs = centers[labels] + rng.normal(
+                        scale=2.0, size=(len(ids), dim)
+                    )
+                    yield pd.DataFrame(
+                        {"vec_id": ids, "embedding": list(vecs)}
+                    )
+
+            def _mk(lo: int, hi: int):
+                return (
+                    spark.range(lo, hi)
+                    .repartition(32)
+                    .mapInPandas(_gen, "vec_id long, embedding array<double>")
+                )
+
+            hist_e = _mk(0, n).localCheckpoint()
+            batch_total = 64_000
+            feed_src = _mk(n, n + batch_total).localCheckpoint()
+
+            def _deep(ivf: bool):
+                d = tempfile.mkdtemp(prefix="wf_emb_deep_")
+                try:
+                    feed = f"{d}/feed"
+                    for i in range(4):  # 4 x 16k fixed batches
+                        feed_src.filter(
+                            (F.col("vec_id") % 4) == i
+                        ).coalesce(4).write.mode("append").parquet(feed)
+                    cents_store = None
+                    if ivf:
+                        asg, cents = S.build_ivf_hash_index(
+                            hist_e, corpus_id="vec_id",
+                            corpus_vec="embedding",
+                        )
+                        V.write_version(asg, f"{d}/idx", spark)
+                        V.write_version(cents, f"{d}/cents", spark)
+                        cents_store = f"{d}/cents"
+                        n_probe = max(1, cents.count() // 8)
+                    else:
+                        V.write_version(
+                            hist_e.select("vec_id", "embedding"),
+                            f"{d}/idx",
+                            spark,
+                        )
+                        n_probe = None
+                    t0 = time.perf_counter()
+                    run_embedding_dedup_ingest(
+                        read_parquet_stream(
+                            spark, feed, max_files_per_trigger=4
+                        ),
+                        index_store=f"{d}/idx",
+                        survivors_path=f"{d}/kept",
+                        checkpoint_dir=f"{d}/ckpt",
+                        threshold=0.9,
+                        timeout_sec=2400,
+                        centroids_store=cents_store,
+                        n_probe=n_probe,
+                    ).count()
+                    # report the timed INGEST only (index pre-seed is
+                    # the pipeline's sunk cost, not per-batch work)
+                    out.setdefault(
+                        "embedding_ingest_deep_ivf" if ivf
+                        else "embedding_ingest_deep_exact",
+                        {},
+                    )[n] = round(time.perf_counter() - t0, 2)
+                    print(
+                        f"[probe] embedding_ingest_deep_"
+                        f"{'ivf' if ivf else 'exact'} n={n}: "
+                        f"{out['embedding_ingest_deep_ivf' if ivf else 'embedding_ingest_deep_exact'][n]}s",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                finally:
+                    shutil.rmtree(d, ignore_errors=True)
+
+            with released_after(spark):
+                _deep(False)
+            with released_after(spark):
+                _deep(True)
         timed("similarity_pairs_block", n, lambda: S.similarity_pairs(
             emb, threshold=0.35, method="block").count())
         timed("ivf_topk_hash", n, lambda: S.ivf_topk_hash(
