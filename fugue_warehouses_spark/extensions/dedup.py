@@ -1378,6 +1378,29 @@ def _band_buckets(
     ).select("__id", "bb.band", "bb.bucket")
 
 
+def build_minhash_band_index(
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 8,
+) -> DataFrame:
+    """Persistable LSH BAND table for a stored MinHash signature index:
+    ``(id, band, bucket)``, one row per (doc, band slice) — the banding
+    explode of :func:`near_dup_pairs_against_index`'s index side,
+    precomputed. Build it once next to the signature index (same
+    ``num_hashes``/``bands`` — that pairing is the caller's contract,
+    like the signature length itself) and pass it via
+    ``index_bands_df``: each crawl batch then skips re-banding the
+    CORPUS-SIZED index (an index-length explode + xxhash per call —
+    harmless at sf0.1, an index-scan-sized recomputation per batch at
+    100 TB). The in-plan signature-length guard runs here, at build
+    time."""
+    rows_per_band = max(1, num_hashes // bands)
+    return _band_buckets(
+        index_df, id_col, bands, rows_per_band, expected_len=num_hashes
+    ).select(F.col("__id").alias(id_col), "band", "bucket")
+
+
 def near_dup_pairs_against_index(
     new_df: DataFrame,
     index_df: DataFrame,
@@ -1389,6 +1412,7 @@ def near_dup_pairs_against_index(
     bands: int = 8,
     max_bucket_size: int | None = None,
     round_digits: int | None = 6,
+    index_bands_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: MinHash-LSH pairs between a NEW batch
     and a persisted signature index (:func:`build_minhash_index`),
@@ -1414,7 +1438,11 @@ def near_dup_pairs_against_index(
     frame so ``max_bucket_size`` caps the TRUE bucket population
     (batch + index) before the self-join. Candidate pairs are tiny
     relative to the index, so AQE broadcasts them into the grams join
-    rather than shuffling the index.
+    rather than shuffling the index. With ``index_bands_df`` (a
+    persisted :func:`build_minhash_band_index` table) even the
+    index-side banding explode is precomputed, leaving the per-batch
+    plan fully batch-sized except for the band join and the colliding
+    grams.
 
     The index's stored signature length must equal ``num_hashes`` —
     banding a shorter stored signature would silently hash empty
@@ -1429,15 +1457,23 @@ def near_dup_pairs_against_index(
     ).localCheckpoint(
         eager=False, storageLevel=_sig_checkpoint_level(new_df.sparkSession)
     )
+    idx_banded = (
+        # prebuilt band table (build_minhash_band_index): the
+        # index-sized explode already ran at index-build time; the
+        # guard ran there too
+        index_bands_df.select(
+            F.col(id_col).alias("__id"), "band", "bucket"
+        )
+        if index_bands_df is not None
+        else _band_buckets(
+            index_df, id_col, bands, rows_per_band,
+            expected_len=num_hashes,
+        )
+    )
     banded = (
         _band_buckets(new_sig, id_col, bands, rows_per_band)
         .withColumn("__new", F.lit(True))
-        .unionByName(
-            _band_buckets(
-                index_df, id_col, bands, rows_per_band,
-                expected_len=num_hashes,
-            ).withColumn("__new", F.lit(False))
-        )
+        .unionByName(idx_banded.withColumn("__new", F.lit(False)))
     )
     banded = _cap_buckets(banded, max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")

@@ -3551,7 +3551,17 @@ def _minhash_index_for(spark: SparkSession, sf_dir: str):
     )
     idx = V.read_version(spark, os.path.join(store, "sigs")).persist()
     idx.count()  # eager: hot in storage memory
-    entry = {"idx": idx}
+    # the BAND table too (round 8): re-banding the index per batch is
+    # an index-length explode per call — precompute it at build time
+    # like a real rolling pipeline stores banded postings
+    V.write_version(
+        DD.build_minhash_band_index(idx, "doc_id"),
+        os.path.join(store, "bands"),
+        spark,
+    )
+    bands = V.read_version(spark, os.path.join(store, "bands")).persist()
+    bands.count()
+    entry = {"idx": idx, "bands": bands}
     _MINHASH_STORES[sf_dir] = entry
     DD.near_dup_pairs_against_index(
         docs.filter(F.col("doc_id") % 5 == 4).limit(20),
@@ -3559,6 +3569,7 @@ def _minhash_index_for(spark: SparkSession, sf_dir: str):
         "doc_id",
         "text",
         threshold=0.6,
+        index_bands_df=bands,
     ).count()  # compile the probe plan shape here, not in timed runs
     return entry
 
@@ -3572,9 +3583,11 @@ def doc_incremental_near_dedup_persisted(
     must answer identically to the inline rebuild, and that identity
     IS the index-consistency check): the history's signature index is
     built once, versioned-store-backed and memory-cached
-    (_minhash_index_for); each batch then pays only its own
-    shingle/signature cost plus the banding join against cached
-    signatures. History TEXT is never re-read per batch — the benched
+    (_minhash_index_for), ALONG WITH its band table
+    (build_minhash_band_index) so not even the index-side banding
+    explode reruns per batch; each batch then pays only its own
+    shingle/signature cost plus the band join and colliding-grams
+    verify. History TEXT is never re-read per batch — the benched
     row measures the per-crawl marginal cost, while the inline sibling
     keeps paying the 80%-corpus index rebuild for oracle
     self-containment (round-8 re-band, VERDICT r7 #6)."""
@@ -3582,7 +3595,8 @@ def doc_incremental_near_dedup_persisted(
     h = _minhash_index_for(spark, sf_dir)
     new = docs.filter(F.col("doc_id") % 5 == 4)
     pairs = DD.near_dup_pairs_against_index(
-        new, h["idx"], "doc_id", "text", threshold=0.6
+        new, h["idx"], "doc_id", "text", threshold=0.6,
+        index_bands_df=h["bands"],
     )
     return pairs.select(
         "id_new", "id_match", F.round("jaccard_sim", 6).alias("jaccard_sim")

@@ -284,6 +284,46 @@ def test_near_dup_against_persisted_index(spark, tables, tmp_path):
     assert any("minhash_index" in f for f in files)
 
 
+def test_near_dup_against_prebuilt_band_index(spark, tables, tmp_path):
+    """A persisted band table (build_minhash_band_index) must answer
+    identically to in-call index banding — the round-8 amortization
+    that keeps the per-batch plan batch-sized even in the banding
+    stage — and the stored-signature length guard moves to build
+    time."""
+    from fugue_warehouses_spark.plans import versioned as V
+
+    docs = tables["documents"]
+    hist = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    store = str(tmp_path / "sigs")
+    bstore = str(tmp_path / "bands")
+    V.write_version(D.build_minhash_index(hist, "doc_id", "text"), store)
+    idx = V.read_version(spark, store)
+    V.write_version(D.build_minhash_band_index(idx, "doc_id"), bstore)
+    bands = V.read_version(spark, bstore)
+    assert set(bands.columns) == {"doc_id", "band", "bucket"}
+    as_set = lambda df: {
+        (r["id_new"], r["id_match"], round(r["jaccard_sim"], 6))
+        for r in df.collect()
+    }
+    inline = as_set(
+        D.near_dup_pairs_against_index(
+            new, idx, "doc_id", "text", threshold=0.6
+        )
+    )
+    prebuilt = as_set(
+        D.near_dup_pairs_against_index(
+            new, idx, "doc_id", "text", threshold=0.6,
+            index_bands_df=bands,
+        )
+    )
+    assert prebuilt == inline and prebuilt
+    # the length guard fires at band-BUILD time for a mismatched index
+    short = D.build_minhash_index(hist.limit(3), num_hashes=32)
+    with pytest.raises(Exception, match="num_hashes=64"):
+        D.build_minhash_band_index(short, "doc_id", num_hashes=64).count()
+
+
 def test_near_dup_against_index_rejects_num_hashes_mismatch(spark):
     df = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
     idx = D.build_minhash_index(df, num_hashes=32)
