@@ -11,11 +11,14 @@ engine treats the payload as an opaque binary column and the codec is
 a leaf kernel (see extensions/multimodal.py docstring citations).
 
 Scope (deliberate):
-- Baseline sequential DCT (SOF0), Huffman (SOF2 progressive is out).
+- Baseline sequential DCT (SOF0) and, since round 8, PROGRESSIVE
+  (SOF2) — spectral selection + successive approximation, both
+  directions (``encode_jpeg_progressive`` / the same ``decode_jpeg``);
+  arithmetic coding, hierarchical and lossless modes stay out.
 - 8-bit, 1-component (grayscale) or 3-component YCbCr.
 - Encoder always writes 4:4:4 with the Annex K example tables;
   decoder additionally accepts 4:2:0 / 4:2:2 chroma subsampling and
-  restart intervals, the shapes real files use most.
+  (baseline only) restart intervals, the shapes real files use most.
 - Pure numpy DCT (the orthonormal DCT-II matrix equals JPEG's FDCT
   exactly, see _DCT8); the per-symbol Huffman loop is plain Python —
   fine for fixture-sized images, NOT a bulk-media pipeline (a real
@@ -407,12 +410,18 @@ def _decode_block(br: _BitReader, dec_dc, dec_ac, pred: int):
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline sequential JFIF payload to (h, w, 3) RGB (or
-    (h, w) for grayscale) uint8. Supports 4:4:4 / 4:2:2 / 4:2:0
-    sampling and restart intervals; progressive (SOF2) and arithmetic
-    coding raise ValueError."""
+    """Decode a baseline sequential (SOF0/SOF1) or PROGRESSIVE (SOF2)
+    JFIF payload to (h, w, 3) RGB (or (h, w) for grayscale) uint8.
+    Baseline supports 4:4:4 / 4:2:2 / 4:2:0 sampling and restart
+    intervals; progressive (round 8) supports spectral selection and
+    successive approximation (DC+AC refinement scans, general EOB
+    runs) over the same sampling shapes, without restart intervals.
+    Arithmetic coding, hierarchical and lossless modes raise
+    ValueError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
+    if _is_progressive(data):
+        return _decode_progressive(data)
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
@@ -527,6 +536,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         ] = blk.reshape(8, 8) * qtabs[qsel]
             mcu += 1
 
+    return _reconstruct(per_comp_blocks, comps, h, w, hmax, vmax)
+
+
+def _reconstruct(per_comp_blocks, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Shared decode tail: per-component DEQUANTIZED coefficient block
+    grids -> IDCT -> reassemble -> chroma upsample -> color convert."""
     planes = {}
     for cid, ch, cv, _ in comps:
         blocks = per_comp_blocks[cid]
@@ -541,3 +556,508 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         return np.clip(planes[comps[0][0]], 0, 255).astype(np.uint8)
     y, cb, cr = (planes[c[0]] for c in comps)
     return _ycbcr_to_rgb(y, cb, cr)
+
+
+# ------------------------------------------------ progressive (SOF2)
+#
+# Round 8: closes the last codec guard. Progressive JPEG entropy-codes
+# the SAME quantized coefficients as baseline, just across multiple
+# scans (spectral selection: coefficient bands per scan; successive
+# approximation: high-order bits first, then one refinement bit per
+# scan) — so a progressive decode must reproduce a baseline decode of
+# the same pixels BIT-EXACTLY when both use the same quantization,
+# which is precisely what tests/test_multimodal.py asserts (two
+# independent entropy layers agreeing on the coefficient array).
+# Decode implements the general T.81 G.1.2 scan algebra (interleaved
+# and non-interleaved scans, EOB runs, DC/AC refinement); the encoder
+# emits a libjpeg-style 2+2*nc scan script and keeps EOB runs at 1 so
+# the Annex K example tables (which lack EOBn>0 symbols) stay valid.
+
+
+def _is_progressive(data: bytes) -> bool:
+    pos = 2
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xC2:
+            return True
+        if marker in (0xC0, 0xC1, 0xDA, 0xD9):
+            return False
+        pos += struct.unpack(">H", data[pos : pos + 2])[0]
+    return False
+
+
+def _huff_read(br: _BitReader, table: dict) -> int:
+    length, code = 0, 0
+    while True:
+        code = (code << 1) | br.bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+        if length > 16:
+            raise ValueError("corrupt JPEG: bad Huffman code")
+
+
+def _scan_end(data: bytes, start: int) -> int:
+    """First marker position at/after ``start`` in entropy-coded data
+    (0xFF followed by anything but the 0x00 stuffing; RSTn would also
+    stop here, but the progressive path refuses DRI up front)."""
+    p = start
+    while p < len(data) - 1:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            return p
+        p += 1
+    return len(data)
+
+
+def _prog_ac_first(br, blk, dec_ac, Ss, Se, Al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        sym = _huff_read(br, dec_ac)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            return (1 << r) + br.bits(r) - 1  # EOBn: this block is done
+        k += r
+        if k > Se:
+            raise ValueError("corrupt JPEG: AC run past band end")
+        blk[k] = _extend(br.bits(s), s) << Al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(br, blk, dec_ac, Ss, Se, Al, eobrun):
+    """T.81 G.1.2.3 AC successive-approximation refinement: newly
+    significant coefficients arrive as run/1 symbols (sign in the next
+    bit); already-significant positions crossed along the way each
+    consume one correction bit; an EOB run finishes the block with
+    correction bits only."""
+    p1, m1 = 1 << Al, -(1 << Al)
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            sym = _huff_read(br, dec_ac)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + br.bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("corrupt JPEG: refine size != 1")
+                val = p1 if br.bit() else m1
+            while k <= Se:
+                if blk[k] != 0:
+                    if br.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        if s:
+                            blk[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= Se:
+            if blk[k] != 0:
+                if br.bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    comps: list = []
+    hdims = None
+    coefs: dict[int, np.ndarray] = {}
+    dims = None
+    pos = 2
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                n = 64 * (2 if prec else 1)
+                raw = (
+                    np.frombuffer(seg[p : p + n], dtype=">u2" if prec else np.uint8)
+                    .astype(np.int64)
+                )
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = raw
+                qtabs[tid] = tbl.reshape(8, 8)
+                p += n
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                htabs[(cls, tid)] = _huff_decoder(
+                    bits, list(seg[p + 17 : p + 17 + n])
+                )
+                p += 17 + n
+        elif marker == 0xC2:
+            _, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            hdims = (h, w)
+            comps = []
+            for i in range(nc):
+                cid, hv, qsel = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, qsel))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            dims = (mcux, mcuy, hmax, vmax)
+            # zigzag-order integer coefficient accumulators, padded to
+            # the interleaved MCU grid (non-interleaved scans write the
+            # top-left sub-grid)
+            coefs = {
+                c[0]: np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int64)
+                for c in comps
+            }
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("mixed/unsupported frame type in progressive stream")
+        elif marker == 0xDD:
+            if struct.unpack(">H", seg[:2])[0] != 0:
+                raise ValueError(
+                    "restart intervals in progressive JPEG are not supported"
+                )
+        elif marker == 0xDA:
+            if dims is None:
+                raise ValueError("corrupt JPEG: SOS before SOF2")
+            ns = seg[0]
+            scomps = []
+            cinfo = {c[0]: c for c in comps}
+            for i in range(ns):
+                cid, tsel = seg[1 + 2 * i], seg[2 + 2 * i]
+                scomps.append((cid, tsel >> 4, tsel & 0x0F))
+            Ss, Se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            Ah, Al = ahal >> 4, ahal & 0x0F
+            body_start = pos + seglen
+            body_end = _scan_end(data, body_start)
+            br = _BitReader(data[body_start:body_end])
+            if Ss == 0:
+                if Se != 0:
+                    raise ValueError("corrupt JPEG: DC scan with Se != 0")
+                _prog_dc_scan_dispatch(
+                    br, scomps, cinfo, htabs, coefs, dims, hdims, Ah, Al
+                )
+            else:
+                if ns != 1:
+                    raise ValueError(
+                        "corrupt JPEG: interleaved AC progressive scan"
+                    )
+                cid, _, act = scomps[0]
+                _, ch, cv, _ = cinfo[cid]
+                h, w = hdims
+                mcux, mcuy, hmax, vmax = dims
+                # non-interleaved grid: the component's OWN pixel dims
+                # (ceil(img * sampling/max)) rounded up to blocks — no
+                # MCU padding (T.81 A.2.2)
+                comp_w = -(-(w * ch) // hmax)
+                comp_h = -(-(h * cv) // vmax)
+                bw_c = -(-comp_w // 8)
+                bh_c = -(-comp_h // 8)
+                dec_ac = htabs[(1, act)]
+                eobrun = 0
+                fn = _prog_ac_first if Ah == 0 else _prog_ac_refine
+                for by in range(bh_c):
+                    for bx in range(bw_c):
+                        eobrun = fn(
+                            br, coefs[cid][by, bx], dec_ac, Ss, Se, Al,
+                            eobrun,
+                        )
+            pos = body_end
+            continue
+        pos += seglen
+    if hdims is None or not coefs:
+        raise ValueError("corrupt JPEG: missing SOF2/SOS")
+    h, w = hdims
+    mcux, mcuy, hmax, vmax = dims
+    per_comp_blocks = {}
+    for cid, ch, cv, qsel in comps:
+        zz = coefs[cid]
+        nat = np.zeros(zz.shape[:2] + (8, 8), dtype=np.float64)
+        flat = np.zeros(zz.shape[:2] + (64,), dtype=np.int64)
+        flat[..., _ZIGZAG] = zz
+        nat[:] = flat.reshape(zz.shape[:2] + (8, 8)) * qtabs[qsel]
+        per_comp_blocks[cid] = nat
+    return _reconstruct(per_comp_blocks, comps, h, w, hmax, vmax)
+
+
+def _prog_dc_scan_dispatch(br, scomps, cinfo, htabs, coefs, dims, hdims, Ah, Al):
+    """DC scan body: interleaved MCU order when ns>1 (the normal
+    shape), the component's own unpadded block grid when ns==1."""
+    mcux, mcuy, hmax, vmax = dims
+    if len(scomps) > 1:
+        preds = {cid: 0 for cid, _, _ in scomps}
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for cid, dct, _ in scomps:
+                    _, ch, cv, _ = cinfo[cid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = coefs[cid][my * cv + by, mx * ch + bx]
+                            if Ah == 0:
+                                cat = _huff_read(br, htabs[(0, dct)])
+                                preds[cid] += _extend(br.bits(cat), cat)
+                                blk[0] = preds[cid] << Al
+                            else:
+                                if br.bit():
+                                    blk[0] |= 1 << Al
+    else:
+        cid, dct, _ = scomps[0]
+        _, ch, cv, _ = cinfo[cid]
+        h, w = hdims
+        # unpadded component block grid, like the AC scans
+        bw_c = -(-(-(-(w * ch) // hmax)) // 8)
+        bh_c = -(-(-(-(h * cv) // vmax)) // 8)
+        grid = coefs[cid]
+        pred = 0
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                blk = grid[by, bx]
+                if Ah == 0:
+                    cat = _huff_read(br, htabs[(0, dct)])
+                    pred += _extend(br.bits(cat), cat)
+                    blk[0] = pred << Al
+                else:
+                    if br.bit():
+                        blk[0] |= 1 << Al
+
+
+def _quantized_components(pixels: np.ndarray):
+    """Shared encode front half: blockify + FDCT + quantize each
+    component (4:4:4 — same grid for all), returning zigzag-ordered
+    int coefficient arrays [bh, bw, 64] — the SAME values the baseline
+    encoder entropy-codes, which is what makes progressive-vs-baseline
+    decode identity a meaningful cross-check."""
+    pixels = np.asarray(pixels)
+    gray = pixels.ndim == 2
+    if gray:
+        chans = [pixels.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(pixels)
+        chans = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    out = []
+    for ci, chan in enumerate(chans):
+        blocks, bh, bwid = _blockify(chan)
+        q = _QL if ci == 0 else _QC
+        coeffs = np.einsum("ux,nxy,vy->nuv", _DCT8, blocks - 128.0, _DCT8)
+        quant = np.round(coeffs / q).astype(np.int64)
+        out.append(quant.reshape(bh, bwid, 64)[..., _ZIGZAG_INV])
+    return out, gray
+
+
+# zigzag PERMUTATION inverse: natural-order flat index -> zigzag slot.
+# _ZIGZAG maps zigzag slot -> natural index, so indexing a natural-
+# order row with _ZIGZAG yields zigzag order (as _encode_channel does
+# with `[:, _ZIGZAG]`); the named inverse here is just that same
+# gather, kept for readability at the [..., 64] shape.
+_ZIGZAG_INV = _ZIGZAG
+
+
+def _sos_header(scomps: list[tuple[int, int, int]], ss: int, se: int,
+                ah: int, al: int) -> bytes:
+    ns = len(scomps)
+    out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+    for cid, dct, act in scomps:
+        out += bytes([cid, (dct << 4) | act])
+    out += bytes([ss, se, (ah << 4) | al])
+    return out
+
+
+def encode_jpeg_progressive(pixels: np.ndarray) -> bytes:
+    """Progressive (SOF2) JFIF encode — 4:4:4, Annex K tables, a
+    libjpeg-style scan script: interleaved DC first (Al=1) + DC
+    refinement, then per component an AC first scan (Ss=1..63, Al=1)
+    and an AC refinement scan (Ah=1, Al=0). EOB runs are kept at
+    length 1 so the Annex K example AC tables (no EOBn>0 symbols)
+    remain valid. Quantized coefficients are IDENTICAL to
+    :func:`encode_jpeg`'s, so decoding both must give bit-identical
+    pixels — the codec's cross-layer consistency check."""
+    comps, gray = _quantized_components(pixels)
+    h, w = np.asarray(pixels).shape[:2]
+    nc = 1 if gray else 3
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    for tid, q in ([(0, _QL)] if gray else [(0, _QL), (1, _QC)]):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+        out += bytes(int(x) for x in q.reshape(-1)[_ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for cid in range(1, nc + 1):
+        out += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    for cls, tid, (bits, vals) in (
+        [(0, 0, _DC_L), (1, 0, _AC_L)]
+        if gray
+        else [(0, 0, _DC_L), (1, 0, _AC_L), (0, 1, _DC_C), (1, 1, _AC_C)]
+    ):
+        payload = bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 3 + len(payload))
+        out += bytes([(cls << 4) | tid]) + payload
+
+    dc_tabs = [_huff_codes(*_DC_L)] + [_huff_codes(*_DC_C)] * (nc - 1)
+    ac_tabs = [_huff_codes(*_AC_L)] + [_huff_codes(*_AC_C)] * (nc - 1)
+    al_dc, al_ac = 1, 1
+
+    # scan 1: DC first, all components interleaved, Al=al_dc
+    out += _sos_header(
+        [(c + 1, 0 if c == 0 else 1, 0) for c in range(nc)], 0, 0, 0, al_dc
+    )
+    bw = _BitWriter()
+    preds = [0] * nc
+    bh, bwid = comps[0].shape[:2]
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(nc):
+                dc = int(comps[ci][by, bx][0]) >> al_dc  # arithmetic shift
+                cat, bits_v = _magnitude(dc - preds[ci])
+                code, ln = dc_tabs[ci][cat]
+                bw.write(code, ln)
+                bw.write(bits_v, cat)
+                preds[ci] = dc
+    out += bw.flush()
+
+    # scan 2: DC refinement (Ah=al_dc, Al=0): one raw bit per block
+    out += _sos_header(
+        [(c + 1, 0, 0) for c in range(nc)], 0, 0, al_dc, 0
+    )
+    bw = _BitWriter()
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(nc):
+                bw.write(int(comps[ci][by, bx][0]) & 1, 1)
+    out += bw.flush()
+
+    for ci in range(nc):
+        # AC first scan: Ss=1..63, Al=al_ac, per T.81 G.1.2.2 with
+        # EOBRUN fixed at 1 (plain 0x00 EOB per block)
+        out += _sos_header([(ci + 1, 0, 0 if ci == 0 else 1)], 1, 63, 0, al_ac)
+        bw = _BitWriter()
+        ac_tab = ac_tabs[ci]
+        for by in range(bh):
+            for bx in range(bwid):
+                row = comps[ci][by, bx]
+                run = 0
+                emitted_any = False
+                last = 0
+                shifted = [
+                    (1 if int(v) > 0 else -1) * (abs(int(v)) >> al_ac)
+                    for v in row
+                ]
+                nz = [k for k in range(1, 64) if shifted[k] != 0]
+                last = nz[-1] if nz else 0
+                for k in range(1, last + 1):
+                    v = shifted[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_tab[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    cat, bits_v = _magnitude(v)
+                    code, ln = ac_tab[(run << 4) | cat]
+                    bw.write(code, ln)
+                    bw.write(bits_v, cat)
+                    run = 0
+                    emitted_any = True
+                if last < 63:
+                    code, ln = ac_tab[0x00]  # EOB (run length 1)
+                    bw.write(code, ln)
+        out += bw.flush()
+
+    for ci in range(nc):
+        # AC refinement scan: Ah=al_ac, Al=0, per T.81 G.1.2.3 with
+        # per-block EOB flush (correction bits ride the EOB)
+        out += _sos_header([(ci + 1, 0, 0 if ci == 0 else 1)], 1, 63, al_ac, 0)
+        bw = _BitWriter()
+        ac_tab = ac_tabs[ci]
+        for by in range(bh):
+            for bx in range(bwid):
+                row = comps[ci][by, bx]
+                # span: the positions since the last emitted symbol —
+                # ('z') zero-history, ('c', bit) already-significant
+                # correction. Flush boundaries must mirror the
+                # decoder's walk EXACTLY: a ZRL consumes 16 zero-
+                # history positions and only the correction bits that
+                # precede its 16th zero; a run/1 symbol consumes its
+                # whole span; an EOB flushes everything left.
+                span: list[tuple[str, int]] = []
+                for k in range(1, 64):
+                    v = int(row[k])
+                    mag = abs(v) >> al_ac
+                    if v == 0:
+                        span.append(("z", 0))
+                        continue
+                    if mag != 0:
+                        span.append(("c", abs(v) & 1))
+                        continue
+                    # newly significant this scan: |v| >> Al == 0, v != 0
+                    while sum(1 for t, _ in span if t == "z") > 15:
+                        code, ln = ac_tab[0xF0]
+                        bw.write(code, ln)
+                        zseen = 0
+                        idx = 0
+                        while True:
+                            t, b = span[idx]
+                            idx += 1
+                            if t == "z":
+                                zseen += 1
+                                if zseen == 16:
+                                    break
+                            else:
+                                bw.write(b, 1)
+                        span = span[idx:]
+                    r = sum(1 for t, _ in span if t == "z")
+                    code, ln = ac_tab[(r << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if v > 0 else 0, 1)
+                    for t, b in span:
+                        if t == "c":
+                            bw.write(b, 1)
+                    span = []
+                if span:
+                    code, ln = ac_tab[0x00]  # EOB, correction bits follow
+                    bw.write(code, ln)
+                    for t, b in span:
+                        if t == "c":
+                            bw.write(b, 1)
+        out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -226,6 +226,17 @@ def probe(spark, sizes, ops=None, repeat=1):
             timed("near_dedup_against_index", n, lambda: D.near_dup_pairs_against_index(
                 docs.filter(f"doc_id >= {n - n // 5}"), idx, "doc_id", "text",
                 threshold=0.6, max_bucket_size=64).count())
+            # round 8: prebuilt band table — the index-side banding
+            # explode moves to build time (build_minhash_band_index);
+            # the delta vs the row above is what re-banding the index
+            # costs every batch
+            bands_pb = D.build_minhash_band_index(
+                idx, "doc_id"
+            ).localCheckpoint()
+            timed("near_dedup_prebuilt_bands", n, lambda: D.near_dup_pairs_against_index(
+                docs.filter(f"doc_id >= {n - n // 5}"), idx, "doc_id", "text",
+                threshold=0.6, max_bucket_size=64,
+                index_bands_df=bands_pb).count())
         # storage-only reconcile primitive: all-pairs banding + exact
         # verify + connected components straight from a STORED
         # signature frame — the maintenance-window cost of

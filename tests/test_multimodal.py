@@ -262,12 +262,51 @@ def test_jpeg_codec_roundtrip_and_guards():
 
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"not a jpeg")
-    # a progressive (SOF2) header must be refused, not mis-decoded
+    # a BASELINE stream whose SOF marker is forged to SOF2 is a corrupt
+    # progressive stream (its single SOS claims a full-band DC scan) —
+    # must fail loudly, not mis-decode
     prog = bytearray(J.encode_jpeg(img))
     idx = bytes(prog).find(b"\xff\xc0")
     prog[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="corrupt"):
         J.decode_jpeg(bytes(prog))
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """Progressive (SOF2) entropy-codes the SAME quantized
+    coefficients as baseline across its multi-scan script (DC first +
+    DC refinement + per-component AC first/refinement), so decoding
+    encode_jpeg_progressive(x) must equal decoding encode_jpeg(x)
+    BIT-EXACTLY — two independent entropy layers agreeing on the
+    coefficient array. Shapes chosen to hit long zero runs (ZRL in the
+    refinement walk), EOB-with-correction-bits, saturated DC, odd
+    dims, and grayscale."""
+    import numpy as np
+
+    from fugue_warehouses_spark.extensions import jpeg as J
+
+    rng = np.random.default_rng(11)
+    cases = []
+    yy, xx = np.mgrid[0:48, 0:40]
+    cases.append(np.stack(
+        [np.clip(yy * 4, 0, 255), np.clip(xx * 6, 0, 255),
+         np.clip(255 - yy * 3, 0, 255)], axis=-1).astype(np.uint8))
+    cases.append(rng.integers(0, 256, size=(29, 31, 3)).astype(np.uint8))
+    sat = np.zeros((24, 24, 3), np.uint8)
+    sat[:12] = 255
+    cases.append(sat)
+    cases.append(np.clip(yy * 5, 0, 255).astype(np.uint8))  # grayscale
+    # sparse high-frequency content: single hot pixels per block make
+    # isolated late-zigzag coefficients -> ZRL + correction-bit paths
+    sparse = np.zeros((32, 32, 3), np.uint8)
+    sparse[::7, ::5] = 255
+    cases.append(sparse)
+    for img in cases:
+        base = J.decode_jpeg(J.encode_jpeg(img))
+        prog_payload = J.encode_jpeg_progressive(img)
+        assert J._is_progressive(prog_payload)
+        prog = J.decode_jpeg(prog_payload)
+        assert np.array_equal(base, prog), img.shape
 
 
 def test_jpeg_dc_only_exactness():
