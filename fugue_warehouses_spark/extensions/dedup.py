@@ -1394,11 +1394,19 @@ def build_minhash_band_index(
     CORPUS-SIZED index (an index-length explode + xxhash per call —
     harmless at sf0.1, an index-scan-sized recomputation per batch at
     100 TB). The in-plan signature-length guard runs here, at build
-    time."""
+    time, and the table is SELF-DESCRIBING: ``__nh``/``__bands``
+    columns carry the build parameters (RLE-free in parquet) so the
+    probe can refuse a stale table loudly instead of silently missing
+    every cross pair (round-8 review fix)."""
     rows_per_band = max(1, num_hashes // bands)
-    return _band_buckets(
-        index_df, id_col, bands, rows_per_band, expected_len=num_hashes
-    ).select(F.col("__id").alias(id_col), "band", "bucket")
+    return (
+        _band_buckets(
+            index_df, id_col, bands, rows_per_band, expected_len=num_hashes
+        )
+        .select(F.col("__id").alias(id_col), "band", "bucket")
+        .withColumn("__nh", F.lit(num_hashes))
+        .withColumn("__bands", F.lit(bands))
+    )
 
 
 def near_dup_pairs_against_index(
@@ -1457,19 +1465,40 @@ def near_dup_pairs_against_index(
     ).localCheckpoint(
         eager=False, storageLevel=_sig_checkpoint_level(new_df.sparkSession)
     )
-    idx_banded = (
+    if index_bands_df is not None:
         # prebuilt band table (build_minhash_band_index): the
-        # index-sized explode already ran at index-build time; the
-        # guard ran there too
-        index_bands_df.select(
+        # index-sized explode already ran at index-build time, and so
+        # did the signature-length guard. A table built with DIFFERENT
+        # num_hashes/bands silently misses every cross pair (buckets
+        # hash different slices), so verify the self-describing
+        # build-parameter columns IN-PLAN (lazy raise_error on the
+        # first row — no extra job); a hand-built table without them
+        # is accepted on the documented caller's contract.
+        cols = set(index_bands_df.columns)
+        guarded = index_bands_df
+        if "__nh" in cols and "__bands" in cols:
+            msg = (
+                f"stored band table was built with different "
+                f"num_hashes/bands than this call (num_hashes="
+                f"{num_hashes}, bands={bands}) — rebuild it with "
+                "build_minhash_band_index or pass matching params"
+            )
+            guarded = index_bands_df.withColumn(
+                "band",
+                F.when(
+                    (F.col("__nh") == num_hashes)
+                    & (F.col("__bands") == bands),
+                    F.col("band"),
+                ).otherwise(F.raise_error(F.lit(msg))),
+            )
+        idx_banded = guarded.select(
             F.col(id_col).alias("__id"), "band", "bucket"
         )
-        if index_bands_df is not None
-        else _band_buckets(
+    else:
+        idx_banded = _band_buckets(
             index_df, id_col, bands, rows_per_band,
             expected_len=num_hashes,
         )
-    )
     banded = (
         _band_buckets(new_sig, id_col, bands, rows_per_band)
         .withColumn("__new", F.lit(True))

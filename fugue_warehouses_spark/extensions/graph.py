@@ -170,9 +170,15 @@ def pagerank(
 
     from fugue_warehouses_spark.plans.bounded import driver_fast_path_ok
 
+    # two-stage gate so the recorded decision is ALWAYS current (an
+    # over-cap graph must record a refusal, not leave a stale earlier
+    # verdict — round-8 review), while the byte-estimate's sample job
+    # only runs once the edge cap already passed
     if (
         n_edges is not None
-        and n_edges <= local_edges_below
+        and driver_fast_path_ok(
+            "pagerank_local", edges=(n_edges, local_edges_below)
+        )
         and driver_fast_path_ok(
             "pagerank_local",
             edges=(n_edges, local_edges_below),

@@ -145,6 +145,36 @@ def _huff_decoder(bits, vals):
     return out
 
 
+def _parse_dqt(seg: bytes, qtabs: dict) -> None:
+    """DQT segment -> natural-order 8x8 tables into ``qtabs`` (shared
+    by the baseline and progressive marker walks)."""
+    p = 0
+    while p < len(seg):
+        prec, tid = seg[p] >> 4, seg[p] & 0x0F
+        p += 1
+        n = 64 * (2 if prec else 1)
+        raw = (
+            np.frombuffer(seg[p : p + n], dtype=">u2" if prec else np.uint8)
+            .astype(np.int64)
+        )
+        tbl = np.zeros(64, dtype=np.int64)
+        tbl[_ZIGZAG] = raw
+        qtabs[tid] = tbl.reshape(8, 8)
+        p += n
+
+
+def _parse_dht(seg: bytes, htabs: dict) -> None:
+    """DHT segment -> (class, id) decoder dicts into ``htabs`` (shared
+    by the baseline and progressive marker walks)."""
+    p = 0
+    while p < len(seg):
+        cls, tid = seg[p] >> 4, seg[p] & 0x0F
+        bits = list(seg[p + 1 : p + 17])
+        n = sum(bits)
+        htabs[(cls, tid)] = _huff_decoder(bits, list(seg[p + 17 : p + 17 + n]))
+        p += 17 + n
+
+
 class _BitWriter:
     def __init__(self):
         self.buf = bytearray()
@@ -371,30 +401,14 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
 def _decode_block(br: _BitReader, dec_dc, dec_ac, pred: int):
     row = np.zeros(64, dtype=np.int64)
     # DC
-    length, code = 0, 0
-    while True:
-        code = (code << 1) | br.bit()
-        length += 1
-        if (length, code) in dec_dc:
-            cat = dec_dc[(length, code)]
-            break
-        if length > 16:
-            raise ValueError("corrupt JPEG: bad DC Huffman code")
+    cat = _huff_read(br, dec_dc)
     diff = _extend(br.bits(cat), cat)
     pred += diff
     row[0] = pred
     # AC
     k = 1
     while k < 64:
-        length, code = 0, 0
-        while True:
-            code = (code << 1) | br.bit()
-            length += 1
-            if (length, code) in dec_ac:
-                sym = dec_ac[(length, code)]
-                break
-            if length > 16:
-                raise ValueError("corrupt JPEG: bad AC Huffman code")
+        sym = _huff_read(br, dec_ac)
         if sym == 0x00:  # EOB
             break
         if sym == 0xF0:  # ZRL
@@ -435,6 +449,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1  # fill byte (T.81 B.1.1.2): next byte may be the marker
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -443,28 +460,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:
-            p = 0
-            while p < len(seg):
-                prec, tid = seg[p] >> 4, seg[p] & 0x0F
-                p += 1
-                n = 64 * (2 if prec else 1)
-                raw = (
-                    np.frombuffer(seg[p : p + n], dtype=">u2" if prec else np.uint8)
-                    .astype(np.int64)
-                )
-                tbl = np.zeros(64, dtype=np.int64)
-                tbl[_ZIGZAG] = raw
-                qtabs[tid] = tbl.reshape(8, 8)
-                p += n
+            _parse_dqt(seg, qtabs)
         elif marker == 0xC4:
-            p = 0
-            while p < len(seg):
-                cls, tid = seg[p] >> 4, seg[p] & 0x0F
-                bits = list(seg[p + 1 : p + 17])
-                n = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + n])
-                htabs[(cls, tid)] = _huff_decoder(bits, vals)
-                p += 17 + n
+            _parse_dht(seg, htabs)
         elif marker == 0xC0 or marker == 0xC1:
             _, h, w, nc = struct.unpack(">BHHB", seg[:6])
             hdims = (h, w)
@@ -581,6 +579,9 @@ def _is_progressive(data: bytes) -> bool:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1  # fill byte (T.81 B.1.1.2): next byte may be the marker
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -692,6 +693,9 @@ def _decode_progressive(data: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1  # fill byte (T.81 B.1.1.2): next byte may be the marker
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -700,29 +704,9 @@ def _decode_progressive(data: bytes) -> np.ndarray:
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:
-            p = 0
-            while p < len(seg):
-                prec, tid = seg[p] >> 4, seg[p] & 0x0F
-                p += 1
-                n = 64 * (2 if prec else 1)
-                raw = (
-                    np.frombuffer(seg[p : p + n], dtype=">u2" if prec else np.uint8)
-                    .astype(np.int64)
-                )
-                tbl = np.zeros(64, dtype=np.int64)
-                tbl[_ZIGZAG] = raw
-                qtabs[tid] = tbl.reshape(8, 8)
-                p += n
+            _parse_dqt(seg, qtabs)
         elif marker == 0xC4:
-            p = 0
-            while p < len(seg):
-                cls, tid = seg[p] >> 4, seg[p] & 0x0F
-                bits = list(seg[p + 1 : p + 17])
-                n = sum(bits)
-                htabs[(cls, tid)] = _huff_decoder(
-                    bits, list(seg[p + 17 : p + 17 + n])
-                )
-                p += 17 + n
+            _parse_dht(seg, htabs)
         elif marker == 0xC2:
             _, h, w, nc = struct.unpack(">BHHB", seg[:6])
             hdims = (h, w)
@@ -973,8 +957,6 @@ def encode_jpeg_progressive(pixels: np.ndarray) -> bytes:
             for bx in range(bwid):
                 row = comps[ci][by, bx]
                 run = 0
-                emitted_any = False
-                last = 0
                 shifted = [
                     (1 if int(v) > 0 else -1) * (abs(int(v)) >> al_ac)
                     for v in row
@@ -995,7 +977,6 @@ def encode_jpeg_progressive(pixels: np.ndarray) -> bytes:
                     bw.write(code, ln)
                     bw.write(bits_v, cat)
                     run = 0
-                    emitted_any = True
                 if last < 63:
                     code, ln = ac_tab[0x00]  # EOB (run length 1)
                     bw.write(code, ln)

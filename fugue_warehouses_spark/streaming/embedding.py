@@ -56,7 +56,7 @@ rows. A crash after the index version self-suppresses the replay
 durable. The inverse order (index first — the round-7 shape) had a
 zero-times-delivery hole: rows indexed but not yet appended
 self-suppressed on replay and never reached survivors_path (round-8
-ADVICE fix; regression test at tests/test_streaming.py). With
+ADVICE fix; regression test at tests/test_streaming_embedding.py). With
 ``dropped_store`` set a replay may re-log its rows as dropped;
 reconcile dedups ids on read and keys survivorship off the INDEX, so
 a survivor id in the drop log is verify noise, never a correctness

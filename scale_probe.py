@@ -219,7 +219,9 @@ def probe(spark, sizes, ops=None, repeat=1):
         # incremental NEAR-dedup: index built once OUTSIDE the timed
         # region (that is the point — the rolling-corpus loop pays only
         # the batch signing per run), batch = the newest 20%
-        if wanted("near_dedup_against_index"):
+        if wanted("near_dedup_against_index") or wanted(
+            "near_dedup_prebuilt_bands"
+        ):
             idx = D.build_minhash_index(
                 docs.filter(f"doc_id < {n - n // 5}"), "doc_id", "text"
             ).localCheckpoint()
@@ -230,13 +232,14 @@ def probe(spark, sizes, ops=None, repeat=1):
             # explode moves to build time (build_minhash_band_index);
             # the delta vs the row above is what re-banding the index
             # costs every batch
-            bands_pb = D.build_minhash_band_index(
-                idx, "doc_id"
-            ).localCheckpoint()
-            timed("near_dedup_prebuilt_bands", n, lambda: D.near_dup_pairs_against_index(
-                docs.filter(f"doc_id >= {n - n // 5}"), idx, "doc_id", "text",
-                threshold=0.6, max_bucket_size=64,
-                index_bands_df=bands_pb).count())
+            if wanted("near_dedup_prebuilt_bands"):
+                bands_pb = D.build_minhash_band_index(
+                    idx, "doc_id"
+                ).localCheckpoint()
+                timed("near_dedup_prebuilt_bands", n, lambda: D.near_dup_pairs_against_index(
+                    docs.filter(f"doc_id >= {n - n // 5}"), idx, "doc_id", "text",
+                    threshold=0.6, max_bucket_size=64,
+                    index_bands_df=bands_pb).count())
         # storage-only reconcile primitive: all-pairs banding + exact
         # verify + connected components straight from a STORED
         # signature frame — the maintenance-window cost of

@@ -43,6 +43,13 @@ def test_pagerank_routes_through_gate(spark):
     decisions.pop("pagerank_local", None)
     pagerank(e, iters=1, local_bytes_below=1).count()
     assert decisions["pagerank_local"]["taken"] is False
+    # over-EDGE-cap: must record a refusal too, not leave the earlier
+    # verdict stale (round-8 review: the decision registry is only
+    # useful if every call updates it)
+    pagerank(e, iters=1).count()
+    assert decisions["pagerank_local"]["taken"] is True
+    pagerank(e, iters=1, local_edges_below=1).count()
+    assert decisions["pagerank_local"]["taken"] is False
 
 
 def test_within_batch_cc_routes_through_gate(spark):

@@ -301,7 +301,8 @@ def test_near_dup_against_prebuilt_band_index(spark, tables, tmp_path):
     idx = V.read_version(spark, store)
     V.write_version(D.build_minhash_band_index(idx, "doc_id"), bstore)
     bands = V.read_version(spark, bstore)
-    assert set(bands.columns) == {"doc_id", "band", "bucket"}
+    # self-describing: build params ride along for the probe's guard
+    assert set(bands.columns) == {"doc_id", "band", "bucket", "__nh", "__bands"}
     as_set = lambda df: {
         (r["id_new"], r["id_match"], round(r["jaccard_sim"], 6))
         for r in df.collect()
@@ -322,6 +323,14 @@ def test_near_dup_against_prebuilt_band_index(spark, tables, tmp_path):
     short = D.build_minhash_index(hist.limit(3), num_hashes=32)
     with pytest.raises(Exception, match="num_hashes=64"):
         D.build_minhash_band_index(short, "doc_id", num_hashes=64).count()
+    # a stale band table (different build params) must fail LOUDLY in
+    # the probe, not silently miss every cross pair (round-8 review)
+    stale = D.build_minhash_band_index(idx, "doc_id", bands=4)
+    with pytest.raises(Exception, match="different"):
+        D.near_dup_pairs_against_index(
+            new, idx, "doc_id", "text", threshold=0.6,
+            index_bands_df=stale,
+        ).count()
 
 
 def test_near_dup_against_index_rejects_num_hashes_mismatch(spark):

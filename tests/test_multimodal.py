@@ -308,6 +308,20 @@ def test_jpeg_progressive_matches_baseline_decode():
         prog = J.decode_jpeg(prog_payload)
         assert np.array_equal(base, prog), img.shape
 
+    # spec-legal 0xFF fill bytes before a marker (T.81 B.1.1.2) must
+    # not derail the marker walk (round-8 review: the fill byte used
+    # to be read as a marker with a garbage segment length)
+    img = cases[0]
+    prog_payload = J.encode_jpeg_progressive(img)
+    idx = prog_payload.find(b"\xff\xc2")
+    padded = prog_payload[:idx] + b"\xff\xff\xff" + prog_payload[idx:]
+    assert J._is_progressive(padded)
+    assert np.array_equal(J.decode_jpeg(padded), J.decode_jpeg(prog_payload))
+    base_payload = J.encode_jpeg(img)
+    idx = base_payload.find(b"\xff\xc0")
+    bpadded = base_payload[:idx] + b"\xff\xff" + base_payload[idx:]
+    assert np.array_equal(J.decode_jpeg(bpadded), J.decode_jpeg(base_payload))
+
 
 def test_jpeg_dc_only_exactness():
     """Analytic check that FDCT/quant/Huffman agree end-to-end: a
