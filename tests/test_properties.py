@@ -244,3 +244,35 @@ def test_shard_assignment_total_and_range(spark, n, shards):
     m = shard_manifest(shard_assignment(df, "k", shards), "k").collect()
     assert sum(r["n_rows"] for r in m) == n
     assert all(0 <= r["shard"] < shards for r in m)
+
+
+@given(
+    st.integers(8, 28),
+    st.integers(8, 28),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_progressive_baseline_identity_fuzz(h, w, gray, seed):
+    """Pure-python codec property (round 8): progressive (SOF2)
+    entropy-codes the same quantized coefficients as baseline across
+    its multi-scan script, so decode(progressive(x)) must equal
+    decode(baseline(x)) BIT-EXACTLY for arbitrary images — dims
+    straddling block boundaries, grayscale and RGB, arbitrary
+    content."""
+    import numpy as np
+
+    from fugue_warehouses_spark.extensions import jpeg as J
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    # mix smooth + noise so blocks span long-zero-run and busy regimes
+    base = (np.indices((h, w)).sum(0) * (seed % 7 + 1)) % 256
+    img = base[..., None].repeat(3, -1) if not gray else base
+    img = np.clip(
+        img + rng.normal(0, seed % 90, shape), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg(img)),
+        J.decode_jpeg(J.encode_jpeg_progressive(img)),
+    )
