@@ -36,6 +36,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from fugue_warehouses_spark import benchwindow  # noqa: E402
 from fugue_warehouses_spark.plans.checkpoint import released_after  # noqa: E402
 from fugue_warehouses_spark.queries import QUERIES  # noqa: E402
 from fugue_warehouses_spark.session import get_spark, pinned_heap_conf  # noqa: E402
@@ -294,6 +295,19 @@ def main() -> None:
         "jobfloor_32x_sec": _job_floor(spark),
     }
     print(f"[bench] control_end: {control_end}", file=sys.stderr, flush=True)
+    # Classify the whole window from its own controls (round 9): a
+    # DEGRADED verdict means these numbers are unrecordable as
+    # performance claims — the staleness gate refuses the artifact
+    # instead of failing unchanged code (r8: per-job bursts inflated
+    # rows 2-9x while tpch+numpy sampled clean; only the jobfloor
+    # control saw it). The artifact is still written so the window
+    # itself is documented; BASELINE.md's re-record policy applies.
+    window_state, window_reasons = benchwindow.classify(control, control_end)
+    print(
+        f"[bench] window: {window_state} {window_reasons}",
+        file=sys.stderr,
+        flush=True,
+    )
     here = os.path.dirname(os.path.abspath(__file__))
     queries_file = "bench_queries.json"
     with open(os.path.join(here, queries_file), "w") as f:
@@ -306,6 +320,7 @@ def main() -> None:
                 "cold_first_run_sec": cold,
                 "control": control,
                 "control_end": control_end,
+                "window": {"state": window_state, "reasons": window_reasons},
                 "timing": "1 untimed warmup + best of N timed runs",
                 "runs_per_query": 3,
                 "sf": sf,
@@ -325,6 +340,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries_file": queries_file,
         "control_sec": round(sum(control.values()), 3),
+        "window": window_state,
         "queries": {},
     }
     budget = 1400

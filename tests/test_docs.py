@@ -137,48 +137,35 @@ def _parse_sec_cell(cell: str) -> tuple[float, float] | None:
     return lo, hi
 
 
-def _host_inflation(sidecar_data: dict) -> float:
-    """Tolerance multiplier from the bench's fixed-work host controls
-    (bench.py `_host_controls`): the WORST measured/idle ratio across
-    the tpch scan-agg AND numpy matmul controls, at session start AND
-    end (`control_end`). >1 means the bench window ran on a loaded
-    host — EVERY query inflates together, so the staleness gate scales
-    its tolerance rather than flagging code that didn't change (the
-    rounds-4-6 re-litigation this control exists to end). Round 8
-    widened this from tpch-only after a degraded window whose tpch
-    sample happened to land clean (0.318 vs idle 0.49) while the numpy
-    control read 1.5x at start and 4x at end — one control is a point
-    sample; the max over four is much harder to fool. Floored at 1.0
-    (a fast window never tightens the gate) and capped at 3.0 (a
-    window worse than 3x is too noisy to normalize against — the
-    artifact should be re-recorded instead)."""
-    text = (REPO / "BASELINE.md").read_text()
-    ratios = [1.0]
-    for key in ("tpch_scan_agg_sec", "numpy_matmul_sec"):
-        m = re.search(rf"{key}=(\d+(?:\.\d+)?)", text)
-        if not m or float(m.group(1)) <= 0:
-            continue
-        ref = float(m.group(1))
-        for block in ("control", "control_end"):
-            ctrl = (sidecar_data.get(block) or {}).get(key)
-            if ctrl:
-                ratios.append(ctrl / ref)
-    return min(3.0, max(ratios))
-
-
 def test_baseline_spark_values_track_bench_sidecar():
     """Every BASELINE per-query Spark-seconds claim must cover the
     latest recorded bench value within tolerance: point claims may be
     exceeded by at most POINT_TOLERANCE, explicit lo-hi bands by at
     most BAND_TOLERANCE over the hi end — both scaled by the sidecar's
-    own host-state control (see _host_inflation). Queries absent from
-    the sidecar (prose-documented heavies) are skipped."""
+    own host-state controls (benchwindow.inflation, all THREE controls
+    at start and end). A sidecar whose controls classify the window
+    DEGRADED (benchwindow.classify — e.g. the r8 driver window whose
+    jobfloor read 3.765 s while tpch+numpy sampled clean) is REFUSED
+    for comparison rather than normalized: per-job burst regimes
+    inflate individual rows 2-9x non-uniformly, so no scalar tolerance
+    makes the comparison meaningful; BASELINE.md's re-record policy
+    applies. Queries absent from the sidecar (prose-documented
+    heavies) are skipped."""
+    from fugue_warehouses_spark import benchwindow
+
     sidecar = REPO / "bench_queries.json"
     if not sidecar.exists():
         pytest.skip("no bench sidecar recorded yet")
     data = json.loads(sidecar.read_text())
     bench = data["queries"]
-    infl = _host_inflation(data)
+    state, reasons = benchwindow.classify_sidecar(data)
+    if state == "degraded":
+        pytest.skip(
+            "bench sidecar was recorded in a DEGRADED host window "
+            f"({'; '.join(reasons)}); staleness cannot be assessed — "
+            "re-record on an idle host per BASELINE.md methodology"
+        )
+    infl = benchwindow.inflation(data.get("control"), data.get("control_end"))
     stale = []
     for cells in _query_table_rows():
         name = _query_name(cells[0])
