@@ -146,10 +146,16 @@ def pagerank(
     def _est_driver_bytes() -> float:
         # numeric ids: 8 B each in the transfer, 8 B in numpy — compact
         # int64/float64 pandas columns, 8M rows ≈ 128 MB. Anything else
-        # (string node ids are the co-occurrence norm): sample actual
-        # widths and charge the pandas object overhead ×3 (the toPandas
-        # frame plus pd.unique/position-Series copies), because 8M
-        # object rows is GBs, not 128 MB.
+        # (string node ids are the co-occurrence norm): measure the
+        # EXACT mean id width in one distributed aggregate — this only
+        # runs once the edge cap already passed (≤ local_edges_below
+        # rows of an already-checkpointed list, one cheap scan), and
+        # unlike a limit() sample it cannot be fooled by a graph whose
+        # early partitions hold short ids and late ones long (round-9
+        # ADVICE fix) — and charge the pandas object overhead ×3 (the
+        # toPandas frame plus pd.unique/position-Series copies) plus
+        # 120 B/row of object headers, because 8M object rows is GBs,
+        # not 128 MB.
         numeric = all(
             isinstance(
                 edges.schema[c].dataType,
@@ -159,32 +165,38 @@ def pagerank(
         )
         if numeric:
             return n_edges * 16.0
-        sample = edges.select("src", "dst").limit(1024).collect()
-        if not sample:
-            return 0.0
-        per_row = sum(
-            len(str(r["src"])) + len(str(r["dst"])) + 120
-            for r in sample
-        ) / len(sample)
-        return n_edges * per_row * 3.0
+        avg_w = edges.select(
+            (
+                F.length(F.col("src").cast("string"))
+                + F.length(F.col("dst").cast("string"))
+            ).alias("__w")
+        ).agg(F.avg("__w")).first()[0]
+        return n_edges * ((avg_w or 0.0) + 120.0) * 3.0
 
     from fugue_warehouses_spark.plans.bounded import driver_fast_path_ok
 
     # two-stage gate so the recorded decision is ALWAYS current (an
     # over-cap graph must record a refusal, not leave a stale earlier
-    # verdict — round-8 review), while the byte-estimate's sample job
-    # only runs once the edge cap already passed
-    if (
-        n_edges is not None
-        and driver_fast_path_ok(
-            "pagerank_local", edges=(n_edges, local_edges_below)
+    # verdict — round-8 review), while the byte-estimate's measurement
+    # job only runs once the edge cap already passed. With
+    # materialize_edges=False the edge count is unknown (counting
+    # would re-execute the upstream), so the fast path is refused BY
+    # CONSTRUCTION — and the refusal is RECORDED (estimate inf), never
+    # leaving an earlier call's verdict in decisions (round-9 ADVICE
+    # fix).
+    if n_edges is None:
+        take_local = driver_fast_path_ok(
+            "pagerank_local", edges=(float("inf"), local_edges_below)
         )
-        and driver_fast_path_ok(
+    else:
+        take_local = driver_fast_path_ok(
+            "pagerank_local", edges=(n_edges, local_edges_below)
+        ) and driver_fast_path_ok(
             "pagerank_local",
             edges=(n_edges, local_edges_below),
             driver_bytes=(_est_driver_bytes(), local_bytes_below),
         )
-    ):
+    if take_local:
         import numpy as np
         import pandas as pd
 

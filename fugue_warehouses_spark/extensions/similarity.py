@@ -20,6 +20,8 @@ All vector math is double-precision, fixed accumulation order
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -34,18 +36,32 @@ from fugue_warehouses_spark.functions.vectors import cosine, dot, l2_normalize, 
 # the handle (round-8 ADVICE fix). unpersist (NOT destroy) keeps a
 # rotated-out broadcast usable: a still-live frame that re-executes
 # just re-ships it from the driver.
+#
+# Concurrency contract (round-9 ADVICE fix): rotation is atomic under
+# _BC_LOCK — foreachBatch callbacks run on stream-execution threads,
+# and an unlocked pop/insert pair could drop a broadcast handle
+# entirely under interleaving. The slot itself remains ONE per site by
+# design: TWO streaming queries sharing a site in one process will
+# rotate each other's broadcast every micro-batch — correct (a
+# rotated-out broadcast re-ships from the driver on use) but the
+# per-executor caching degrades to per-batch re-shipping. Run one
+# streaming query per site per process to keep the caching; keying by
+# query thread was rejected because dead stream threads would pin
+# their last broadcast forever — the very leak rotation exists to end.
 _LIVE_BROADCASTS: dict = {}
+_BC_LOCK = threading.Lock()
 
 
 def _rotate_broadcast(sc, site: str, value):
-    old = _LIVE_BROADCASTS.pop(site, None)
+    bc = sc.broadcast(value)
+    with _BC_LOCK:
+        old = _LIVE_BROADCASTS.get(site)
+        _LIVE_BROADCASTS[site] = bc
     if old is not None:
         try:
             old.unpersist(blocking=False)
         except Exception:
             pass
-    bc = sc.broadcast(value)
-    _LIVE_BROADCASTS[site] = bc
     return bc
 
 

@@ -1627,90 +1627,127 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.ivf_topk_hash(emb, queries, k=10, n_centroids=32, n_probe=8)
 
 
-_IVF_STORES: dict = {}
+_SERVING_HANDLES: dict = {}
 
 
-def _ivf_index_for(spark: SparkSession, sf_dir: str):
-    """Build-and-persist ONCE per (process, sf_dir); returns the hot
-    serving handle dict with ``assigned`` / ``centroids`` /
-    ``centroid_rows``:
+def _serving_handle(spark: SparkSession, family: str, sf_dir: str, build):
+    """Build-once/persist/warm-EXACT-shape contract shared by every
+    process-cached serving handle (the persisted-IVF, Bloom-dedup and
+    MinHash-index facets; the next persisted state gets it by
+    inheritance — VERDICT r8 #6):
 
-    - the index is built and written to the versioned store on first
-      call (the store stays the durable source of truth / time-travel
-      surface — plans/versioned),
-    - ``assigned`` is the stored version cached in cluster memory
-      (``persist()`` + eager materialize — the way a rolling
-      ANN-serving workflow keeps its index hot; on a real cluster this
-      lives in executor storage memory and is rebuilt from the store
-      on loss),
-    - ``centroids`` (32 rows) is re-created driver-local from one
-      collect, and ``centroid_rows`` caches those collected rows so
-      per-probe centroid ranking costs zero Spark jobs.
-
-    The first call also runs one throwaway probe, so whole-stage
-    codegen of the probe plan shape compiles here — inside any
-    caller's warmup — never in a timed/latency-sensitive region. The
-    per-process temp store root is removed at exit."""
+    - ONE build per (family, sf_dir) per process; the durable source
+      of truth is a versioned store under a per-process temp root
+      (removed at exit), state served from cluster memory;
+    - ``build(store) -> (entry_dict, warmup_fn)`` does the
+      family-specific work, using :func:`_stored_table` for each
+      write-version/read-back/persist/eager-materialize table;
+    - the warmup callable returns the EXACT facet plan shape and runs
+      THREE times after the entry is cached. This encodes the round-8
+      C2 lesson: a toy probe (k=1, limit(50)) compiles the codegen
+      class but leaves the hot loops interpreted/C1 — a fresh JVM
+      measured 1.03/1.03/0.79 s for the first three persisted-IVF
+      facet reps vs 0.65-0.70 steady state, so a best-of-3 bench
+      window sat entirely inside the C2 warming region (the r6/r7
+      "above band" readings). Warm the exact shape, three times,
+      outside any timed region.
+    """
     import atexit
-    import os
     import shutil
     import tempfile
 
-    from fugue_warehouses_spark.plans import versioned as V
-
-    entry = _IVF_STORES.get(sf_dir)
+    key = (family, sf_dir)
+    entry = _SERVING_HANDLES.get(key)
     if entry is not None:
         return entry
-    store = tempfile.mkdtemp(prefix="wf_ivf_index_")
+    store = tempfile.mkdtemp(prefix=f"wf_{family}_")
     atexit.register(shutil.rmtree, store, ignore_errors=True)
-    emb = _t(spark, sf_dir, "embeddings")
-    assigned_b, centroids_b = SS.build_ivf_hash_index(emb, n_centroids=32)
-    V.write_version(assigned_b, os.path.join(store, "assigned"), spark)
-    V.write_version(centroids_b, os.path.join(store, "centroids"), spark)
-    assigned_raw = V.read_version(spark, os.path.join(store, "assigned"))
-    # size the cached index partitioning to the data (~500k rows per
-    # partition): at test SF that is ONE partition, whose
-    # SinglePartition output satisfies the probe's rank-window
-    # distribution so Spark elides the top-k shuffle entirely; a
-    # 100 TB index gets proportionally many partitions and keeps the
-    # shuffle it genuinely needs
-    import math
-
-    n_part = max(1, math.ceil(assigned_raw.count() / 500_000))
-    assigned = assigned_raw.coalesce(n_part).persist()
-    assigned.count()  # materialize the cache eagerly
-    cent_rows = sorted(
-        V.read_version(spark, os.path.join(store, "centroids")).collect(),
-        key=lambda r: r["cidx"],
-    )
-    centroids = spark.createDataFrame(
-        [(int(r["cidx"]), [float(x) for x in r["centroid"]]) for r in cent_rows],
-        "cidx int, centroid array<double>",
-    )
-    _IVF_STORES[sf_dir] = {
-        "store": store,
-        "assigned": assigned,
-        "centroids": centroids,
-        "centroid_rows": cent_rows,
-    }
-    # throwaway probes: JIT the probe plan outside timed regions — the
-    # EXACT facet shape (k=10, n_probe=8, 10 queries), three times.
-    # The old single k=1/n_probe=1 probe compiled the codegen class but
-    # left the hot candidate-scoring loops interpreted/C1: a fresh JVM
-    # measured 1.03/1.03/0.79 s for the first three facet reps vs a
-    # 0.65-0.70 s steady state (round-8 probe, SCALE_NOTES), so a
-    # best-of-3 bench window in a fresh JVM sat entirely inside the C2
-    # warming region — the r6/r7 "persisted-IVF above band" readings.
+    entry, warmup = build(store)
+    entry.setdefault("store", store)
+    _SERVING_HANDLES[key] = entry
     for _ in range(3):
-        SS.ivf_topk_from_index(
+        warmup().count()
+    return entry
+
+
+def _stored_table(
+    spark: SparkSession,
+    store: str,
+    name: str,
+    df: DataFrame,
+    rows_per_partition: int | None = None,
+) -> DataFrame:
+    """One serving-handle table: written to the versioned store (the
+    durable truth / time-travel surface — plans/versioned), read back,
+    optionally re-partitioned to the data size, persisted and eagerly
+    materialized (on a real cluster this lives in executor storage
+    memory and is rebuilt from the store on loss)."""
+    import math
+    import os
+
+    from fugue_warehouses_spark.plans import versioned as V
+
+    V.write_version(df, os.path.join(store, name), spark)
+    out = V.read_version(spark, os.path.join(store, name))
+    if rows_per_partition is not None:
+        # size the cached partitioning to the data: at test SF that is
+        # ONE partition, whose SinglePartition output satisfies e.g. a
+        # probe's rank-window distribution so Spark elides the top-k
+        # shuffle entirely; a 100 TB table gets proportionally many
+        # partitions and keeps the shuffle it genuinely needs
+        out = out.coalesce(
+            max(1, math.ceil(out.count() / rows_per_partition))
+        )
+    out = out.persist()
+    out.count()  # eager: hot in storage memory
+    return out
+
+
+def _ivf_index_for(spark: SparkSession, sf_dir: str):
+    """IVF serving handle (``assigned`` / ``centroids`` /
+    ``centroid_rows``) under the :func:`_serving_handle` contract.
+    ``centroids`` (32 rows) is re-created driver-local from one
+    collect, and ``centroid_rows`` caches those collected rows so
+    per-probe centroid ranking costs zero Spark jobs."""
+    import os
+
+    from fugue_warehouses_spark.plans import versioned as V
+
+    def build(store):
+        emb = _t(spark, sf_dir, "embeddings")
+        assigned_b, centroids_b = SS.build_ivf_hash_index(emb, n_centroids=32)
+        assigned = _stored_table(
+            spark, store, "assigned", assigned_b, rows_per_partition=500_000
+        )
+        V.write_version(centroids_b, os.path.join(store, "centroids"), spark)
+        cent_rows = sorted(
+            V.read_version(spark, os.path.join(store, "centroids")).collect(),
+            key=lambda r: r["cidx"],
+        )
+        centroids = spark.createDataFrame(
+            [
+                (int(r["cidx"]), [float(x) for x in r["centroid"]])
+                for r in cent_rows
+            ],
+            "cidx int, centroid array<double>",
+        )
+        entry = {
+            "assigned": assigned,
+            "centroids": centroids,
+            "centroid_rows": cent_rows,
+        }
+        # exact facet shape: k=10, n_probe=8, 10 queries
+        warmup = lambda: SS.ivf_topk_from_index(  # noqa: E731
             assigned,
             centroids,
             emb.filter(F.col("vec_id") < 10),
             k=10,
             n_probe=8,
             centroid_rows=cent_rows,
-        ).count()
-    return _IVF_STORES[sf_dir]
+        )
+        return entry, warmup
+
+    return _serving_handle(spark, "ivf_index", sf_dir, build)
 
 
 @_q("embedding_ivf_persisted_topk", _ivf_hash_sql())
@@ -3275,60 +3312,41 @@ def doc_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
-_BLOOM_STORES: dict = {}
-
-
 def _bloom_handle_for(spark: SparkSession, sf_dir: str):
-    """Build-and-persist ONCE per (process, sf_dir) the rolling-corpus
-    dedup state: the history-fingerprint Bloom bitset AND the distinct
-    fingerprint table, both written to the versioned store (the
-    durable source of truth) and served from cluster memory — the
-    dedup analog of _ivf_index_for. A real ingest pipeline maintains
-    exactly these two tables across batches (bloom for the cheap
-    probe, fp set for the exact verify) instead of re-reading and
-    re-hashing the history corpus per batch. The first call runs one
-    throwaway probe so the probe plan's codegen compiles outside any
-    timed region; the temp store root is removed at exit."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
+    """Rolling-corpus dedup state under the :func:`_serving_handle`
+    contract: the history-fingerprint Bloom bitset AND the distinct
+    fingerprint table. A real ingest pipeline maintains exactly these
+    two tables across batches (bloom for the cheap probe, fp set for
+    the exact verify) instead of re-reading and re-hashing the history
+    corpus per batch."""
     from fugue_warehouses_spark.functions.text import fingerprint
-    from fugue_warehouses_spark.plans import versioned as V
 
-    entry = _BLOOM_STORES.get(sf_dir)
-    if entry is not None:
-        return entry
-    store = tempfile.mkdtemp(prefix="wf_fp_bloom_")
-    atexit.register(shutil.rmtree, store, ignore_errors=True)
-    docs = _t(spark, sf_dir, "documents")
-    thr = _doc_split_thr(spark, sf_dir)
-    hist = docs.filter(F.col("doc_id") < thr)
-    V.write_version(
-        DD.fingerprint_bloom(hist, "text", m_bits=1 << 20, k=5),
-        os.path.join(store, "bloom"),
-        spark,
-    )
-    V.write_version(
-        hist.select(fingerprint("text").alias("__fp")).distinct(),
-        os.path.join(store, "fps"),
-        spark,
-    )
-    bloom = V.read_version(spark, os.path.join(store, "bloom")).persist()
-    fps = V.read_version(spark, os.path.join(store, "fps")).persist()
-    bloom.count(), fps.count()  # eager: hot in storage memory
-    entry = {"bloom": bloom, "fps": fps, "thr": thr}
-    _BLOOM_STORES[sf_dir] = entry
-    DD.incremental_dedup_bloom(
-        docs.filter(F.col("doc_id") >= thr).limit(50),
-        hist,
-        m_bits=1 << 20,
-        k=5,
-        bloom_df=bloom,
-        history_fp_df=fps,
-    ).count()  # compile the probe plan shape here, not in timed runs
-    return entry
+    def build(store):
+        docs = _t(spark, sf_dir, "documents")
+        thr = _doc_split_thr(spark, sf_dir)
+        hist = docs.filter(F.col("doc_id") < thr)
+        bloom = _stored_table(
+            spark, store, "bloom",
+            DD.fingerprint_bloom(hist, "text", m_bits=1 << 20, k=5),
+        )
+        fps = _stored_table(
+            spark, store, "fps",
+            hist.select(fingerprint("text").alias("__fp")).distinct(),
+        )
+        entry = {"bloom": bloom, "fps": fps, "thr": thr}
+        # exact facet shape: the FULL batch probe (not a limit(50) toy
+        # — see _serving_handle's C2 note)
+        warmup = lambda: DD.incremental_dedup_bloom(  # noqa: E731
+            docs.filter(F.col("doc_id") >= thr),
+            hist,
+            m_bits=1 << 20,
+            k=5,
+            bloom_df=bloom,
+            history_fp_df=fps,
+        )
+        return entry, warmup
+
+    return _serving_handle(spark, "fp_bloom", sf_dir, build)
 
 
 @_q("doc_incremental_dedup_bloom_persisted", _INCR_DEDUP_SQL)
@@ -3519,59 +3537,39 @@ def doc_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_STORES: dict = {}
-
-
 def _minhash_index_for(spark: SparkSession, sf_dir: str):
-    """Build-and-persist ONCE per (process, sf_dir) the MinHash
-    signature index of the historical corpus (doc_id % 5 != 4) — the
-    near-dedup analog of _bloom_handle_for: written to the versioned
-    store (the durable source of truth a real rolling pipeline
-    maintains across crawls), served from cluster memory, with one
-    throwaway probe so the banding/verify plan's codegen compiles
-    outside any timed region."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
+    """MinHash signature index of the historical corpus (doc_id % 5
+    != 4) under the :func:`_serving_handle` contract — the near-dedup
+    analog of _bloom_handle_for. The BAND table too (round 8):
+    re-banding the index per batch is an index-length explode per
+    call — precompute it at build time like a real rolling pipeline
+    stores banded postings."""
 
-    from fugue_warehouses_spark.plans import versioned as V
+    def build(store):
+        docs = _t(spark, sf_dir, "documents")
+        hist = docs.filter(F.col("doc_id") % 5 != 4)
+        idx = _stored_table(
+            spark, store, "sigs",
+            DD.build_minhash_index(hist, "doc_id", "text"),
+        )
+        bands = _stored_table(
+            spark, store, "bands",
+            DD.build_minhash_band_index(idx, "doc_id"),
+        )
+        entry = {"idx": idx, "bands": bands}
+        # exact facet shape: the FULL 20%-corpus batch probe (not a
+        # limit(20) toy — see _serving_handle's C2 note)
+        warmup = lambda: DD.near_dup_pairs_against_index(  # noqa: E731
+            docs.filter(F.col("doc_id") % 5 == 4),
+            idx,
+            "doc_id",
+            "text",
+            threshold=0.6,
+            index_bands_df=bands,
+        )
+        return entry, warmup
 
-    entry = _MINHASH_STORES.get(sf_dir)
-    if entry is not None:
-        return entry
-    store = tempfile.mkdtemp(prefix="wf_minhash_idx_")
-    atexit.register(shutil.rmtree, store, ignore_errors=True)
-    docs = _t(spark, sf_dir, "documents")
-    hist = docs.filter(F.col("doc_id") % 5 != 4)
-    V.write_version(
-        DD.build_minhash_index(hist, "doc_id", "text"),
-        os.path.join(store, "sigs"),
-        spark,
-    )
-    idx = V.read_version(spark, os.path.join(store, "sigs")).persist()
-    idx.count()  # eager: hot in storage memory
-    # the BAND table too (round 8): re-banding the index per batch is
-    # an index-length explode per call — precompute it at build time
-    # like a real rolling pipeline stores banded postings
-    V.write_version(
-        DD.build_minhash_band_index(idx, "doc_id"),
-        os.path.join(store, "bands"),
-        spark,
-    )
-    bands = V.read_version(spark, os.path.join(store, "bands")).persist()
-    bands.count()
-    entry = {"idx": idx, "bands": bands}
-    _MINHASH_STORES[sf_dir] = entry
-    DD.near_dup_pairs_against_index(
-        docs.filter(F.col("doc_id") % 5 == 4).limit(20),
-        idx,
-        "doc_id",
-        "text",
-        threshold=0.6,
-        index_bands_df=bands,
-    ).count()  # compile the probe plan shape here, not in timed runs
-    return entry
+    return _serving_handle(spark, "minhash_idx", sf_dir, build)
 
 
 @_q("doc_incremental_near_dedup_persisted", _INCR_NEAR_DEDUP_SQL)

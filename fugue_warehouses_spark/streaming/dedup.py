@@ -92,6 +92,7 @@ def run_near_dedup_ingest(
     timeout_sec: int = 300,
     compact_every: int | None = None,
     dropped_store: str | None = None,
+    band_store: str | None = "auto",
 ) -> DataFrame:
     """Rolling-corpus NEAR-dedup ingest: drain a document stream where
     each micro-batch is near-deduped (MinHash-LSH) against the
@@ -111,14 +112,39 @@ def run_near_dedup_ingest(
        batch's signatures, so per-batch index writes stay BATCH-sized,
        not corpus-sized; ``plans.versioned.compact_versions`` folds
        the log — inline via ``compact_every``, or in a maintenance
-       window);
+       window) and its rolling LSH BAND table (``band_store``, below);
     2. ``near_dup_pairs_against_index`` flags batch docs that
        near-match the index or an earlier (smaller-id) doc of the same
        batch — only the batch pays signing cost, the index contributes
-       stored signatures/grams;
-    3. ``update_index``: the SURVIVORS' signatures are written as a
-       new index delta version FIRST;
+       stored signatures/grams, and with the band table the
+       index-side banding explode is PRECOMPUTED;
+    3. ``update_index``: the SURVIVORS' band rows are written as a new
+       ``band_store`` delta FIRST, then their signatures as a new
+       index delta;
     4. survivors append to ``survivors_path``.
+
+    ``band_store`` (round 9): delta-log store holding the index's
+    precomputed LSH band table (:func:`extensions.dedup.
+    build_minhash_band_index` rows). The default ``"auto"`` places it
+    at ``index_store + "_bands"``; pass ``None`` to disable (each
+    batch then re-bands the whole index inline — the pre-round-9
+    behavior, an index-length explode + xxhash PER MICRO-BATCH that
+    grows with the corpus; with the band table the per-batch plan is
+    batch-sized except the band join and the colliding grams, the
+    term that dominates a rolling 100 TB crawl). Maintained as a
+    rolling delta log: each batch appends its survivors' band rows
+    next to the index delta and compacts under the same
+    ``compact_every``. An existing index WITHOUT a band table (a
+    pre-round-9 store) is bootstrapped on first touch: one full-index
+    banding builds version 0, after which batches pay only deltas.
+    Band deltas commit BEFORE index deltas so the committed band table
+    is always a SUPERSET of the index — a stale band table would
+    silently miss every cross pair against the missing docs, whereas
+    a superset's orphan rows are dropped by the verify join (no grams)
+    or trip the replay guard (own ids). With ``update_index=False``
+    the band table is still bootstrapped once (a derived cache of the
+    static index) and reused unchanged; pass ``band_store=None`` when
+    the store location must not be written at all.
 
     Resolution is GREEDY, not connected-component: any batch doc with a
     pair is dropped, even when its only neighbor was itself dropped —
@@ -130,17 +156,19 @@ def run_near_dedup_ingest(
     of a pair can't survive, and across batches the index match drops
     the later doc.
 
-    Delivery is at-least-once with LOUD replay detection: the index
-    delta commits BEFORE the survivors append, so any crash window
-    (between delta write and append, or between append and checkpoint
-    commit) leaves the batch's ids in the index — the replay then
-    collides with its own index copies and the in-plan disjointness
-    guard fails the query instead of silently double-appending.
-    Recover by deleting the newest index version (and, for the second
-    window, the duplicated append; with ``dropped_store`` set, also
-    the newest dropped_store version — a replayed batch re-logs its
+    Delivery is at-least-once with LOUD replay detection: the band and
+    index deltas commit BEFORE the survivors append, so any crash
+    window (between the delta writes and the append, or between append
+    and checkpoint commit) leaves the batch's ids banded/indexed — the
+    replay then collides with its own stored copies and the in-plan
+    disjointness guard fails the query instead of silently
+    double-appending. Recover by deleting the newest band-store and
+    index versions (a crash between the two delta writes leaves only
+    the band version to delete; with ``dropped_store`` set, also the
+    newest dropped_store version — a replayed batch re-logs its
     dropped docs' signatures, and duplicate drop-log rows inflate
-    :func:`reconcile_survivors`'s candidate set). Reconcile also
+    :func:`reconcile_survivors`'s candidate set; for the post-append
+    window, also the duplicated append). Reconcile also
     dedups ids defensively on read, so a missed cleanup costs verify
     work, never correctness. The guard is
     best-effort by nature: it fires when the replayed doc still
@@ -153,7 +181,8 @@ def run_near_dedup_ingest(
 
     Scale: per batch, one banding shuffle on (band, bucket) and one
     grams verify join — both batch-sized on the probe side; the index
-    is never re-signed and never rewritten (deltas only). Do not
+    is never re-signed, never re-banded (band_store deltas), and never
+    rewritten (deltas only). Do not
     ``vacuum`` the index store (versions are data, not history).
     After N micro-batches the store holds N version directories; probe
     reads stay one multi-path scan but the LISTING cost grows with N.
@@ -183,14 +212,46 @@ def run_near_dedup_ingest(
     from pyspark.errors import AnalysisException
 
     from fugue_warehouses_spark.extensions.dedup import (
+        build_minhash_band_index,
         build_minhash_index,
         near_dup_pairs_against_index,
     )
     from fugue_warehouses_spark.plans import versioned as V
 
     spark = stream_df.sparkSession
+    band_path = (
+        index_store.rstrip("/") + "_bands" if band_store == "auto"
+        else band_store
+    )
+
+    def _compact_if_due(store: str) -> None:
+        if (
+            compact_every is not None
+            and len(V.list_versions(spark, store)) >= compact_every
+        ):
+            V.compact_versions(spark, store)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        # every per-batch localCheckpoint block (batch copy, index
+        # read, survivors, signature delta) is garbage the moment this
+        # batch's writes commit; without the scope they accumulate in
+        # the one long-lived stream JVM across micro-batches —
+        # unbounded block growth on a rolling crawl, and the round-9
+        # 320k ingest probe OOM'd exactly there. Blocks persisted
+        # before the batch (cached handles) are untouched by contract.
+        # The scope diffs the JVM-wide persistent-RDD set, so it
+        # assumes one streaming query per process (the same contract
+        # as similarity._rotate_broadcast); concurrent queries would
+        # release each other's in-flight batch blocks — correctness
+        # holds (localCheckpoint blocks ARE the data, a released block
+        # fails loudly, and each batch re-reads its inputs), but run
+        # ingests in separate processes.
+        from fugue_warehouses_spark.plans.checkpoint import released_after
+
+        with released_after(spark):
+            _apply_inner(batch_df)
+
+    def _apply_inner(batch_df: DataFrame) -> None:
         batch_df = batch_df.localCheckpoint()
         if batch_df.rdd.isEmpty():
             return
@@ -211,9 +272,25 @@ def run_near_dedup_ingest(
                 shingle, bands, max_bucket_size=max_bucket_size,
             ).select(F.col("id_b").alias("__dup"))
         else:
+            idx_bands = None
+            if band_path is not None:
+                try:
+                    idx_bands = V.read_all_versions(spark, band_path)
+                except FileNotFoundError:
+                    # pre-existing index without a band table (a
+                    # pre-round-9 store, or a previous run with
+                    # band_store=None): bootstrap it with ONE
+                    # full-index banding — the last time the
+                    # index-sized explode ever runs
+                    idx_bands = build_minhash_band_index(
+                        idx, id_col, num_hashes, bands
+                    )
+                    V.write_version(idx_bands, band_path, spark)
+                    idx_bands = V.read_all_versions(spark, band_path)
             pairs = near_dup_pairs_against_index(
                 batch_df, idx, id_col, text_col, threshold, num_hashes,
                 shingle, bands, max_bucket_size,
+                index_bands_df=idx_bands,
             ).select(F.col("id_new").alias("__dup"))
         survivors = batch_df.join(
             pairs.distinct(),
@@ -221,21 +298,27 @@ def run_near_dedup_ingest(
             "left_anti",
         ).localCheckpoint()
         if update_index:
-            # delta FIRST: any crash after this point leaves the batch
-            # ids indexed, so a replay trips the disjointness guard
-            # loudly instead of silently double-appending
-            V.write_version(
-                build_minhash_index(
-                    survivors, id_col, text_col, num_hashes, shingle
-                ),
-                index_store,
-                spark,
-            )
-            if (
-                compact_every is not None
-                and len(V.list_versions(spark, index_store)) >= compact_every
-            ):
-                V.compact_versions(spark, index_store)
+            # deltas FIRST (band, then index): any crash after this
+            # point leaves the batch ids banded/indexed, so a replay
+            # trips the disjointness guard loudly instead of silently
+            # double-appending. Band before index keeps the committed
+            # band table a SUPERSET of the index — orphan band rows
+            # are harmless (no grams to verify against / replay
+            # guard), missing ones would silently skip dedup.
+            sig = build_minhash_index(
+                survivors, id_col, text_col, num_hashes, shingle
+            ).localCheckpoint()
+            if band_path is not None:
+                V.write_version(
+                    build_minhash_band_index(
+                        sig, id_col, num_hashes, bands
+                    ),
+                    band_path,
+                    spark,
+                )
+                _compact_if_due(band_path)
+            V.write_version(sig, index_store, spark)
+            _compact_if_due(index_store)
         if dropped_store is not None:
             dropped = batch_df.join(
                 pairs.distinct(),
@@ -250,13 +333,15 @@ def run_near_dedup_ingest(
                     dropped_store,
                     spark,
                 )
-                if (
-                    compact_every is not None
-                    and len(V.list_versions(spark, dropped_store))
-                    >= compact_every
-                ):
-                    V.compact_versions(spark, dropped_store)
+                _compact_if_due(dropped_store)
         survivors.write.mode("append").parquet(survivors_path)
+        # delivery-contract marker for raw-path readers (hidden to
+        # parquet scans; idempotent)
+        from fugue_warehouses_spark.streaming.io import (
+            write_at_least_once_marker,
+        )
+
+        write_at_least_once_marker(spark, survivors_path)
 
     q = (
         stream_df.writeStream.foreachBatch(_apply)

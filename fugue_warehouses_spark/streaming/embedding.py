@@ -104,6 +104,16 @@ def run_embedding_dedup_ingest(
     spark = stream_df.sparkSession
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch localCheckpoint blocks are garbage once the batch's
+        # writes commit; scope them so the long-lived stream JVM never
+        # accumulates block state across micro-batches (round-9 fix,
+        # same leak as the text ingest — see streaming/dedup.py)
+        from fugue_warehouses_spark.plans.checkpoint import released_after
+
+        with released_after(spark):
+            _apply_inner(batch_df)
+
+    def _apply_inner(batch_df: DataFrame) -> None:
         batch_df = batch_df.localCheckpoint()
         if batch_df.isEmpty():
             return
@@ -158,6 +168,13 @@ def run_embedding_dedup_ingest(
         # rows, deduped on read; index-first inverted that into
         # zero-times delivery for the crash window)
         survivors.write.mode("append").parquet(survivors_path)
+        # delivery-contract marker for raw-path readers (hidden to
+        # parquet scans; idempotent)
+        from fugue_warehouses_spark.streaming.io import (
+            write_at_least_once_marker,
+        )
+
+        write_at_least_once_marker(spark, survivors_path)
         delta = survivors.select(id_col, vec_col)
         if cents is not None:
             from fugue_warehouses_spark.extensions.similarity import (

@@ -16,6 +16,39 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+AT_LEAST_ONCE_NOTE = (
+    "These parquet files are an AT-LEAST-ONCE survivor log: a crash "
+    "replay of the writing ingest can append the same rows twice. The "
+    "ingest function's RETURNED frame is deduplicated; consumers "
+    "reading this path directly must dropDuplicates on the id column "
+    "(or read through the ingest module's loader). See "
+    "fugue_warehouses_spark/streaming/{dedup,embedding}.py delivery "
+    "notes.\n"
+)
+
+
+def write_at_least_once_marker(spark: SparkSession, dir_path: str) -> None:
+    """Drop an ``_AT_LEAST_ONCE_README`` file next to a survivor log so
+    consumers who read the raw path learn its delivery contract from
+    the directory itself (round-9 ADVICE fix). Underscore-prefixed
+    files are hidden to Spark/Hadoop parquet readers, so the marker
+    never pollutes a scan. Idempotent; best-effort (a read-only
+    filesystem must not fail the ingest over documentation)."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(dir_path, "_AT_LEAST_ONCE_README")
+        )
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            return
+        out = fs.create(p, True)
+        out.write(bytearray(AT_LEAST_ONCE_NOTE.encode("utf-8")))
+        out.close()
+    except Exception:
+        pass
+
+
 def read_parquet_stream(
     spark: SparkSession,
     path: str,

@@ -240,6 +240,122 @@ def probe(spark, sizes, ops=None, repeat=1):
                     docs.filter(f"doc_id >= {n - n // 5}"), idx, "doc_id", "text",
                     threshold=0.6, max_bucket_size=64,
                     index_bands_df=bands_pb).count())
+        # deep-history TEXT near-dedup ingest (round 9, VERDICT r8 #3):
+        # n is the PRE-SEEDED history (signature index + band table on
+        # disk, the rolling pipeline's sunk cost); the timed work is a
+        # fixed 2x8k-batch streamed run_near_dedup_ingest against it.
+        # Pre-round-9 every micro-batch re-banded the WHOLE index (an
+        # explode + xxhash LINEAR in history); with the rolling band
+        # store (default) that term is precomputed, so
+        # text_ingest_deep_banded should stay ~flat in n while
+        # text_ingest_deep_reband grows with it.
+        if docs is not None and (
+            wanted("text_ingest_deep")
+            or wanted("text_ingest_deep_banded")
+            or wanted("text_ingest_deep_reband")
+        ):
+            import shutil
+            import tempfile
+
+            from fugue_warehouses_spark.plans import versioned as V
+            from fugue_warehouses_spark.streaming import (
+                read_parquet_stream,
+                run_near_dedup_ingest,
+            )
+
+            batch16 = (
+                make_docs(spark, 16_000, seed=5)
+                .withColumn("doc_id", F.col("doc_id") + F.lit(n))
+                .localCheckpoint()
+            )
+            # one tiny throwaway ingest (fresh dirs) absorbs the
+            # stream machinery's first-run JIT/codegen so it doesn't
+            # land on whichever variant runs first
+            wd = tempfile.mkdtemp(prefix="wf_txt_ingest_warm_")
+            try:
+                batch16.limit(256).coalesce(1).write.parquet(f"{wd}/feed")
+                run_near_dedup_ingest(
+                    read_parquet_stream(spark, f"{wd}/feed"),
+                    index_store=f"{wd}/idx",
+                    survivors_path=f"{wd}/kept",
+                    checkpoint_dir=f"{wd}/ckpt",
+                    threshold=0.6,
+                    max_bucket_size=64,
+                    timeout_sec=600,
+                ).count()
+            finally:
+                shutil.rmtree(wd, ignore_errors=True)
+
+            # the n-doc history signed ONCE per size (sunk cost of the
+            # rolling pipeline; both variants ingest against copies)
+            hist_sig = D.build_minhash_index(
+                docs, "doc_id", "text"
+            ).localCheckpoint()
+            hist_bands = D.build_minhash_band_index(
+                hist_sig, "doc_id"
+            ).localCheckpoint()
+
+            def _deep_text(banded: bool, op: str):
+                def _one_rep() -> float:
+                    d = tempfile.mkdtemp(prefix="wf_txt_ingest_")
+                    try:
+                        V.write_version(hist_sig, f"{d}/idx", spark)
+                        if banded:
+                            V.write_version(
+                                hist_bands, f"{d}/idx_bands", spark
+                            )
+                        feed = f"{d}/feed"
+                        # exactly TWO 8k micro-batches (one file each):
+                        # per-batch work must dominate the per-job
+                        # floor for the A/B delta to be readable
+                        for i in range(2):
+                            batch16.filter(
+                                (F.col("doc_id") % 2) == i
+                            ).coalesce(1).write.mode("append").parquet(feed)
+                        t0 = time.perf_counter()
+                        run_near_dedup_ingest(
+                            read_parquet_stream(
+                                spark, feed, max_files_per_trigger=1
+                            ),
+                            index_store=f"{d}/idx",
+                            survivors_path=f"{d}/kept",
+                            checkpoint_dir=f"{d}/ckpt",
+                            threshold=0.6,
+                            max_bucket_size=64,
+                            band_store="auto" if banded else None,
+                            timeout_sec=2400,
+                        ).count()
+                        return round(time.perf_counter() - t0, 2)
+                    finally:
+                        shutil.rmtree(d, ignore_errors=True)
+
+                # fresh stores per rep (ingest state is append-only);
+                # best-of-2 so first-plan JIT doesn't charge whichever
+                # variant runs first; failures recorded, not fatal
+                reps = []
+                for _ in range(2):
+                    try:
+                        with released_after(spark):
+                            reps.append(_one_rep())
+                    except Exception as exc:  # noqa: BLE001
+                        reps.append(f"FAILED: {type(exc).__name__}")
+                        break
+                out.setdefault(op, {})[n] = (
+                    min(r for r in reps if isinstance(r, float))
+                    if any(isinstance(r, float) for r in reps)
+                    else reps[-1]
+                )
+                print(
+                    f"[probe] {op} n={n}: reps={reps} -> {out[op][n]}",
+                    file=sys.stderr, flush=True,
+                )
+
+            # reband (the pre-round-9 shape) FIRST so any residual
+            # session warmup biases AGAINST the band-table claim
+            if wanted("text_ingest_deep") or wanted("text_ingest_deep_reband"):
+                _deep_text(False, "text_ingest_deep_reband")
+            if wanted("text_ingest_deep") or wanted("text_ingest_deep_banded"):
+                _deep_text(True, "text_ingest_deep_banded")
         # storage-only reconcile primitive: all-pairs banding + exact
         # verify + connected components straight from a STORED
         # signature frame — the maintenance-window cost of

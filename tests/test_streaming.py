@@ -627,6 +627,112 @@ def test_run_near_dedup_ingest_auto_compact(spark, tmp_path):
     assert {r["doc_id"] for r in idx.select("doc_id").collect()} == kept
 
 
+def test_run_near_dedup_ingest_rolling_band_store(spark, tmp_path):
+    """The default band_store='auto' maintains a rolling LSH band table
+    next to the index (one delta per non-empty batch, membership equal
+    to the index), survivors identical to the band_store=None legacy
+    path — the per-batch index-sized re-banding explode is gone with
+    no semantic change."""
+    from fugue_warehouses_spark.plans import versioned as V
+    from fugue_warehouses_spark.streaming import (
+        read_parquet_stream,
+        run_near_dedup_ingest,
+    )
+
+    docs = _near_dedup_corpus(spark)
+    feed = str(tmp_path / "feed")
+    for k in range(3):
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    kept_banded = {
+        r["doc_id"]
+        for r in run_near_dedup_ingest(
+            read_parquet_stream(spark, feed, max_files_per_trigger=1),
+            index_store=str(tmp_path / "idx"),
+            survivors_path=str(tmp_path / "kept"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            threshold=0.5,
+        ).collect()
+    }
+    kept_legacy = {
+        r["doc_id"]
+        for r in run_near_dedup_ingest(
+            read_parquet_stream(spark, feed, max_files_per_trigger=1),
+            index_store=str(tmp_path / "idx2"),
+            survivors_path=str(tmp_path / "kept2"),
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+            threshold=0.5,
+            band_store=None,
+        ).collect()
+    }
+    assert kept_banded == kept_legacy
+    # auto-placed band store: one delta per batch, ids == index ids,
+    # self-describing build params intact
+    band_path = str(tmp_path / "idx_bands")
+    assert len(V.list_versions(spark, band_path)) == 3
+    bands_df = V.read_all_versions(spark, band_path)
+    idx_df = V.read_all_versions(spark, str(tmp_path / "idx"))
+    assert {r["doc_id"] for r in bands_df.select("doc_id").distinct().collect()} == {
+        r["doc_id"] for r in idx_df.select("doc_id").collect()
+    }
+    assert set(bands_df.columns) >= {"doc_id", "band", "bucket", "__nh", "__bands"}
+    # legacy path wrote no band store
+    assert not (tmp_path / "idx2_bands").exists()
+
+
+def test_run_near_dedup_ingest_band_bootstrap(spark, tmp_path):
+    """A pre-existing signature index WITHOUT a band table (pre-round-9
+    store) is bootstrapped on first touch: one full-index banding
+    becomes version 0, batch deltas follow, and cross-batch dedup
+    against the old index still works."""
+    from fugue_warehouses_spark.extensions import dedup as D
+    from fugue_warehouses_spark.plans import versioned as V
+    from fugue_warehouses_spark.streaming import (
+        read_parquet_stream,
+        run_near_dedup_ingest,
+    )
+
+    docs = _near_dedup_corpus(spark)
+    # history = chunk 0, indexed the pre-round-9 way (signatures only)
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    V.write_version(
+        D.build_minhash_index(hist, "doc_id", "text"),
+        str(tmp_path / "idx"),
+        spark,
+    )
+    feed = str(tmp_path / "feed")
+    for k in (1, 2):
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    survivors = run_near_dedup_ingest(
+        read_parquet_stream(spark, feed, max_files_per_trigger=1),
+        index_store=str(tmp_path / "idx"),
+        survivors_path=str(tmp_path / "kept"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    kept = {r["doc_id"] for r in survivors.collect()}
+    # same expected set as the 3-chunk rolling test, minus the history
+    # chunk (its docs are index members, not stream survivors)
+    expected = set(range(10, 20))
+    for a, b in [(i, 20 + i) for i in range(5)] + [
+        (5 + i, 25 + i) for i in range(5)
+    ]:
+        expected.add(
+            min(a, b) if a % 3 == b % 3 else (a if a % 3 < b % 3 else b)
+        )
+    assert kept == {i for i in expected if i % 3 != 0}
+    # bootstrap version + one delta per stream batch
+    versions = V.list_versions(spark, str(tmp_path / "idx_bands"))
+    assert len(versions) == 3
+    bands_df = V.read_all_versions(spark, str(tmp_path / "idx_bands"))
+    idx_df = V.read_all_versions(spark, str(tmp_path / "idx"))
+    assert bands_df.select("doc_id").distinct().count() == idx_df.count()
+
+
 def test_run_near_dedup_ingest_empty_stream(spark, tmp_path):
     """An empty feed returns an empty frame with the stream's schema,
     not PATH_NOT_FOUND."""
