@@ -107,6 +107,25 @@ def test_baseline_query_names_exist_in_registry():
     assert not missing, f"BASELINE.md rows not in the registry: {missing}"
 
 
+def test_all_benched_queries_have_baseline_rows():
+    """Inverse of test_baseline_query_names_exist_in_registry (round-9,
+    VERDICT r8 #2): every query the bench sidecar records must have a
+    row in BASELINE.md's per-query table — otherwise the staleness
+    gate (which skips absent rows) can never flag it and its
+    performance can drift forever unnoticed (part_pagerank spent three
+    rounds as a hotspot with no band)."""
+    sidecar = REPO / "bench_queries.json"
+    if not sidecar.exists():
+        pytest.skip("no bench sidecar recorded yet")
+    bench = json.loads(sidecar.read_text())["queries"]
+    table = {_query_name(c[0]) for c in _query_table_rows()}
+    missing = sorted(q for q in bench if q not in table)
+    assert not missing, (
+        "benched queries without a BASELINE.md per-query row (add a "
+        f"DuckDB column + Spark band): {missing}"
+    )
+
+
 def test_readme_test_count_matches_collection():
     text = (REPO / "README.md").read_text()
     m = re.search(r"(\d+)\s+tests", text)
