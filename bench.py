@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "doc_stratified_sample",
     "doc_epoch_shuffle",
     "doc_alpha_mixture",
+    "doc_dsir_select",
     "doc_clean_normalize",
     "doc_contamination",
     "customer_balance_upsert",

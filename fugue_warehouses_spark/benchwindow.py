@@ -30,12 +30,30 @@ closes both failure modes:
 The thresholds:
 
 - numpy / tpch: ratio > ``DEGRADED_RATIO`` (3.0) over idle is
-  unrecordable — this is the same cap ``inflation`` already applies,
-  stated as policy rather than a silent clamp.
+  unrecordable — UNLESS the slowdown is *steady* (below).
 - jobfloor: absolute reading above ``JOBFLOOR_DEGRADED_SEC`` (3.6 s,
   the hi end of the observed idle range; the r8 degraded window read
   3.765). Ratios are meaningless for this control because its idle
   value wanders 1.3–3.6 s with scheduler JIT and heap state.
+
+Steady-slow-host exception (round 9, second boot class): mid-round
+the machine rebooted onto a host class whose dense-FLOPS throughput
+is ~3.3× lower (numpy control 0.031–0.033 s, identical at session
+START and END across two sessions 15 minutes apart) while the
+scheduling path got FASTER (jobfloor 1.24–3.13 within band, tpch
+0.321 vs 0.49 idle). That is not the r8 burst regime — bursts inflate
+rows 2–9× non-uniformly and show up as start/end control disagreement
+or a jobfloor excursion; a steady class shift inflates CPU-bound rows
+by roughly the control's own ratio, which is exactly what scalar
+``inflation`` scaling is sound for. So a control over 3× idle is
+still RECORDABLE when (a) it was sampled at both start and end,
+(b) the samples agree within ``STABLE_AGREEMENT`` (no burst between
+them), and (c) jobfloor sits inside its band (no per-job burst
+regime). Anything else over 3× stays refused. The cost of the looser
+gate on a slow boot (tolerance = real measured slowdown) buys live
+coverage on every boot class instead of a gate that can never fire
+again after a host migration; the committed fast-boot sidecar remains
+the tight anchor.
 """
 
 from __future__ import annotations
@@ -52,8 +70,14 @@ IDLE_REFERENCE = {
 JOBFLOOR_IDLE_HI_SEC = 3.6
 JOBFLOOR_DEGRADED_SEC = JOBFLOOR_IDLE_HI_SEC
 # A window whose fixed-work controls read more than 3x idle is too
-# noisy to normalize against — re-record instead (BASELINE.md).
+# noisy to normalize against — re-record instead (BASELINE.md) —
+# unless the slowdown is steady (module doc: steady-slow-host
+# exception).
 DEGRADED_RATIO = 3.0
+# Start/end agreement bound for the steady-slow-host exception: a
+# control whose session-start and session-end samples differ by more
+# than this factor saw a burst between them, not a class shift.
+STABLE_AGREEMENT = 1.25
 
 
 def _samples(control: dict | None, control_end: dict | None, key: str):
@@ -66,17 +90,19 @@ def _samples(control: dict | None, control_end: dict | None, key: str):
 def inflation(control: dict | None, control_end: dict | None) -> float:
     """Tolerance multiplier for the staleness gate: the WORST
     measured/idle ratio across all three controls at session start
-    AND end. Floored at 1.0 (a fast window never tightens the gate)
-    and capped at DEGRADED_RATIO — but a window that actually hits
-    the cap should be classified degraded and refused, not scaled
-    (see ``classify``)."""
+    AND end. Floored at 1.0 (a fast window never tightens the gate),
+    NOT capped: a window this is consulted for has already been
+    classified recordable (``classify`` refuses bursty windows before
+    inflation matters), and a steady slow-host window's correct
+    tolerance IS its real measured slowdown — capping it at 3 would
+    false-flag CPU-bound rows on a 3.3×-slower boot class (round 9)."""
     ratios = [1.0]
     for key, ref in IDLE_REFERENCE.items():
         for v in _samples(control, control_end, key):
             ratios.append(v / ref)
     for v in _samples(control, control_end, "jobfloor_32x_sec"):
         ratios.append(v / JOBFLOOR_IDLE_HI_SEC)
-    return min(DEGRADED_RATIO, max(ratios))
+    return max(ratios)
 
 
 def classify(
@@ -87,21 +113,36 @@ def classify(
     against BASELINE bands — the r8 regime proved per-job bursts
     inflate individual rows 2-9x while scalar controls read nearly
     clean, so neither a point comparison nor a scaled tolerance is
-    sound. Missing controls (old artifacts) classify clean: the gate
-    then falls back to plain inflation scaling, as before round 9."""
+    sound. A STEADY slowdown (start/end samples agree within
+    STABLE_AGREEMENT, jobfloor inside its band) is the module-doc
+    slow-host-class regime, not a burst — it stays recordable and
+    ``inflation`` carries the real slowdown into the gate's
+    tolerance. Missing controls (old artifacts) classify clean: the
+    gate then falls back to plain inflation scaling, as before
+    round 9."""
     reasons: list[str] = []
-    for key, ref in IDLE_REFERENCE.items():
-        for v in _samples(control, control_end, key):
-            if v > ref * DEGRADED_RATIO:
-                reasons.append(
-                    f"{key}={v} > {DEGRADED_RATIO}x idle ({ref})"
-                )
+    jobfloor_ok = True
     for v in _samples(control, control_end, "jobfloor_32x_sec"):
         if v > JOBFLOOR_DEGRADED_SEC:
+            jobfloor_ok = False
             reasons.append(
                 f"jobfloor_32x_sec={v} > idle-band hi "
                 f"({JOBFLOOR_DEGRADED_SEC})"
             )
+    for key, ref in IDLE_REFERENCE.items():
+        vs = list(_samples(control, control_end, key))
+        over = [v for v in vs if v > ref * DEGRADED_RATIO]
+        if not over:
+            continue
+        steady = (
+            jobfloor_ok
+            and len(vs) >= 2
+            and max(vs) / min(vs) <= STABLE_AGREEMENT
+        )
+        if steady:
+            continue
+        for v in over:
+            reasons.append(f"{key}={v} > {DEGRADED_RATIO}x idle ({ref})")
     return ("degraded" if reasons else "clean"), reasons
 
 

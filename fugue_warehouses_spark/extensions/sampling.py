@@ -223,3 +223,162 @@ def epoch_shuffle(
         position_col,
         F.col("__grank") - F.col(epoch_col).cast("long") * F.lit(n),
     ).drop("__draw", "__grank")
+
+
+def _hashed_tokens(df: DataFrame, text_col: str, n_buckets: int, *cols):
+    """Whitespace tokens of ``text_col`` hashed into ``n_buckets``
+    feature buckets (the hashing trick): bucket = first 8 md5 hex
+    chars of the token as a 32-bit integer, mod n_buckets — the same
+    engine-reproducible draw convention as the module's samplers, so
+    a SQL oracle rebuilds the exact feature space."""
+    toks = df.select(
+        *cols,
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("__tok").cast("binary")), 1, 8), 16, 10
+        ).cast("long")
+        % n_buckets
+    ).alias("__b")
+    return toks.select(*cols, bucket)
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    key_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Per-document DSIR importance weights (Data Selection via
+    Importance Resampling, Xie et al. 2023): score each raw document
+    by how much more likely its hashed bag-of-tokens is under the
+    TARGET distribution than under the RAW distribution —
+    ``log w(d) = Σ_b count_d[b] · (log p_target[b] − log p_raw[b])``
+    with add-one smoothing over ``n_buckets`` hashed feature buckets.
+    Output: (key_col, dsir_logw), one row per raw document that has at
+    least one token (an empty/whitespace-only document has no feature
+    mass and is excluded — it cannot be scored).
+
+    Scale shape: ONE wordcount-style aggregation over the tagged
+    union of raw and target token streams reduces to ≤ ``n_buckets``
+    rows (the canonical map-side-combine shape — partial sums collapse
+    each map task to ≤ n_buckets rows before the shuffle); the
+    per-bucket log-ratio table (≤ 4096 rows) broadcasts back onto the
+    per-(doc, bucket) counts, and one groupBy(key) sum produces the
+    weights. No UDFs, no collects: at 100 TB this is one wordcount
+    plus one per-doc aggregation.
+
+    Cross-engine exactness: bucket counts and totals are exact
+    integers, the smoothed ratio is ONE double division of exact
+    integer products (< 2^53, so both engines round identically) and
+    one ``ln`` (≤ 1 ulp apart); weights are compared after 6-dp
+    rounding downstream, which absorbs both the ulp and double-sum
+    association differences (same standard as quality.unigram_surprisal).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    tr = _hashed_tokens(raw, text_col, n_buckets, F.col(key_col))
+    tt = _hashed_tokens(target, text_col, n_buckets)
+    # the per-(doc, bucket) counts are needed for scoring anyway, so
+    # the raw text is tokenized exactly ONCE: raw bucket totals roll
+    # up from perdoc rather than from a second pass over the corpus
+    perdoc = tr.groupBy(key_col, "__b").agg(F.count("*").alias("__n"))
+    # ONE tagged-union wordcount instead of two counts + a full-outer
+    # bucket join: same <= n_buckets result, one shuffle, no join
+    cb = (
+        perdoc.select(
+            "__b",
+            F.col("__n").alias("__one_r"),
+            F.lit(0).cast("long").alias("__one_t"),
+        )
+        .unionAll(
+            tt.select(
+                "__b",
+                F.lit(0).cast("long").alias("__one_r"),
+                F.lit(1).cast("long").alias("__one_t"),
+            )
+        )
+        .groupBy("__b")
+        .agg(
+            F.sum("__one_r").alias("__cr"), F.sum("__one_t").alias("__ct")
+        )
+    )
+    tot = cb.agg(
+        F.sum("__cr").alias("__totr"), F.sum("__ct").alias("__tott")
+    )
+    # one division of exact integer products, then one ln — the
+    # formula both engines must share verbatim (see docstring)
+    lr = cb.crossJoin(F.broadcast(tot)).select(
+        "__b",
+        F.log(
+            ((F.col("__ct") + 1) * (F.col("__totr") + n_buckets)).cast(
+                "double"
+            )
+            / ((F.col("__cr") + 1) * (F.col("__tott") + n_buckets)).cast(
+                "double"
+            )
+        ).alias("__lr"),
+    )
+    return perdoc.join(F.broadcast(lr), "__b").groupBy(key_col).agg(
+        F.sum(F.col("__n") * F.col("__lr")).alias("dsir_logw")
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    key_col: str,
+    n_select: int,
+    n_buckets: int = 4096,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): resample ``n_select``
+    raw documents toward the target distribution by Gumbel top-k over
+    the :func:`dsir_importance` weights — ``sel_key = dsir_logw + g``
+    where ``g = −ln(−ln(u))`` and ``u`` is the module's deterministic
+    md5 uniform draw of ``"<key>:<salt>"``. Gumbel top-k IS sampling
+    without replacement proportional to ``w`` (the Gumbel-max trick),
+    so the selection is a true importance resample, yet a pure
+    function of the data — reproducible across partitioning, cluster
+    size, and engine.
+
+    Output: (key_col, dsir_logw, sel_key), the ``n_select`` rows with
+    the largest ``sel_key`` (ties broken by ``key_col`` ascending);
+    both doubles 6-dp rounded, and the ORDERING uses the rounded key,
+    so the selected SET is engine-exact. Join back to the corpus on
+    ``key_col`` for payload columns (the result is tiny — broadcast).
+
+    Scale shape: everything in :func:`dsir_importance` plus one
+    TakeOrdered (per-partition top-k, no global sort) — the standard
+    Spark top-k physical plan.
+    """
+    if n_select < 1:
+        raise ValueError("n_select must be >= 1")
+    w = dsir_importance(raw, target, text_col, key_col, n_buckets)
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(key_col).cast("string"), F.lit(":" + salt)
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (draw + F.lit(0.5)) / F.lit(float(2**32))
+    sel_key = F.round(F.col("dsir_logw") - F.log(-F.log(u)), 6)
+    return (
+        w.select(
+            key_col,
+            F.round("dsir_logw", 6).alias("dsir_logw"),
+            sel_key.alias("sel_key"),
+        )
+        .orderBy(F.col("sel_key").desc(), F.col(key_col).asc())
+        .limit(n_select)
+    )

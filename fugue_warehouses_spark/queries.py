@@ -3244,6 +3244,84 @@ def doc_alpha_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_SELECT_SQL = r"""
+    WITH rawdocs AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE source NOT IN ('src0', 'src1')),
+    tgt AS (
+      SELECT text FROM documents WHERE source IN ('src0', 'src1')),
+    rt AS (
+      SELECT d.doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096
+                  AS BIGINT) AS b
+      FROM rawdocs d,
+           UNNEST(string_split_regex(trim(d.text), '\s+')) AS t(tok)
+      WHERE tok <> ''),
+    tt AS (
+      SELECT CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096
+                  AS BIGINT) AS b
+      FROM tgt d,
+           UNNEST(string_split_regex(trim(d.text), '\s+')) AS t(tok)
+      WHERE tok <> ''),
+    cr AS (SELECT b, count(*) AS c_r FROM rt GROUP BY b),
+    ct AS (SELECT b, count(*) AS c_t FROM tt GROUP BY b),
+    cb AS (
+      SELECT coalesce(cr.b, ct.b) AS b,
+             coalesce(c_r, 0) AS c_r, coalesce(c_t, 0) AS c_t
+      FROM cr FULL OUTER JOIN ct ON cr.b = ct.b),
+    tot AS (SELECT sum(c_r) AS tot_r, sum(c_t) AS tot_t FROM cb),
+    lr AS (
+      SELECT b,
+             ln(CAST((c_t + 1) * (tot_r + 4096) AS DOUBLE)
+                / CAST((c_r + 1) * (tot_t + 4096) AS DOUBLE)) AS lr
+      FROM cb, tot),
+    perdoc AS (SELECT doc_id, b, count(*) AS n FROM rt GROUP BY doc_id, b),
+    logw AS (
+      SELECT doc_id, sum(n * lr.lr) AS lw
+      FROM perdoc JOIN lr USING (b) GROUP BY doc_id),
+    keyed AS (
+      SELECT doc_id, round(lw, 6) AS dsir_logw,
+             round(lw - ln(-ln(
+               ((('0x' || substr(md5(doc_id::VARCHAR || ':dsir'), 1, 8))
+                  ::UBIGINT)::DOUBLE + 0.5) / 4294967296.0)), 6) AS sel_key
+      FROM logw)
+    SELECT k.doc_id, d.source, k.dsir_logw, k.sel_key
+    FROM keyed k JOIN rawdocs d USING (doc_id)
+    ORDER BY k.sel_key DESC, k.doc_id ASC
+    LIMIT 100
+    """
+
+
+@_q("doc_dsir_select", _DSIR_SELECT_SQL)
+def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (sampling.dsir_select; Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    treat src0/src1 as the high-quality TARGET distribution and
+    importance-resample 100 documents from the remaining raw corpus
+    toward it. Weights are hashed bag-of-tokens log-likelihood ratios
+    (4096 buckets, add-one smoothing); selection is Gumbel top-k over
+    a deterministic md5 uniform draw, so the resample is a pure
+    function of the data and the oracle reproduces the exact selected
+    set. Plan shape: two wordcounts reduced to <= 4096 rows, the
+    log-ratio table broadcast back, one per-doc sum, one TakeOrdered —
+    no UDFs, no collects; the 100 TB shape is two wordcounts plus one
+    per-doc aggregation."""
+    from fugue_warehouses_spark.extensions.sampling import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    is_target = F.col("source").isin("src0", "src1")
+    raw = docs.filter(~is_target)
+    target = docs.filter(is_target)
+    sel = dsir_select(
+        raw, target, "text", "doc_id", n_select=100, n_buckets=4096
+    )
+    return (
+        raw.select("doc_id", "source")
+        .join(F.broadcast(sel), "doc_id")
+        .select("doc_id", "source", "dsir_logw", "sel_key")
+    )
+
+
 _INCR_DEDUP_SQL = r"""
     WITH split AS (SELECT max(doc_id) // 2 AS t FROM documents),
     hist AS (

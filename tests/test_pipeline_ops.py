@@ -377,3 +377,67 @@ def test_epoch_shuffle_validates_epochs(spark):
     df = spark.range(5).withColumnRenamed("id", "doc_id")
     with _pytest.raises(ValueError, match="epochs"):
         epoch_shuffle(df, "doc_id", epochs=0)
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    from fugue_warehouses_spark.extensions.sampling import dsir_importance
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(20)], "doc_id int, text string"
+    )
+    raw = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "omega zeta eta theta")],
+        "doc_id int, text string",
+    )
+    w = {r["doc_id"]: r["dsir_logw"] for r in
+         dsir_importance(raw, target, "text", "doc_id").collect()}
+    # target-vocabulary doc scores strictly higher than off-target doc
+    assert w[1] > w[2]
+    assert w[1] > 0 > w[2]
+
+
+def test_dsir_select_set_is_layout_independent(spark):
+    from fugue_warehouses_spark.extensions.sampling import dsir_select
+
+    target = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3}") for i in range(50)],
+        "doc_id int, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, f"tok{i % 11} tok{i % 5} tok{i % 2}") for i in range(400)],
+        "doc_id int, text string",
+    )
+    sel = dsir_select(raw, target, "text", "doc_id", n_select=25)
+    rows = sel.collect()
+    assert len(rows) == 25
+    assert set(sel.columns) == {"doc_id", "dsir_logw", "sel_key"}
+    again = dsir_select(
+        raw.repartition(13), target.repartition(7), "text", "doc_id",
+        n_select=25,
+    ).collect()
+    assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in again}
+    # a different salt perturbs the Gumbel draw -> (almost surely) a
+    # different resample of the same weights
+    other = dsir_select(
+        raw, target, "text", "doc_id", n_select=25, salt="other"
+    ).collect()
+    assert {r["doc_id"] for r in rows} != {r["doc_id"] for r in other}
+
+
+def test_dsir_empty_and_invalid_inputs(spark):
+    from fugue_warehouses_spark.extensions.sampling import (
+        dsir_importance,
+        dsir_select,
+    )
+
+    target = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    raw = spark.createDataFrame(
+        [(1, "a b"), (2, "   "), (3, "")], "doc_id int, text string"
+    )
+    w = dsir_importance(raw, target, "text", "doc_id").collect()
+    # whitespace-only / empty docs carry no feature mass -> excluded
+    assert {r["doc_id"] for r in w} == {1}
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_importance(raw, target, "text", "doc_id", n_buckets=1)
+    with pytest.raises(ValueError, match="n_select"):
+        dsir_select(raw, target, "text", "doc_id", n_select=0)
