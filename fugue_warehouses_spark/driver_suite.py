@@ -77,6 +77,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_pack_sequences": (("source", "s"), ("seq_id", "i"), ("n_docs", "i"), ("seq_tokens", "i"), ("first_doc", "i"),),
     "doc_pii_redaction": (("source", "s"), ("n_docs", "i"), ("emails_redacted", "i"), ("phones_redacted", "i"), ("redacted_chars", "i"), ("chars_removed", "i"),),
     "doc_quality_by_source": (("source", "s"), ("avg_quality", "f"),),
+    "doc_quality_token_budget": (("source", "s"), ("n_docs", "i"), ("sel_tokens", "i"),),
     "doc_quality_logit": (("source", "s"), ("n_docs", "i"), ("n_pass", "i"), ("avg_prob", "f"),),
     "doc_repetition_filter": (("source", "s"), ("n_docs", "i"), ("n_flagged", "i"), ("avg_dup_frac", "f"), ("avg_top_frac", "f"),),
     "doc_dsir_select": (("doc_id", "i"), ("source", "s"), ("dsir_logw", "f"), ("sel_key", "f"),),
@@ -268,7 +269,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "orders_sample_n_exact", "orders_sample_hash_fraction",
         "orders_weighted_sample", "doc_stratified_sample",
         "doc_domain_mixture", "doc_alpha_mixture", "doc_pack_sequences",
-        "doc_epoch_shuffle", "doc_dsir_select",
+        "doc_epoch_shuffle", "doc_dsir_select", "doc_quality_token_budget",
     ),
     # mergeable sketches
     "sketch_suite": (

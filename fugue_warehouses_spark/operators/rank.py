@@ -94,6 +94,75 @@ def add_global_rank(
     return ranked, acc
 
 
+def add_global_cumsum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    cumsum_col: str = "global_cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running sum of ``value_col`` in the total order
+    given by ``order_by`` — the distributed replacement for
+    ``SUM(v) OVER (ORDER BY ...)``, which Spark plans as a
+    partition-less WindowExec (one task swallows the relation). The
+    canonical consumer is budget selection: "take documents by
+    descending quality until N tokens".
+
+    ``order_by`` takes SORT expressions verbatim (``F.desc("q")``,
+    ``F.asc("doc_id")``) — make it a total order with a unique
+    tiebreaker, or ties get an arbitrary stable order within their
+    range partition. ``value_col`` must be non-null (sum skips nulls,
+    which would silently desync the per-partition offsets).
+
+    Shape: one range exchange orders and balances the relation (ties
+    split across partitions by the tiebreaker, so a heavily-tied sort
+    key cannot melt one task); per-partition value sums collect to the
+    driver (#partitions longs — O(cluster), not O(data)) and prefix
+    into offsets; the within-partition running sum is a window
+    PARTITIONED BY the range-partition id — bounded per task, never
+    global. That window costs one additional hash exchange on the pid
+    (Catalyst cannot see that the rows are already pid-clustered);
+    two balanced shuffles total, which is the honest price of an
+    exact global cumsum without a single-task sort.
+    """
+    npart = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(npart, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__mono", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    pid = F.shiftrightunsigned(F.col("__mono"), 33).cast("int")
+    sums = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy(pid.alias("__pid"))
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for p in sorted(sums):
+        offsets.append((p, acc))
+        acc += sums[p] or 0
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets or [], "__pid int, __off long")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__mono")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn("__pid", pid)
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            cumsum_col,
+            (F.sum(value_col).over(w) + F.col("__off")).cast("long"),
+        )
+        .drop("__pid", "__off", "__mono")
+    )
+
+
 def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
     """Exact SQL ``ntile(k)`` bucket from a 1-based global rank over
     ``n`` total rows, as a constant-folded expression (no window): the

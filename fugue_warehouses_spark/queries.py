@@ -914,6 +914,76 @@ _QUALITY_SQL = f"""
     """
 
 
+_TOKEN_BUDGET_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             {_TOKS} AS toks,
+             len({_TOKS}) AS ntok
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source, ntok,
+             ((CASE WHEN ntok >= 20 THEN 1.0 ELSE ntok / 20.0 END)
+              + (CASE WHEN coalesce(list_sum(list_transform(toks,
+                               t -> length(t))), 0) / greatest(ntok, 1)
+                           BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN len(list_filter(toks, t ->
+                     t IN ('the','a','an','and','of','to','in','is')))::DOUBLE
+                           / greatest(ntok, 1) >= 0.05 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                           ::DOUBLE / greatest(length(text), 1) <= 0.2
+                      THEN 1.0 ELSE 0.0 END)
+             ) / 4.0 AS q
+      FROM t
+    ), c AS (
+      SELECT source, ntok,
+             sum(ntok) OVER (ORDER BY q DESC, doc_id ASC) AS cum
+      FROM s
+    ), tot AS (SELECT sum(ntok) AS tt FROM s)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS sel_tokens
+    FROM c, tot
+    WHERE 2 * cum <= tt
+    GROUP BY source
+    """
+
+
+@_q("doc_quality_token_budget", _TOKEN_BUDGET_SQL)
+def doc_quality_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: take documents by DESCENDING quality
+    score until half the corpus's tokens are spent — the "fill the
+    training budget with the best data first" step of a pretraining
+    pipeline. The running token total comes from
+    operators/rank.add_global_cumsum (range shuffle + per-partition
+    offsets + pid-partitioned window), NEVER a partition-less
+    ``SUM() OVER (ORDER BY ...)`` — at 100 TB that global window is a
+    one-task sort. The budget comparison is integer-exact on both
+    engines (``2*cum <= total`` in int64 — no 0.5 double); the
+    quality sort key is the oracle-mirrored composite score with
+    doc_id as total-order tiebreak, so the selected SET is
+    engine-exact (checked per source via doc and token sums)."""
+    from fugue_warehouses_spark.operators.rank import add_global_cumsum
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "doc_id",
+        "source",
+        TX.quality_score("text").alias("q"),
+        TX.token_count("text").alias("ntok"),
+    )
+    cum = add_global_cumsum(
+        per, [F.desc("q"), F.asc("doc_id")], "ntok", cumsum_col="cum"
+    )
+    tot = per.agg(F.sum("ntok").alias("tt"))
+    sel = cum.crossJoin(F.broadcast(tot)).filter(
+        2 * F.col("cum") <= F.col("tt")
+    )
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("long").alias("sel_tokens"),
+    )
+
+
 @_q("doc_quality_by_source", _QUALITY_SQL)
 def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")

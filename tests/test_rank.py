@@ -57,3 +57,58 @@ def test_global_rank_empty_input(spark):
     ranked, n = add_global_rank(df, ["v", "id"], rank_col="r")
     assert n == 0
     assert ranked.count() == 0
+
+
+def test_global_cumsum_matches_single_partition_window(spark):
+    from pyspark.sql.window import Window
+
+    from fugue_warehouses_spark.operators.rank import add_global_cumsum
+
+    df = spark.range(0, 2_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        ((F.col("id") * 37) % 100 + 1).alias("v"),
+    )
+    # heavily tied sort key (grp: 7 distinct values) + unique tiebreak
+    out = add_global_cumsum(
+        df, [F.desc("grp"), F.asc("k")], "v", cumsum_col="cum"
+    )
+    got = {r["k"]: r["cum"] for r in out.collect()}
+    w = (
+        Window.orderBy(F.desc("grp"), F.asc("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["k"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+    # layout-independent: same cumsums from a different partitioning
+    again = {
+        r["k"]: r["cum"]
+        for r in add_global_cumsum(
+            df.repartition(13), [F.desc("grp"), F.asc("k")], "v",
+            cumsum_col="cum",
+        ).collect()
+    }
+    assert again == want
+
+
+def test_global_cumsum_no_single_partition_window(spark):
+    from fugue_warehouses_spark.operators.rank import add_global_cumsum
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+    )
+    plan = (
+        add_global_cumsum(df, [F.asc("k")], "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the window must be partitioned (by the range-partition id), not
+    # a partition-less global sort window
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "__pid" in line, line
