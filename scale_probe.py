@@ -120,7 +120,11 @@ def probe(spark, sizes, ops=None, repeat=1):
     }
     # synthesizes its own DISTRIBUTED corpus (1.28M rows never touch
     # the driver) — needs neither the docs nor the driver-built emb
-    SELF_CONTAINED = {"embedding_ingest_deep"}
+    SELF_CONTAINED = {
+        "embedding_ingest_deep",
+        "global_cumsum",
+        "global_cumsum_window",
+    }
     for n in sizes:
         # the 250-token doc corpus takes minutes to synthesize at 320k;
         # embedding-only probe runs skip it entirely
@@ -134,6 +138,54 @@ def probe(spark, sizes, ops=None, repeat=1):
         if need_emb:
             emb = make_embeddings(spark, n).repartition(32).cache()
             emb.count()
+
+        # distributed global cumsum (rank.add_global_cumsum) vs the
+        # naive partition-less SUM() OVER (ORDER BY) window — the
+        # single-task sort the operator exists to avoid. Synthetic
+        # n-row frame (spark.range, never driver-side); heavily tied
+        # sort key (1000 distinct) + unique tiebreak, the budget-
+        # selection shape. Forced via an aggregate over the cumsum
+        # column so column pruning can't elide the window.
+        if wanted("global_cumsum") or wanted("global_cumsum_window"):
+            from pyspark.sql import functions as _F
+            from pyspark.sql.window import Window as _W
+
+            from fugue_warehouses_spark.operators.rank import (
+                add_global_cumsum,
+            )
+
+            base = (
+                spark.range(n)
+                .select(
+                    _F.col("id").alias("k"),
+                    ((_F.col("id") * 2654435761) % 1000).alias("grp"),
+                    ((_F.col("id") * 97) % 100 + 1).alias("v"),
+                )
+                .repartition(32)
+                .cache()
+            )
+            base.count()
+
+            def _force_cumsum(df):
+                df.agg(_F.sum("cum"), _F.max("cum")).collect()
+
+            timed(
+                "global_cumsum", n,
+                lambda: _force_cumsum(add_global_cumsum(
+                    base, [_F.desc("grp"), _F.asc("k")], "v",
+                    cumsum_col="cum",
+                )),
+            )
+            _w_global = _W.orderBy(_F.desc("grp"), _F.asc("k")).rowsBetween(
+                _W.unboundedPreceding, _W.currentRow
+            )
+            timed(
+                "global_cumsum_window", n,
+                lambda: _force_cumsum(
+                    base.withColumn("cum", _F.sum("v").over(_w_global))
+                ),
+            )
+            base.unpersist()
 
         timed("exact_dedup", n, lambda: D.fingerprint_dedup(docs, "text", "doc_id").count())
         timed("minhash_near_dups", n, lambda: D.near_dup_pairs_minhash(docs, "doc_id", "text", threshold=0.6).count())

@@ -112,3 +112,14 @@ def test_global_cumsum_no_single_partition_window(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line.lower():
             assert "__pid" in line, line
+
+
+def test_global_cumsum_empty_input(spark):
+    from fugue_warehouses_spark.operators.rank import add_global_cumsum
+
+    df = spark.range(0).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+    )
+    out = add_global_cumsum(df, [F.asc("k")], "v", cumsum_col="cum")
+    assert out.count() == 0
+    assert "cum" in out.columns
