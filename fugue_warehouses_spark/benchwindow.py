@@ -18,8 +18,10 @@ The staleness gate consulted only tpch+numpy, computed inflation 1.4,
 and flagged 4 rows of git-verifiably unchanged code. The policy here
 closes both failure modes:
 
-- ``inflation`` consults ALL THREE controls (start and end), so a
-  mild load scales the gate's tolerance instead of flagging code;
+- ``inflation`` consults the fixed-work controls (numpy + tpch, start
+  and end), so a mild load scales the gate's tolerance instead of
+  flagging code; jobfloor is a pure refusal signal (its only
+  over-idle readings classify the window degraded outright);
 - ``classify`` marks the whole window DEGRADED when any control
   exceeds the recordable threshold — a degraded artifact is refused
   for staleness comparison (BASELINE.md's re-record policy), never
@@ -89,8 +91,9 @@ def _samples(control: dict | None, control_end: dict | None, key: str):
 
 def inflation(control: dict | None, control_end: dict | None) -> float:
     """Tolerance multiplier for the staleness gate: the WORST
-    measured/idle ratio across all three controls at session start
-    AND end. Floored at 1.0 (a fast window never tightens the gate),
+    measured/idle ratio across the fixed-work controls (numpy + tpch)
+    at session start AND end; jobfloor only refuses (see below).
+    Floored at 1.0 (a fast window never tightens the gate),
     NOT capped: a window this is consulted for has already been
     classified recordable (``classify`` refuses bursty windows before
     inflation matters), and a steady slow-host window's correct
@@ -100,8 +103,11 @@ def inflation(control: dict | None, control_end: dict | None) -> float:
     for key, ref in IDLE_REFERENCE.items():
         for v in _samples(control, control_end, key):
             ratios.append(v / ref)
-    for v in _samples(control, control_end, "jobfloor_32x_sec"):
-        ratios.append(v / JOBFLOOR_IDLE_HI_SEC)
+    # jobfloor deliberately contributes nothing here: any reading that
+    # could push its ratio over 1.0 (> 3.6 s) already classified the
+    # window degraded, and the gate never consults inflation for a
+    # degraded window — a sub-band jobfloor says "scheduling is fine",
+    # which must not loosen tolerances (round-9 review)
     return max(ratios)
 
 

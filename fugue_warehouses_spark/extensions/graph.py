@@ -123,12 +123,15 @@ def pagerank(
 
     The local gate is EDGES AND BYTES: the 8M-edge default assumes
     numeric ids (16 B/row in the numpy recurrence). String node ids
-    cost 60+ B per value as pandas objects, so the gate also estimates
-    driver bytes from a 1024-row sample (id byte-width × n_edges ×
-    ~3 for the pandas frame + unique index + position Series) and
-    requires it under ``local_bytes_below`` — a string-id graph just
-    under the edge cap no longer risks a multi-GB driver transfer
-    (round-8 ADVICE fix).
+    cost 60+ B per value as pandas objects, so the gate also measures
+    the EXACT mean id byte-width in one distributed aggregate over the
+    already-checkpointed edge list (it runs only once the edge cap
+    passed, so the scan is bounded; a limit() sample could be fooled
+    by partition-skewed id widths — round-9 ADVICE fix) and charges
+    width × n_edges × ~3 for the pandas frame + unique index +
+    position Series, requiring the estimate under
+    ``local_bytes_below`` — a string-id graph just under the edge cap
+    no longer risks a multi-GB driver transfer (round-8 ADVICE fix).
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")

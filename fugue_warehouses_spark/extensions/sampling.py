@@ -271,11 +271,13 @@ def dsir_importance(
     plus one per-doc aggregation.
 
     Cross-engine exactness: bucket counts and totals are exact
-    integers, the smoothed ratio is ONE double division of exact
-    integer products (< 2^53, so both engines round identically) and
-    one ``ln`` (≤ 1 ulp apart); weights are compared after 6-dp
-    rounding downstream, which absorbs both the ulp and double-sum
-    association differences (same standard as quality.unigram_surprisal).
+    integers; each smoothing factor is cast to double individually
+    (exact below 2^53 — int64 PRODUCTS would wrap silently in Spark at
+    web-corpus token totals), the multiply/divide chain is correctly
+    rounded identically on both engines, then one ``ln`` (≤ 1 ulp
+    apart); weights are compared after 6-dp rounding downstream, which
+    absorbs both the ulp and double-sum association differences (same
+    standard as quality.unigram_surprisal).
     """
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
@@ -308,16 +310,21 @@ def dsir_importance(
     tot = cb.agg(
         F.sum("__cr").alias("__totr"), F.sum("__ct").alias("__tott")
     )
-    # one division of exact integer products, then one ln — the
-    # formula both engines must share verbatim (see docstring)
+    # each integer FACTOR is cast to double BEFORE the multiply (both
+    # engines): int64 products like (ct+1)*(totr+B) overflow past
+    # 2^63 at web-corpus token totals — Spark's non-ANSI long multiply
+    # would wrap silently while DuckDB's checked BIGINT errors, i.e.
+    # garbage weights AND engine divergence (round-9 review). Double
+    # factors are exact below 2^53 and the multiply/divide are
+    # correctly rounded identically on both engines; then one ln.
     lr = cb.crossJoin(F.broadcast(tot)).select(
         "__b",
         F.log(
-            ((F.col("__ct") + 1) * (F.col("__totr") + n_buckets)).cast(
-                "double"
-            )
-            / ((F.col("__cr") + 1) * (F.col("__tott") + n_buckets)).cast(
-                "double"
+            (F.col("__ct") + 1).cast("double")
+            * (F.col("__totr") + n_buckets).cast("double")
+            / (
+                (F.col("__cr") + 1).cast("double")
+                * (F.col("__tott") + n_buckets).cast("double")
             )
         ).alias("__lr"),
     )

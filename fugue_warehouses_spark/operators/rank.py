@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def add_global_rank(
@@ -112,7 +113,12 @@ def add_global_cumsum(
     ``F.asc("doc_id")``) — make it a total order with a unique
     tiebreaker, or ties get an arbitrary stable order within their
     range partition. ``value_col`` must be non-null (sum skips nulls,
-    which would silently desync the per-partition offsets).
+    which would silently desync the per-partition offsets). The
+    cumsum column carries Spark's own SUM result type (long for
+    integral input, double/decimal for fractional); integral and
+    decimal cumsums are exact, double cumsums associate partial sums
+    per partition — same 1-ulp-per-level caveat as any parallel
+    floating-point sum.
 
     Shape: one range exchange orders and balances the relation (ties
     split across partitions by the tiebreaker, so a heavily-tied sort
@@ -133,18 +139,42 @@ def add_global_cumsum(
         .localCheckpoint(eager=False)
     )
     pid = F.shiftrightunsigned(F.col("__mono"), 33).cast("int")
-    sums = {
-        r["__pid"]: r["s"]
-        for r in ranged.groupBy(pid.alias("__pid"))
-        .agg(F.sum(value_col).alias("s"))
-        .collect()
-    }
+    part_sums = ranged.groupBy(pid.alias("__pid")).agg(
+        F.sum(value_col).alias("s")
+    )
+    # offsets carry Spark's own sum result type (long for integral
+    # inputs, double/decimal for fractional) — hard-coding long both
+    # rejected float offsets at createDataFrame and silently floored
+    # the running sum through a cast (round-9 review)
+    sum_type = part_sums.schema["s"].dataType
+    sums = {r["__pid"]: r["s"] for r in part_sums.collect()}
+
+    def _as_sum_type(x):
+        # the zero seed (and any int offset) must arrive as the sum
+        # type's Python analog — createDataFrame's verifier rejects
+        # e.g. int 0 for DoubleType
+        if isinstance(sum_type, (T.DoubleType, T.FloatType)):
+            return float(x)
+        if isinstance(sum_type, T.DecimalType):
+            from decimal import Decimal
+
+            return x if isinstance(x, Decimal) else Decimal(x)
+        return x
+
     offsets, acc = [], 0
     for p in sorted(sums):
-        offsets.append((p, acc))
+        offsets.append((p, _as_sum_type(acc)))
         acc += sums[p] or 0
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets or [], "__pid int, __off long")
+    off_df = spark.createDataFrame(
+        offsets or [],
+        T.StructType(
+            [
+                T.StructField("__pid", T.IntegerType()),
+                T.StructField("__off", sum_type),
+            ]
+        ),
+    )
     from pyspark.sql.window import Window
 
     w = (
@@ -157,7 +187,7 @@ def add_global_cumsum(
         .join(F.broadcast(off_df), "__pid")
         .withColumn(
             cumsum_col,
-            (F.sum(value_col).over(w) + F.col("__off")).cast("long"),
+            (F.sum(value_col).over(w) + F.col("__off")).cast(sum_type),
         )
         .drop("__pid", "__off", "__mono")
     )

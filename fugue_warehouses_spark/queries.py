@@ -886,31 +886,34 @@ def doc_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-doc quality composite over columns (text, toks, ntok) — THE
+# single SQL source of truth for TX.quality_score's oracle twin.
+# Three facets consume it (quality-by-source, token-budget selection,
+# the training pipeline); round-9 review deduplicated the hand copies
+# that had accumulated — a missed edit in one copy would silently
+# diverge that facet's oracle from the Spark twin.
+_Q_EXPR = r"""((CASE WHEN ntok >= 20 THEN 1.0 ELSE ntok / 20.0 END)
+              + (CASE WHEN coalesce(list_sum(list_transform(toks,
+                     t -> length(t))), 0) / greatest(ntok, 1)
+                     BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN len(list_filter(toks, t ->
+                     t IN ('the','a','an','and','of','to','in','is')))::DOUBLE
+                     / greatest(ntok, 1) >= 0.05 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
+                     / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+             ) / 4.0"""
+
+
 _QUALITY_SQL = f"""
     WITH t AS (
       SELECT source, text,
              {_TOKS} AS toks,
              len({_TOKS}) AS ntok
       FROM documents
-    ), s AS (
-      SELECT source,
-             CASE WHEN ntok >= 20 THEN 1.0 ELSE ntok / 20.0 END AS len_ok,
-             coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
-               / greatest(ntok, 1) AS mtl,
-             len(list_filter(toks, t ->
-               t IN ('the','a','an','and','of','to','in','is')))::DOUBLE
-               / greatest(ntok, 1) AS stop_ratio,
-             length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
-               / greatest(length(text), 1) AS punct_ratio
-      FROM t
     )
     SELECT source,
-           round(avg((len_ok
-                      + (CASE WHEN mtl >= 3.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END)
-                      + (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)
-                      + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0),
-                 6) AS avg_quality
-    FROM s GROUP BY source
+           round(avg({_Q_EXPR}), 6) AS avg_quality
+    FROM t GROUP BY source
     """
 
 
@@ -922,17 +925,7 @@ _TOKEN_BUDGET_SQL = f"""
       FROM documents
     ), s AS (
       SELECT doc_id, source, ntok,
-             ((CASE WHEN ntok >= 20 THEN 1.0 ELSE ntok / 20.0 END)
-              + (CASE WHEN coalesce(list_sum(list_transform(toks,
-                               t -> length(t))), 0) / greatest(ntok, 1)
-                           BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
-              + (CASE WHEN len(list_filter(toks, t ->
-                     t IN ('the','a','an','and','of','to','in','is')))::DOUBLE
-                           / greatest(ntok, 1) >= 0.05 THEN 1.0 ELSE 0.0 END)
-              + (CASE WHEN length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
-                           ::DOUBLE / greatest(length(text), 1) <= 0.2
-                      THEN 1.0 ELSE 0.0 END)
-             ) / 4.0 AS q
+             {_Q_EXPR} AS q
       FROM t
     ), c AS (
       SELECT source, ntok,
@@ -3191,16 +3184,7 @@ def _pipeline_sql() -> str:
       FROM documents),
     s AS (
       SELECT doc_id, source, text, toks, {', '.join(counts)},
-             ((CASE WHEN ntok >= 20 THEN 1.0 ELSE ntok / 20.0 END)
-              + (CASE WHEN coalesce(list_sum(list_transform(toks,
-                     t -> length(t))), 0) / greatest(ntok, 1)
-                     BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
-              + (CASE WHEN len(list_filter(toks, t ->
-                     t IN ('the','a','an','and','of','to','in','is')))::DOUBLE
-                     / greatest(ntok, 1) >= 0.05 THEN 1.0 ELSE 0.0 END)
-              + (CASE WHEN length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE
-                     / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
-             ) / 4.0 AS q
+             {_Q_EXPR} AS q
       FROM t),
     l AS (
       SELECT *, greatest(c_en, c_de, c_fr, c_es, c_zh) AS best FROM s),
@@ -3342,8 +3326,9 @@ _DSIR_SELECT_SQL = r"""
     tot AS (SELECT sum(c_r) AS tot_r, sum(c_t) AS tot_t FROM cb),
     lr AS (
       SELECT b,
-             ln(CAST((c_t + 1) * (tot_r + 4096) AS DOUBLE)
-                / CAST((c_r + 1) * (tot_t + 4096) AS DOUBLE)) AS lr
+             ln(CAST(c_t + 1 AS DOUBLE) * CAST(tot_r + 4096 AS DOUBLE)
+                / (CAST(c_r + 1 AS DOUBLE)
+                   * CAST(tot_t + 4096 AS DOUBLE))) AS lr
       FROM cb, tot),
     perdoc AS (SELECT doc_id, b, count(*) AS n FROM rt GROUP BY doc_id, b),
     logw AS (

@@ -224,6 +224,42 @@ def run_near_dedup_ingest(
         else band_store
     )
 
+    # ---- one-time band-table COVERAGE repair (round-9 review) ----
+    # Within a run the band delta commits before the index delta, so
+    # the committed band table is a superset of the index. ACROSS runs
+    # that invariant can break: a prior run with band_store=None
+    # appended index deltas with no band rows, and a crash recovery
+    # that deleted the wrong band version leaves index docs uncovered.
+    # An under-covered band table silently disables cross-batch
+    # near-dedup for exactly the missing docs (the banding join simply
+    # finds no rows — no error), so coverage is verified ONCE per
+    # stream start: index ids absent from the band table are re-banded
+    # and appended as one repair delta. Cost: one id-level anti-join
+    # per stream START, never per batch. (A band table missing
+    # entirely still bootstraps with a full banding on first batch.)
+    if band_path is not None:
+        try:
+            _idx0 = V.read_all_versions(spark, index_store)
+        except FileNotFoundError:
+            _idx0 = None
+        if _idx0 is not None:
+            try:
+                _bands0 = V.read_all_versions(spark, band_path)
+            except FileNotFoundError:
+                _bands0 = None
+            if _bands0 is not None:
+                _missing = _idx0.join(
+                    _bands0.select(id_col).distinct(), id_col, "left_anti"
+                ).localCheckpoint()
+                if not _missing.rdd.isEmpty():
+                    V.write_version(
+                        build_minhash_band_index(
+                            _missing, id_col, num_hashes, bands
+                        ),
+                        band_path,
+                        spark,
+                    )
+
     def _compact_if_due(store: str) -> None:
         if (
             compact_every is not None

@@ -123,3 +123,25 @@ def test_global_cumsum_empty_input(spark):
     out = add_global_cumsum(df, [F.asc("k")], "v", cumsum_col="cum")
     assert out.count() == 0
     assert "cum" in out.columns
+
+
+def test_global_cumsum_double_values(spark):
+    from pyspark.sql.window import Window
+
+    from fugue_warehouses_spark.operators.rank import add_global_cumsum
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 0.25 + 0.5).alias("v")
+    )
+    out = add_global_cumsum(df, [F.asc("k")], "v", cumsum_col="cum")
+    got = {r["k"]: r["cum"] for r in out.collect()}
+    w = Window.orderBy(F.asc("k")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["k"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9 * max(1.0, abs(want[k]))

@@ -945,3 +945,82 @@ def test_reconcile_never_over_drops_on_late_min_arrival(spark, tmp_path):
     assert over_ids == set()
     # every duplicate class retains exactly one representative
     assert greedy_kept - over_ids == {51, 60, 70}
+
+
+def test_band_store_coverage_repair_across_runs(spark, tmp_path):
+    """Round-9 review: a run with band_store=None appends index deltas
+    with NO band rows; a later band_store='auto' run must repair the
+    coverage gap at stream start, or duplicates of the unbanded docs
+    silently pass through (the banding join just finds no rows)."""
+    from fugue_warehouses_spark.plans import versioned as V
+    from fugue_warehouses_spark.streaming import (
+        read_parquet_stream,
+        run_near_dedup_ingest,
+    )
+
+    docs = _near_dedup_corpus(spark)
+    idx = str(tmp_path / "idx")
+
+    # run 1: band_store='auto' (default) over chunk 0 — band table born
+    feed1 = str(tmp_path / "feed1")
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.parquet(feed1)
+    run_near_dedup_ingest(
+        read_parquet_stream(spark, feed1),
+        index_store=idx,
+        survivors_path=str(tmp_path / "kept1"),
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+        threshold=0.5,
+    )
+
+    # run 2: band_store=None over chunk 1 — index grows UNBANDED
+    feed2 = str(tmp_path / "feed2")
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.parquet(feed2)
+    run_near_dedup_ingest(
+        read_parquet_stream(spark, feed2),
+        index_store=idx,
+        survivors_path=str(tmp_path / "kept2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        threshold=0.5,
+        band_store=None,
+    )
+    banded_ids = {
+        r["doc_id"]
+        for r in V.read_all_versions(spark, idx + "_bands")
+        .select("doc_id").distinct().collect()
+    }
+    indexed_ids = {
+        r["doc_id"]
+        for r in V.read_all_versions(spark, idx).select("doc_id").collect()
+    }
+    assert banded_ids < indexed_ids  # the gap this test exists for
+
+    # run 3: back to 'auto', feeding chunk 2 — which contains copies
+    # of docs indexed in BOTH earlier runs (ids 20-24 copy 0-4, and
+    # e.g. 22 copies 1 which arrived in the UNBANDED run 2)
+    feed3 = str(tmp_path / "feed3")
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.parquet(feed3)
+    survivors3 = run_near_dedup_ingest(
+        read_parquet_stream(spark, feed3),
+        index_store=idx,
+        survivors_path=str(tmp_path / "kept3"),
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+        threshold=0.5,
+    )
+    kept3 = {r["doc_id"] for r in survivors3.collect()}
+    # chunk 2 = {2,5,8,11,14,17,20,23,26,29}. 2/5/8 duplicate docs
+    # 22/25/28 — indexed UNBANDED by run 2 (the repair target);
+    # 20/23/26/29 duplicate run-1 (banded) docs 0/3/6/9. Only the
+    # unique singletons may survive; without the start-time coverage
+    # repair, 2/5/8 would wrongly survive too.
+    assert kept3 == {11, 14, 17}
+    # and the repair delta restored the superset invariant
+    banded_after = {
+        r["doc_id"]
+        for r in V.read_all_versions(spark, idx + "_bands")
+        .select("doc_id").distinct().collect()
+    }
+    indexed_after = {
+        r["doc_id"]
+        for r in V.read_all_versions(spark, idx).select("doc_id").collect()
+    }
+    assert indexed_after <= banded_after
