@@ -225,23 +225,57 @@ def epoch_shuffle(
     ).drop("__draw", "__grank")
 
 
-def _hashed_tokens(df: DataFrame, text_col: str, n_buckets: int, *cols):
-    """Whitespace tokens of ``text_col`` hashed into ``n_buckets``
-    feature buckets (the hashing trick): bucket = first 8 md5 hex
-    chars of the token as a 32-bit integer, mod n_buckets — the same
-    engine-reproducible draw convention as the module's samplers, so
-    a SQL oracle rebuilds the exact feature space."""
-    toks = df.select(
-        *cols,
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok"),
-    ).filter(F.col("__tok") != "")
+def _hashed_tokens(
+    df: DataFrame, text_col: str, n_buckets: int, *cols, ngram_max: int = 1
+):
+    """Whitespace n-grams of ``text_col`` (orders 1..``ngram_max``,
+    joined by one space) hashed into ``n_buckets`` feature buckets
+    (the hashing trick): bucket = first 8 md5 hex chars of the n-gram
+    as a 32-bit integer, mod n_buckets — the same engine-reproducible
+    draw convention as the module's samplers, so a SQL oracle rebuilds
+    the exact feature space (bigrams: ``toks[i-1] || ' ' || toks[i]``
+    over ``generate_series``)."""
+    if ngram_max < 1:
+        raise ValueError("ngram_max must be >= 1")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    grams = toks
+    for order in range(2, ngram_max + 1):
+        # n-gram ending at 1-based position i joins tokens
+        # [i-order+1, i] with single spaces — identical to the SQL
+        # formulation, so oracles stay exact. The sequence is guarded:
+        # Spark's sequence(a, b) steps DOWNWARD when b < a, so a doc
+        # shorter than the order must yield an empty gram list, not a
+        # reversed index pair.
+        idx = F.when(
+            F.size(toks) >= order,
+            F.sequence(F.lit(order), F.size(toks)),
+        ).otherwise(F.array().cast("array<int>"))
+        def _gram_fn(_order):
+            # single-arg lambda REQUIRED: F.transform treats a
+            # two-parameter callable as its (element, index) form, so
+            # a default-arg trick to bind the order would be silently
+            # overwritten by the index Column
+            return lambda i: F.concat_ws(
+                " ",
+                *[
+                    # 0-based F.get: gram ending at 1-based i spans
+                    # 0-based [i-_order, i-1]
+                    F.get(toks, i - F.lit(_order - j))
+                    for j in range(_order)
+                ],
+            )
+
+        grams = F.concat(grams, F.transform(idx, _gram_fn(order)))
+    out = df.select(*cols, F.explode(grams).alias("__tok"))
     bucket = (
         F.conv(
             F.substring(F.md5(F.col("__tok").cast("binary")), 1, 8), 16, 10
         ).cast("long")
         % n_buckets
     ).alias("__b")
-    return toks.select(*cols, bucket)
+    return out.select(*cols, bucket)
 
 
 def dsir_importance(
@@ -250,6 +284,7 @@ def dsir_importance(
     text_col: str,
     key_col: str,
     n_buckets: int = 4096,
+    ngram_max: int = 1,
 ) -> DataFrame:
     """Per-document DSIR importance weights (Data Selection via
     Importance Resampling, Xie et al. 2023): score each raw document
@@ -257,6 +292,9 @@ def dsir_importance(
     TARGET distribution than under the RAW distribution —
     ``log w(d) = Σ_b count_d[b] · (log p_target[b] − log p_raw[b])``
     with add-one smoothing over ``n_buckets`` hashed feature buckets.
+    ``ngram_max=2`` hashes unigrams AND bigrams (the paper's canonical
+    feature set); the default 1 keeps the unigram space the facet
+    oracle mirrors.
     Output: (key_col, dsir_logw), one row per raw document that has at
     least one token (an empty/whitespace-only document has no feature
     mass and is excluded — it cannot be scored).
@@ -281,8 +319,10 @@ def dsir_importance(
     """
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
-    tr = _hashed_tokens(raw, text_col, n_buckets, F.col(key_col))
-    tt = _hashed_tokens(target, text_col, n_buckets)
+    tr = _hashed_tokens(
+        raw, text_col, n_buckets, F.col(key_col), ngram_max=ngram_max
+    )
+    tt = _hashed_tokens(target, text_col, n_buckets, ngram_max=ngram_max)
     # the per-(doc, bucket) counts are needed for scoring anyway, so
     # the raw text is tokenized exactly ONCE: raw bucket totals roll
     # up from perdoc rather than from a second pass over the corpus
@@ -341,6 +381,7 @@ def dsir_select(
     n_select: int,
     n_buckets: int = 4096,
     salt: str = "dsir",
+    ngram_max: int = 1,
 ) -> DataFrame:
     """DSIR data selection (Xie et al. 2023): resample ``n_select``
     raw documents toward the target distribution by Gumbel top-k over
@@ -364,7 +405,9 @@ def dsir_select(
     """
     if n_select < 1:
         raise ValueError("n_select must be >= 1")
-    w = dsir_importance(raw, target, text_col, key_col, n_buckets)
+    w = dsir_importance(
+        raw, target, text_col, key_col, n_buckets, ngram_max=ngram_max
+    )
     draw = F.conv(
         F.substring(
             F.md5(

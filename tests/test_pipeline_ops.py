@@ -441,3 +441,47 @@ def test_dsir_empty_and_invalid_inputs(spark):
         dsir_importance(raw, target, "text", "doc_id", n_buckets=1)
     with pytest.raises(ValueError, match="n_select"):
         dsir_select(raw, target, "text", "doc_id", n_select=0)
+
+
+def test_dsir_bigram_features(spark):
+    from fugue_warehouses_spark.extensions.sampling import (
+        _hashed_tokens,
+        dsir_importance,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "x"), (3, "  "), (4, None)],
+        "doc_id int, text string",
+    )
+    # unigram path unchanged: 3 + 1 + 0 + 0 token rows
+    assert _hashed_tokens(df, "text", 64, F.col("doc_id")).count() == 4
+    # ngram_max=2 adds bigrams 'a b','b c' for doc 1, none for the
+    # 1-token / empty / NULL docs (the short-doc sequence guard)
+    rows = _hashed_tokens(
+        df, "text", 1 << 30, F.col("doc_id"), ngram_max=2
+    ).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], 0)
+        per_doc[r["doc_id"]] += 1
+    assert per_doc == {1: 5, 2: 1}
+    # bigram features separate docs that share a unigram bag: with
+    # unigrams only, both raw docs look identical to the target
+    target = spark.createDataFrame(
+        [(i, "red fish blue fish") for i in range(10)],
+        "doc_id int, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "red fish blue fish"), (2, "fish red fish blue")],
+        "doc_id int, text string",
+    )
+    uni = {r["doc_id"]: r["dsir_logw"] for r in
+           dsir_importance(raw, target, "text", "doc_id").collect()}
+    assert abs(uni[1] - uni[2]) < 1e-12
+    bi = {r["doc_id"]: r["dsir_logw"] for r in
+          dsir_importance(raw, target, "text", "doc_id", ngram_max=2).collect()}
+    assert bi[1] > bi[2]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="ngram_max"):
+        _hashed_tokens(df, "text", 64, ngram_max=0)
