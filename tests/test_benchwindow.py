@@ -132,6 +132,103 @@ def test_inflation_scales_with_mild_load_on_any_control():
     assert benchwindow.inflation({"numpy_matmul_sec": 0.05}, None) == 5.0
 
 
+def test_steady_slow_numpy_without_jobfloor_evidence_is_refused():
+    # Round-10 ADVICE fix (medium): the steady exception needs at
+    # least one IN-BAND jobfloor sample as positive evidence that the
+    # window wasn't a per-job burst regime. A sidecar with no jobfloor
+    # samples at all (old/partial artifacts, tpch-only controls) must
+    # not combine "numpy steady at start and end" with uncapped
+    # inflation into an arbitrarily loose clean window.
+    state, reasons = benchwindow.classify(
+        {"numpy_matmul_sec": 0.1}, {"numpy_matmul_sec": 0.1}
+    )
+    assert state == "degraded"
+    assert any("numpy" in r for r in reasons)
+
+
+def test_zero_control_sample_never_reaches_the_steadiness_ratio():
+    # a 0.0 reading (sub-ms rounded down in an old sidecar) is dropped
+    # by _samples; the remaining single sample cannot vouch for
+    # steadiness, and classify must return a verdict, not divide by
+    # zero (round-10 ADVICE, low)
+    state, _ = benchwindow.classify(
+        {"numpy_matmul_sec": 0.0, "jobfloor_32x_sec": 2.0},
+        {"numpy_matmul_sec": 0.05, "jobfloor_32x_sec": 2.1},
+    )
+    assert state == "degraded"
+
+
+def test_inflation_by_regime_splits_the_controls():
+    # the r9 slow class: numpy ~3.6x idle, tpch FASTER than idle.
+    # cpu rows scale by the numpy ratio; sched rows must NOT inherit
+    # it — their measured path never degraded (VERDICT r9 wrong #3:
+    # the global max let scheduling rows tolerate ~8x, which is where
+    # an events_running_totals-style burst hides).
+    infl = benchwindow.inflation_by_regime(
+        R9_SLOWHOST_CONTROL, R9_SLOWHOST_CONTROL_END
+    )
+    assert abs(infl["cpu"] - 3.3) < 1e-9
+    assert infl["sched"] == 1.0
+    # idle window: both floored at 1.0
+    infl = benchwindow.inflation_by_regime(R8_CLEAN_CONTROL, R8_CLEAN_CONTROL_END)
+    assert infl == {"cpu": 1.0, "sched": 1.0}
+    # a genuinely slow scheduling path scales sched rows
+    infl = benchwindow.inflation_by_regime({"tpch_scan_agg_sec": 0.98}, None)
+    assert abs(infl["sched"] - 2.0) < 1e-9 and infl["cpu"] == 1.0
+
+
+def test_write_sidecar_quarantines_degraded_windows(tmp_path):
+    """Replay of the r9 driver refresh (VERDICT r9 wrong #1): a clean
+    artifact is at bench_queries.json; a later degraded-window run
+    must land at bench_queries.degraded.json and leave the clean
+    comparand untouched."""
+    path = str(tmp_path / "bench_queries.json")
+    clean_payload = {
+        "value": 62.9,
+        "queries": {"q1_pricing_summary": 0.266},
+        "control": R9_SLOWHOST_CONTROL,
+        "control_end": R9_SLOWHOST_CONTROL_END,
+    }
+    written = benchwindow.write_sidecar(path, clean_payload)
+    assert written == path
+    assert json.loads(Path(path).read_text())["window"]["state"] == "clean"
+
+    # verbatim r9 driver-refresh controls: jobfloor burst at start,
+    # numpy start/end disagreement past the steady bound
+    degraded_payload = {
+        "value": 59.8,
+        "queries": {"q1_pricing_summary": 0.4},
+        "control": {
+            "jobfloor_32x_sec": 4.185,
+            "numpy_matmul_sec": 0.048,
+            "tpch_scan_agg_sec": 0.361,
+        },
+        "control_end": {"jobfloor_32x_sec": 1.143, "numpy_matmul_sec": 0.031},
+    }
+    written = benchwindow.write_sidecar(path, degraded_payload)
+    assert written == str(tmp_path / "bench_queries.degraded.json")
+    quarantined = json.loads(Path(written).read_text())
+    assert quarantined["window"]["state"] == "degraded"
+    # the clean comparand survived the refresh
+    survivor = json.loads(Path(path).read_text())
+    assert survivor["value"] == 62.9
+    assert survivor["window"]["state"] == "clean"
+
+
+def test_write_sidecar_recomputes_the_window_verdict(tmp_path):
+    # a payload claiming "clean" with degraded controls is reclassified
+    path = str(tmp_path / "bench_queries.json")
+    payload = {
+        "value": 1.0,
+        "window": {"state": "clean", "reasons": []},
+        "control": {"jobfloor_32x_sec": 4.2},
+        "control_end": None,
+    }
+    written = benchwindow.write_sidecar(path, payload)
+    assert written.endswith(".degraded.json")
+    assert not Path(path).exists()
+
+
 def test_committed_sidecar_matches_its_recorded_verdict():
     """If the committed sidecar carries a window verdict (written by
     bench.py from round 9 on), it must agree with a recomputation from

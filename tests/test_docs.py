@@ -78,11 +78,12 @@ def test_baseline_tables_well_formed():
 
 
 def _query_table_rows() -> list[list[str]]:
-    """Rows of the per-query table(s): 5-cell rows whose first cell is
-    a query name (header/separator/TOTAL rows excluded)."""
+    """Rows of the per-query table(s): 6-cell rows (query | duckdb |
+    spark | ratio | regime | status) whose first cell is a query name
+    (header/separator/TOTAL rows excluded)."""
     out = []
     for cells in _table_rows():
-        if len(cells) != 5 or _is_separator(cells):
+        if len(cells) != 6 or _is_separator(cells):
             continue
         name = cells[0]
         if name in ("query", "") or name.startswith("**TOTAL"):
@@ -126,6 +127,22 @@ def test_all_benched_queries_have_baseline_rows():
     )
 
 
+def test_baseline_regime_tags_valid():
+    """Every per-query row carries a regime tag the gate can scale by
+    (round 10): `cpu` rows track the numpy control across host
+    classes, `sched` rows the tpch control. An untagged or typo'd row
+    would silently fall out of the staleness gate's per-regime
+    scaling."""
+    from fugue_warehouses_spark.benchwindow import REGIME_CONTROL
+
+    bad = [
+        (c[0], c[4])
+        for c in _query_table_rows()
+        if c[4] not in REGIME_CONTROL
+    ]
+    assert not bad, f"rows with invalid regime tags: {bad}"
+
+
 def test_readme_test_count_matches_collection():
     text = (REPO / "README.md").read_text()
     m = re.search(r"(\d+)\s+tests", text)
@@ -160,16 +177,21 @@ def test_baseline_spark_values_track_bench_sidecar():
     """Every BASELINE per-query Spark-seconds claim must cover the
     latest recorded bench value within tolerance: point claims may be
     exceeded by at most POINT_TOLERANCE, explicit lo-hi bands by at
-    most BAND_TOLERANCE over the hi end — both scaled by the sidecar's
-    own host-state controls (benchwindow.inflation, all THREE controls
-    at start and end). A sidecar whose controls classify the window
-    DEGRADED (benchwindow.classify — e.g. the r8 driver window whose
-    jobfloor read 3.765 s while tpch+numpy sampled clean) is REFUSED
-    for comparison rather than normalized: per-job burst regimes
-    inflate individual rows 2-9x non-uniformly, so no scalar tolerance
-    makes the comparison meaningful; BASELINE.md's re-record policy
-    applies. Queries absent from the sidecar (prose-documented
-    heavies) are skipped."""
+    most BAND_TOLERANCE over the hi end — each scaled by the control
+    its row's REGIME actually resembles (round 10,
+    benchwindow.inflation_by_regime): `cpu` rows by the numpy ratio,
+    `sched` rows by the tpch ratio. One global max-of-both scalar let
+    the r9 slow class (numpy 4.0x, tpch faster than idle) tolerate ~8x
+    on scheduling rows whose measured path never degraded. A sidecar
+    whose controls classify the window DEGRADED (benchwindow.classify
+    — e.g. the r8 driver window whose jobfloor read 3.765 s while
+    tpch+numpy sampled clean) is REFUSED for comparison rather than
+    normalized: per-job burst regimes inflate individual rows 2-9x
+    non-uniformly, so no scalar tolerance makes the comparison
+    meaningful — and from round 10 bench.py quarantines such windows
+    to bench_queries.degraded.json, so this path only fires on a
+    hand-placed artifact. Queries absent from the sidecar
+    (prose-documented heavies) are skipped."""
     from fugue_warehouses_spark import benchwindow
 
     sidecar = REPO / "bench_queries.json"
@@ -184,7 +206,9 @@ def test_baseline_spark_values_track_bench_sidecar():
             f"({'; '.join(reasons)}); staleness cannot be assessed — "
             "re-record on an idle host per BASELINE.md methodology"
         )
-    infl = benchwindow.inflation(data.get("control"), data.get("control_end"))
+    infl = benchwindow.inflation_by_regime(
+        data.get("control"), data.get("control_end")
+    )
     stale = []
     for cells in _query_table_rows():
         name = _query_name(cells[0])
@@ -193,12 +217,18 @@ def test_baseline_spark_values_track_bench_sidecar():
         parsed = _parse_sec_cell(cells[2])
         if parsed is None:
             continue
+        regime = cells[4]
+        assert regime in infl, (
+            f"{name}: unknown regime tag {regime!r} (expected one of "
+            f"{sorted(infl)})"
+        )
         lo, hi = parsed
-        tol = (BAND_TOLERANCE if hi > lo else POINT_TOLERANCE) * infl
+        tol = (BAND_TOLERANCE if hi > lo else POINT_TOLERANCE) * infl[regime]
         if bench[name] > hi * tol:
             stale.append(
                 f"{name}: BASELINE claims {cells[2].split('(')[0].strip()!r}"
-                f" but bench recorded {bench[name]} s (> {hi}*{tol:.2f})"
+                f" but bench recorded {bench[name]} s (> {hi}*{tol:.2f}, "
+                f"regime={regime})"
             )
     assert not stale, (
         "stale BASELINE.md rows — re-measure idle warm best-of-N and "
