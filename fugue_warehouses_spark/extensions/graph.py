@@ -168,10 +168,13 @@ def pagerank(
         )
         if numeric:
             return n_edges * 16.0
+        # octet_length, not length: the transfer the gate bounds is
+        # sized in BYTES, and multibyte UTF-8 node ids (CJK, emoji)
+        # are up to 4x their character count (round-9 ADVICE fix)
         avg_w = edges.select(
             (
-                F.length(F.col("src").cast("string"))
-                + F.length(F.col("dst").cast("string"))
+                F.octet_length(F.col("src").cast("string"))
+                + F.octet_length(F.col("dst").cast("string"))
             ).alias("__w")
         ).agg(F.avg("__w")).first()[0]
         return n_edges * ((avg_w or 0.0) + 120.0) * 3.0

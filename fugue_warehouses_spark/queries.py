@@ -1693,18 +1693,36 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SERVING_HANDLES: dict = {}
 
 
-def _serving_handle(spark: SparkSession, family: str, sf_dir: str, build):
+def _serving_handle(
+    spark: SparkSession,
+    family: str,
+    sf_dir: str,
+    build,
+    store: str | None = None,
+    open_existing=None,
+):
     """Build-once/persist/warm-EXACT-shape contract shared by every
     process-cached serving handle (the persisted-IVF, Bloom-dedup and
     MinHash-index facets; the next persisted state gets it by
     inheritance — VERDICT r8 #6):
 
     - ONE build per (family, sf_dir) per process; the durable source
-      of truth is a versioned store under a per-process temp root
-      (removed at exit), state served from cluster memory;
+      of truth is a versioned store — by default under a per-process
+      temp root (removed at exit), or at a caller-supplied ``store``
+      path that SURVIVES the process (round 10); state served from
+      cluster memory;
     - ``build(store) -> (entry_dict, warmup_fn)`` does the
       family-specific work, using :func:`_stored_table` for each
       write-version/read-back/persist/eager-materialize table;
+    - cross-process re-open (round 10, the actual 100 TB serving
+      story: a new serving process re-opens the store a build process
+      wrote instead of re-scanning the corpus): a ``_HANDLE_COMPLETE``
+      marker commits AFTER the build's last table write, and when a
+      caller-supplied ``store`` already carries it,
+      ``open_existing(store) -> (entry_dict, warmup_fn)`` re-reads the
+      stored tables into memory — zero corpus scans, zero new store
+      versions. A half-built store (crash before the marker) rebuilds:
+      the extra versions are shadowed, read_version serves the latest;
     - the warmup callable returns the EXACT facet plan shape and runs
       THREE times after the entry is cached. This encodes the round-8
       C2 lesson: a toy probe (k=1, limit(50)) compiles the codegen
@@ -1716,17 +1734,28 @@ def _serving_handle(spark: SparkSession, family: str, sf_dir: str, build):
       outside any timed region.
     """
     import atexit
+    import os
     import shutil
     import tempfile
 
-    key = (family, sf_dir)
+    key = (family, sf_dir) if store is None else (family, sf_dir, store)
     entry = _SERVING_HANDLES.get(key)
     if entry is not None:
         return entry
-    store = tempfile.mkdtemp(prefix=f"wf_{family}_")
-    atexit.register(shutil.rmtree, store, ignore_errors=True)
-    entry, warmup = build(store)
-    entry.setdefault("store", store)
+    if store is None:
+        store_dir = tempfile.mkdtemp(prefix=f"wf_{family}_")
+        atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
+    else:
+        store_dir = store
+        os.makedirs(store_dir, exist_ok=True)
+    marker = os.path.join(store_dir, "_HANDLE_COMPLETE")
+    if open_existing is not None and os.path.exists(marker):
+        entry, warmup = open_existing(store_dir)
+    else:
+        entry, warmup = build(store_dir)
+        with open(marker, "w") as f:
+            f.write(family)
+    entry.setdefault("store", store_dir)
     _SERVING_HANDLES[key] = entry
     for _ in range(3):
         warmup().count()
@@ -1741,16 +1770,33 @@ def _stored_table(
     rows_per_partition: int | None = None,
 ) -> DataFrame:
     """One serving-handle table: written to the versioned store (the
-    durable truth / time-travel surface — plans/versioned), read back,
-    optionally re-partitioned to the data size, persisted and eagerly
-    materialized (on a real cluster this lives in executor storage
-    memory and is rebuilt from the store on loss)."""
-    import math
+    durable truth / time-travel surface — plans/versioned), then
+    served via :func:`_served_table`."""
     import os
 
     from fugue_warehouses_spark.plans import versioned as V
 
     V.write_version(df, os.path.join(store, name), spark)
+    return _served_table(spark, store, name, rows_per_partition)
+
+
+def _served_table(
+    spark: SparkSession,
+    store: str,
+    name: str,
+    rows_per_partition: int | None = None,
+) -> DataFrame:
+    """Read a stored serving-handle table back into cluster memory:
+    latest version, optionally re-partitioned to the data size,
+    persisted and eagerly materialized (on a real cluster this lives
+    in executor storage memory and is rebuilt from the store on
+    loss). This is the whole cost of a cross-process re-open — no
+    corpus scan, no index rebuild."""
+    import math
+    import os
+
+    from fugue_warehouses_spark.plans import versioned as V
+
     out = V.read_version(spark, os.path.join(store, name))
     if rows_per_partition is not None:
         # size the cached partitioning to the data: at test SF that is
@@ -1766,25 +1812,26 @@ def _stored_table(
     return out
 
 
-def _ivf_index_for(spark: SparkSession, sf_dir: str):
+def _ivf_index_for(spark: SparkSession, sf_dir: str, store: str | None = None):
     """IVF serving handle (``assigned`` / ``centroids`` /
     ``centroid_rows``) under the :func:`_serving_handle` contract.
     ``centroids`` (32 rows) is re-created driver-local from one
     collect, and ``centroid_rows`` caches those collected rows so
-    per-probe centroid ranking costs zero Spark jobs."""
+    per-probe centroid ranking costs zero Spark jobs. With a
+    caller-supplied ``store`` that already holds a completed build,
+    the handle RE-OPENS: ``assigned`` is read back from the store
+    (one store scan, no embedding re-read, no re-assignment) — the
+    cross-process serving path."""
     import os
 
     from fugue_warehouses_spark.plans import versioned as V
 
-    def build(store):
+    def _entry_from_store(store_dir, assigned):
         emb = _t(spark, sf_dir, "embeddings")
-        assigned_b, centroids_b = SS.build_ivf_hash_index(emb, n_centroids=32)
-        assigned = _stored_table(
-            spark, store, "assigned", assigned_b, rows_per_partition=500_000
-        )
-        V.write_version(centroids_b, os.path.join(store, "centroids"), spark)
         cent_rows = sorted(
-            V.read_version(spark, os.path.join(store, "centroids")).collect(),
+            V.read_version(
+                spark, os.path.join(store_dir, "centroids")
+            ).collect(),
             key=lambda r: r["cidx"],
         )
         centroids = spark.createDataFrame(
@@ -1810,7 +1857,26 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str):
         )
         return entry, warmup
 
-    return _serving_handle(spark, "ivf_index", sf_dir, build)
+    def build(store_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        assigned_b, centroids_b = SS.build_ivf_hash_index(emb, n_centroids=32)
+        assigned = _stored_table(
+            spark, store_dir, "assigned", assigned_b,
+            rows_per_partition=500_000,
+        )
+        V.write_version(centroids_b, os.path.join(store_dir, "centroids"), spark)
+        return _entry_from_store(store_dir, assigned)
+
+    def open_existing(store_dir):
+        assigned = _served_table(
+            spark, store_dir, "assigned", rows_per_partition=500_000
+        )
+        return _entry_from_store(store_dir, assigned)
+
+    return _serving_handle(
+        spark, "ivf_index", sf_dir, build,
+        store=store, open_existing=open_existing,
+    )
 
 
 @_q("embedding_ivf_persisted_topk", _ivf_hash_sql())
@@ -3445,33 +3511,29 @@ def doc_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
-def _bloom_handle_for(spark: SparkSession, sf_dir: str):
+def _bloom_handle_for(
+    spark: SparkSession, sf_dir: str, store: str | None = None
+):
     """Rolling-corpus dedup state under the :func:`_serving_handle`
     contract: the history-fingerprint Bloom bitset AND the distinct
     fingerprint table. A real ingest pipeline maintains exactly these
     two tables across batches (bloom for the cheap probe, fp set for
     the exact verify) instead of re-reading and re-hashing the history
-    corpus per batch."""
+    corpus per batch. A caller-supplied ``store`` holding a completed
+    build RE-OPENS without re-hashing the history (the split
+    threshold is re-derived from one doc_id percentile agg — never
+    from history text)."""
     from fugue_warehouses_spark.functions.text import fingerprint
 
-    def build(store):
+    def _entry_from_store(store_dir, bloom, fps):
         docs = _t(spark, sf_dir, "documents")
         thr = _doc_split_thr(spark, sf_dir)
-        hist = docs.filter(F.col("doc_id") < thr)
-        bloom = _stored_table(
-            spark, store, "bloom",
-            DD.fingerprint_bloom(hist, "text", m_bits=1 << 20, k=5),
-        )
-        fps = _stored_table(
-            spark, store, "fps",
-            hist.select(fingerprint("text").alias("__fp")).distinct(),
-        )
         entry = {"bloom": bloom, "fps": fps, "thr": thr}
         # exact facet shape: the FULL batch probe (not a limit(50) toy
         # — see _serving_handle's C2 note)
         warmup = lambda: DD.incremental_dedup_bloom(  # noqa: E731
             docs.filter(F.col("doc_id") >= thr),
-            hist,
+            docs.filter(F.col("doc_id") < thr),
             m_bits=1 << 20,
             k=5,
             bloom_df=bloom,
@@ -3479,7 +3541,29 @@ def _bloom_handle_for(spark: SparkSession, sf_dir: str):
         )
         return entry, warmup
 
-    return _serving_handle(spark, "fp_bloom", sf_dir, build)
+    def build(store_dir):
+        docs = _t(spark, sf_dir, "documents")
+        thr = _doc_split_thr(spark, sf_dir)
+        hist = docs.filter(F.col("doc_id") < thr)
+        bloom = _stored_table(
+            spark, store_dir, "bloom",
+            DD.fingerprint_bloom(hist, "text", m_bits=1 << 20, k=5),
+        )
+        fps = _stored_table(
+            spark, store_dir, "fps",
+            hist.select(fingerprint("text").alias("__fp")).distinct(),
+        )
+        return _entry_from_store(store_dir, bloom, fps)
+
+    def open_existing(store_dir):
+        bloom = _served_table(spark, store_dir, "bloom")
+        fps = _served_table(spark, store_dir, "fps")
+        return _entry_from_store(store_dir, bloom, fps)
+
+    return _serving_handle(
+        spark, "fp_bloom", sf_dir, build,
+        store=store, open_existing=open_existing,
+    )
 
 
 @_q("doc_incremental_dedup_bloom_persisted", _INCR_DEDUP_SQL)
@@ -3670,25 +3754,20 @@ def doc_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_index_for(spark: SparkSession, sf_dir: str):
+def _minhash_index_for(
+    spark: SparkSession, sf_dir: str, store: str | None = None
+):
     """MinHash signature index of the historical corpus (doc_id % 5
     != 4) under the :func:`_serving_handle` contract — the near-dedup
     analog of _bloom_handle_for. The BAND table too (round 8):
     re-banding the index per batch is an index-length explode per
     call — precompute it at build time like a real rolling pipeline
-    stores banded postings."""
+    stores banded postings. A caller-supplied ``store`` holding a
+    completed build RE-OPENS both tables without re-reading history
+    text (the cross-process serving path)."""
 
-    def build(store):
+    def _entry_from_store(store_dir, idx, bands):
         docs = _t(spark, sf_dir, "documents")
-        hist = docs.filter(F.col("doc_id") % 5 != 4)
-        idx = _stored_table(
-            spark, store, "sigs",
-            DD.build_minhash_index(hist, "doc_id", "text"),
-        )
-        bands = _stored_table(
-            spark, store, "bands",
-            DD.build_minhash_band_index(idx, "doc_id"),
-        )
         entry = {"idx": idx, "bands": bands}
         # exact facet shape: the FULL 20%-corpus batch probe (not a
         # limit(20) toy — see _serving_handle's C2 note)
@@ -3702,7 +3781,28 @@ def _minhash_index_for(spark: SparkSession, sf_dir: str):
         )
         return entry, warmup
 
-    return _serving_handle(spark, "minhash_idx", sf_dir, build)
+    def build(store_dir):
+        docs = _t(spark, sf_dir, "documents")
+        hist = docs.filter(F.col("doc_id") % 5 != 4)
+        idx = _stored_table(
+            spark, store_dir, "sigs",
+            DD.build_minhash_index(hist, "doc_id", "text"),
+        )
+        bands = _stored_table(
+            spark, store_dir, "bands",
+            DD.build_minhash_band_index(idx, "doc_id"),
+        )
+        return _entry_from_store(store_dir, idx, bands)
+
+    def open_existing(store_dir):
+        idx = _served_table(spark, store_dir, "sigs")
+        bands = _served_table(spark, store_dir, "bands")
+        return _entry_from_store(store_dir, idx, bands)
+
+    return _serving_handle(
+        spark, "minhash_idx", sf_dir, build,
+        store=store, open_existing=open_existing,
+    )
 
 
 @_q("doc_incremental_near_dedup_persisted", _INCR_NEAR_DEDUP_SQL)

@@ -238,27 +238,37 @@ def run_near_dedup_ingest(
     # per stream START, never per batch. (A band table missing
     # entirely still bootstraps with a full banding on first batch.)
     if band_path is not None:
-        try:
-            _idx0 = V.read_all_versions(spark, index_store)
-        except FileNotFoundError:
-            _idx0 = None
-        if _idx0 is not None:
+        # released_after: the repair's localCheckpoint blocks (which
+        # can be index-sized when a whole prior run lacked band rows)
+        # are garbage once the repair delta commits; without the scope
+        # they'd persist for the lifetime of the long-lived stream JVM
+        # — the exact leak the per-batch scoping exists to prevent
+        # (round-9 ADVICE). Same one-streaming-query-per-process
+        # contract as the per-batch scope below.
+        from fugue_warehouses_spark.plans.checkpoint import released_after
+
+        with released_after(spark):
             try:
-                _bands0 = V.read_all_versions(spark, band_path)
+                _idx0 = V.read_all_versions(spark, index_store)
             except FileNotFoundError:
-                _bands0 = None
-            if _bands0 is not None:
-                _missing = _idx0.join(
-                    _bands0.select(id_col).distinct(), id_col, "left_anti"
-                ).localCheckpoint()
-                if not _missing.rdd.isEmpty():
-                    V.write_version(
-                        build_minhash_band_index(
-                            _missing, id_col, num_hashes, bands
-                        ),
-                        band_path,
-                        spark,
-                    )
+                _idx0 = None
+            if _idx0 is not None:
+                try:
+                    _bands0 = V.read_all_versions(spark, band_path)
+                except FileNotFoundError:
+                    _bands0 = None
+                if _bands0 is not None:
+                    _missing = _idx0.join(
+                        _bands0.select(id_col).distinct(), id_col, "left_anti"
+                    ).localCheckpoint()
+                    if not _missing.rdd.isEmpty():
+                        V.write_version(
+                            build_minhash_band_index(
+                                _missing, id_col, num_hashes, bands
+                            ),
+                            band_path,
+                            spark,
+                        )
 
     def _compact_if_due(store: str) -> None:
         if (

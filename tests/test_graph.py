@@ -141,3 +141,33 @@ def test_pagerank_local_and_distributed_paths_agree(spark):
     }
     for k in local:
         assert abs(local[k] - nomat[k]) < 1e-12, k
+
+
+def test_pagerank_byte_gate_counts_utf8_bytes_not_chars(spark):
+    """The byte estimate feeds a BYTES bound, so multibyte UTF-8 node
+    ids must be costed at their octet length (round-9 ADVICE: F.length
+    counts characters and underestimates CJK/emoji ids 3-4x). A graph
+    whose ids are 4-byte emoji must estimate more bytes than the same
+    shape with 1-byte ascii ids of equal character count."""
+    from fugue_warehouses_spark.plans.bounded import decisions
+
+    ascii_e = spark.createDataFrame(
+        [(chr(97 + i) * 8, chr(98 + i) * 8, 1.0) for i in range(5)],
+        "src string, dst string, weight double",
+    )
+    emoji_e = spark.createDataFrame(
+        [("\U0001f600" * 8 + str(i), "\U0001f601" * 8 + str(i), 1.0)
+         for i in range(5)],
+        "src string, dst string, weight double",
+    )
+    estimates = {}
+    for name, e in (("ascii", ascii_e), ("emoji", emoji_e)):
+        pagerank(e, iters=1)
+        dec = decisions["pagerank_local"]
+        assert "driver_bytes" in dec["costs"], dec
+        estimates[name] = dec["costs"]["driver_bytes"]["estimate"]
+    # 8 emoji are 32 B + 1 digit vs 8 ascii B + 1-char pad; the flat
+    # 120 B/row object overhead is identical on both sides, so a
+    # char-counting estimator would return near-equal numbers while a
+    # byte-counting one separates them by ~2x/row-width
+    assert estimates["emoji"] > estimates["ascii"] * 1.15
