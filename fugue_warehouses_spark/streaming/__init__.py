@@ -16,6 +16,7 @@ Spark Structured Streaming so every operator here is unbounded-safe:
 """
 
 from fugue_warehouses_spark.streaming.io import (
+    compact_survivors,
     read_parquet_stream,
     run_available_now,
     run_merge_sink,

@@ -220,7 +220,8 @@ def run_embedding_dedup_ingest(
     try:
         # dedup on id: survivors-before-index ordering means a crash
         # replay can append the same row twice (at-least-once files,
-        # exactly-once presentation)
+        # exactly-once presentation); external consumers of the RAW
+        # path materialize the same view with io.compact_survivors
         return spark.read.parquet(survivors_path).dropDuplicates([id_col])
     except AnalysisException:
         return spark.createDataFrame([], stream_df.schema)

@@ -1024,3 +1024,149 @@ def test_band_store_coverage_repair_across_runs(spark, tmp_path):
         for r in V.read_all_versions(spark, idx).select("doc_id").collect()
     }
     assert indexed_after <= banded_after
+
+
+def test_compacted_band_store_answers_identically_to_fresh_banding(
+    spark, tmp_path
+):
+    """Compaction parity for the rolling band store (round 10, VERDICT
+    r9 #6): the band delta-log compacts on the same cadence as the
+    index, and the staleness guard covers schema/params but not
+    CONTENT — so this is the content check. Ingest 3 batches with
+    compact_every=2 (forcing a band-store fold), then probe a NEW
+    batch two ways: against the compacted band table read from the
+    store, and against a band table rebuilt fresh from the full index.
+    The pair sets must be identical — a fold that dropped or
+    double-counted band rows would silently skip (or re-verify) dedup
+    for exactly the affected docs."""
+    from fugue_warehouses_spark.extensions.dedup import (
+        build_minhash_band_index,
+        near_dup_pairs_against_index,
+    )
+    from fugue_warehouses_spark.plans import versioned as V
+    from fugue_warehouses_spark.streaming import (
+        read_parquet_stream,
+        run_near_dedup_ingest,
+    )
+
+    docs = _near_dedup_corpus(spark)
+    feed = str(tmp_path / "feed")
+    for k in range(3):
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    run_near_dedup_ingest(
+        read_parquet_stream(spark, feed, max_files_per_trigger=1),
+        index_store=str(tmp_path / "idx"),
+        survivors_path=str(tmp_path / "kept"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.5,
+        compact_every=2,
+    )
+    # the fold actually happened: fewer live band versions than batches
+    assert len(V.list_versions(spark, str(tmp_path / "idx_bands"))) < 3
+
+    idx = V.read_all_versions(spark, str(tmp_path / "idx"))
+    compacted_bands = V.read_all_versions(spark, str(tmp_path / "idx_bands"))
+    # band-table membership == index membership after the fold
+    assert sorted(
+        r["doc_id"] for r in compacted_bands.select("doc_id").distinct().collect()
+    ) == sorted(r["doc_id"] for r in idx.select("doc_id").collect())
+
+    # a NEW crawl batch: near-copies of surviving uniques 10..14 (one
+    # token changed), plus two genuinely new docs
+    uniq = [" ".join(f"tok{d}x{j}" for j in range(40)) for d in range(20)]
+    rows = []
+    for i in range(5):
+        toks = uniq[10 + i].split()
+        toks[3] = "MUTATED"
+        rows.append((100 + i, " ".join(toks)))
+    rows += [(200, " ".join(f"new{j}" for j in range(40))),
+             (201, " ".join(f"other{j}" for j in range(40)))]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(bands_df):
+        out = near_dup_pairs_against_index(
+            batch, idx, "doc_id", "text", threshold=0.5,
+            index_bands_df=bands_df,
+        )
+        return sorted(
+            (r["id_new"], r["id_match"], round(r["jaccard_sim"], 6))
+            for r in out.collect()
+        )
+
+    with_compacted = pairs(compacted_bands)
+    with_fresh = pairs(build_minhash_band_index(idx, "doc_id"))
+    assert with_compacted == with_fresh
+    # and the probe genuinely found the planted near-dups
+    assert {p[0] for p in with_compacted} == {100, 101, 102, 103, 104}
+
+
+def test_compact_survivors_materializes_exactly_once(spark, tmp_path):
+    """compact_survivors (round 10, VERDICT r9 #7): the survivor log is
+    at-least-once — simulate a crash replay by re-appending one
+    batch's survivor rows — then the compaction rewrite must leave one
+    row per id, identical content otherwise, and the raw path readable
+    exactly-once."""
+    from fugue_warehouses_spark.streaming import (
+        compact_survivors,
+        read_parquet_stream,
+        run_near_dedup_ingest,
+    )
+
+    docs = _near_dedup_corpus(spark)
+    feed = str(tmp_path / "feed")
+    for k in range(3):
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    kept_path = str(tmp_path / "kept")
+    survivors = run_near_dedup_ingest(
+        read_parquet_stream(spark, feed, max_files_per_trigger=1),
+        index_store=str(tmp_path / "idx"),
+        survivors_path=kept_path,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    expected = sorted(
+        (r["doc_id"], r["text"]) for r in survivors.collect()
+    )
+
+    # crash replay: one micro-batch's survivors append a second time
+    replayed = spark.read.parquet(kept_path).filter(
+        F.col("doc_id") % 3 == 1
+    )
+    replayed.write.mode("append").parquet(kept_path)
+    raw = spark.read.parquet(kept_path)
+    assert raw.count() > len(expected)  # duplicates really on disk
+
+    out = compact_survivors(spark, kept_path)
+    assert sorted((r["doc_id"], r["text"]) for r in out.collect()) == expected
+    # the path itself is exactly-once now, not just the returned frame
+    reread = spark.read.parquet(kept_path)
+    assert reread.count() == len(expected)
+    assert reread.groupBy("doc_id").count().filter("count > 1").count() == 0
+    # no swap debris left behind
+    import os as _os
+
+    assert not _os.path.exists(kept_path + "__compact_tmp")
+    assert not _os.path.exists(kept_path + "__compact_old")
+
+
+def test_compact_survivors_refuses_over_crashed_swap(spark, tmp_path):
+    """A leftover __compact_old directory means a prior compaction
+    crashed mid-swap; compacting over it could destroy the only copy —
+    the helper must refuse with recovery instructions."""
+    import pytest as _pytest
+
+    from fugue_warehouses_spark.streaming import compact_survivors
+
+    kept = str(tmp_path / "kept")
+    spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "doc_id long, text string"
+    ).write.parquet(kept)
+    spark.createDataFrame(
+        [(9, "z")], "doc_id long, text string"
+    ).write.parquet(kept + "__compact_old")
+    with _pytest.raises(FileExistsError, match="crashed mid-swap"):
+        compact_survivors(spark, kept)
