@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "doc_epoch_shuffle",
     "doc_alpha_mixture",
     "doc_dsir_select",
+    "doc_dsir_select_bigram",
     "doc_quality_token_budget",
     "doc_clean_normalize",
     "doc_contamination",

@@ -81,6 +81,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_quality_logit": (("source", "s"), ("n_docs", "i"), ("n_pass", "i"), ("avg_prob", "f"),),
     "doc_repetition_filter": (("source", "s"), ("n_docs", "i"), ("n_flagged", "i"), ("avg_dup_frac", "f"), ("avg_top_frac", "f"),),
     "doc_dsir_select": (("doc_id", "i"), ("source", "s"), ("dsir_logw", "f"), ("sel_key", "f"),),
+    "doc_dsir_select_bigram": (("doc_id", "i"), ("source", "s"), ("dsir_logw", "f"), ("sel_key", "f"),),
     "doc_stratified_sample": (("lang", "s"), ("doc_id", "i"),),
     "doc_epoch_shuffle": (("epoch", "i"), ("position", "i"), ("doc_id", "i"),),
     "doc_token_stats": (("lang", "s"), ("n_docs", "i"), ("total_tokens", "i"), ("avg_tokens", "f"), ("avg_chars", "f"),),
@@ -269,7 +270,8 @@ SUITES: dict[str, tuple[str, ...]] = {
         "orders_sample_n_exact", "orders_sample_hash_fraction",
         "orders_weighted_sample", "doc_stratified_sample",
         "doc_domain_mixture", "doc_alpha_mixture", "doc_pack_sequences",
-        "doc_epoch_shuffle", "doc_dsir_select", "doc_quality_token_budget",
+        "doc_epoch_shuffle", "doc_dsir_select", "doc_dsir_select_bigram",
+        "doc_quality_token_budget",
     ),
     # mergeable sketches
     "sketch_suite": (

@@ -3443,6 +3443,99 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DSIR_SELECT_BIGRAM_SQL = r"""
+    WITH rawdocs AS (
+      SELECT doc_id, source, text FROM documents
+      WHERE source NOT IN ('src0', 'src1')),
+    rtoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t <> '') AS ts
+      FROM rawdocs),
+    ttoks AS (
+      SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> t <> '') AS ts
+      FROM documents WHERE source IN ('src0', 'src1')),
+    rgram AS (
+      SELECT doc_id, unnest(ts) AS g FROM rtoks
+      UNION ALL
+      SELECT r.doc_id, r.ts[s.i - 1] || ' ' || r.ts[s.i] AS g
+      FROM rtoks r, UNNEST(generate_series(2, len(r.ts))) AS s(i)),
+    tgram AS (
+      SELECT unnest(ts) AS g FROM ttoks
+      UNION ALL
+      SELECT t.ts[s.i - 1] || ' ' || t.ts[s.i] AS g
+      FROM ttoks t, UNNEST(generate_series(2, len(t.ts))) AS s(i)),
+    rt AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT % 4096
+                  AS BIGINT) AS b
+      FROM rgram),
+    tt AS (
+      SELECT CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT % 4096
+                  AS BIGINT) AS b
+      FROM tgram),
+    cr AS (SELECT b, count(*) AS c_r FROM rt GROUP BY b),
+    ct AS (SELECT b, count(*) AS c_t FROM tt GROUP BY b),
+    cb AS (
+      SELECT coalesce(cr.b, ct.b) AS b,
+             coalesce(c_r, 0) AS c_r, coalesce(c_t, 0) AS c_t
+      FROM cr FULL OUTER JOIN ct ON cr.b = ct.b),
+    tot AS (SELECT sum(c_r) AS tot_r, sum(c_t) AS tot_t FROM cb),
+    lr AS (
+      SELECT b,
+             ln(CAST(c_t + 1 AS DOUBLE) * CAST(tot_r + 4096 AS DOUBLE)
+                / (CAST(c_r + 1 AS DOUBLE)
+                   * CAST(tot_t + 4096 AS DOUBLE))) AS lr
+      FROM cb, tot),
+    perdoc AS (SELECT doc_id, b, count(*) AS n FROM rt GROUP BY doc_id, b),
+    logw AS (
+      SELECT doc_id, sum(n * lr.lr) AS lw
+      FROM perdoc JOIN lr USING (b) GROUP BY doc_id),
+    keyed AS (
+      SELECT doc_id, round(lw, 6) AS dsir_logw,
+             round(lw - ln(-ln(
+               ((('0x' || substr(md5(doc_id::VARCHAR || ':dsir'), 1, 8))
+                  ::UBIGINT)::DOUBLE + 0.5) / 4294967296.0)), 6) AS sel_key
+      FROM logw)
+    SELECT k.doc_id, d.source, k.dsir_logw, k.sel_key
+    FROM keyed k JOIN rawdocs d USING (doc_id)
+    ORDER BY k.sel_key DESC, k.doc_id ASC
+    LIMIT 100
+    """
+
+
+@_q("doc_dsir_select_bigram", _DSIR_SELECT_BIGRAM_SQL)
+def doc_dsir_select_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection over the paper's canonical unigram+bigram hashed
+    feature space (sampling.dsir_select with ngram_max=2) — same
+    target/raw split, Gumbel draw and top-k as :func:`doc_dsir_select`,
+    but every document contributes its bigrams ("tok_{i-1} tok_i",
+    single-space joined) to the same 4096 hashed buckets alongside its
+    unigrams. The oracle rebuilds the exact gram stream with a
+    generate_series self-pairing, so the selected SET stays
+    engine-exact (round-10: puts the ngram_max=2 path, previously
+    unit-tested only, under the same oracle discipline as the unigram
+    facet). Plan shape is unchanged — the bigram explode roughly
+    doubles the token stream feeding the one tagged-union wordcount;
+    still no UDFs, no collects."""
+    from fugue_warehouses_spark.extensions.sampling import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    is_target = F.col("source").isin("src0", "src1")
+    raw = docs.filter(~is_target)
+    target = docs.filter(is_target)
+    sel = dsir_select(
+        raw, target, "text", "doc_id", n_select=100, n_buckets=4096,
+        ngram_max=2,
+    )
+    return (
+        raw.select("doc_id", "source")
+        .join(F.broadcast(sel), "doc_id")
+        .select("doc_id", "source", "dsir_logw", "sel_key")
+    )
+
+
 _INCR_DEDUP_SQL = r"""
     WITH split AS (SELECT max(doc_id) // 2 AS t FROM documents),
     hist AS (
