@@ -206,6 +206,20 @@ def test_baseline_spark_values_track_bench_sidecar():
             f"({'; '.join(reasons)}); staleness cannot be assessed — "
             "re-record on an idle host per BASELINE.md methodology"
         )
+    stale = _stale_rows(data)
+    assert not stale, (
+        "stale BASELINE.md rows — re-measure idle warm best-of-N and "
+        "update, or convert to an explicit lo-hi band:\n" + "\n".join(stale)
+    )
+
+
+def _stale_rows(data: dict) -> list[str]:
+    """The gate's row check over a loaded sidecar dict: BASELINE rows
+    whose recorded bench value exceeds their per-regime-scaled
+    tolerance. Factored out so tests can replay historical windows."""
+    from fugue_warehouses_spark import benchwindow
+
+    bench = data["queries"]
     infl = benchwindow.inflation_by_regime(
         data.get("control"), data.get("control_end")
     )
@@ -230,7 +244,42 @@ def test_baseline_spark_values_track_bench_sidecar():
                 f" but bench recorded {bench[name]} s (> {hi}*{tol:.2f}, "
                 f"regime={regime})"
             )
-    assert not stale, (
-        "stale BASELINE.md rows — re-measure idle warm best-of-N and "
-        "update, or convert to an explicit lo-hi band:\n" + "\n".join(stale)
+    return stale
+
+
+def test_regime_gate_catches_sched_burst_even_with_steady_slow_numpy():
+    """VERDICT r9 wrong #3's exact blind spot, replayed: the r9
+    endnote's burst window carried events_running_totals at 0.953 s
+    (9x its scheduling floor). Under the old global-max scalar, a
+    steady-slow numpy control (4x) would have scaled EVERY row's
+    tolerance — a point row like events_running_totals tolerated
+    ~1.06 s and the burst passed. Per-regime scaling takes the tpch
+    control for sched rows, and tpch in that window read FASTER than
+    idle, so the burst row must now fail even though numpy is steady
+    and the window classifies clean."""
+    data = {
+        "queries": {"events_running_totals": 0.953},
+        # steady slow-class numpy at start AND end, jobfloor in band,
+        # tpch better than idle: classifies CLEAN (the steady
+        # slow-host exception), so only the per-regime gate stands
+        # between this row and a silent pass
+        "control": {
+            "numpy_matmul_sec": 0.040,
+            "tpch_scan_agg_sec": 0.273,
+            "jobfloor_32x_sec": 3.0,
+        },
+        "control_end": {"numpy_matmul_sec": 0.040, "jobfloor_32x_sec": 1.9},
+    }
+    from fugue_warehouses_spark import benchwindow
+
+    assert benchwindow.classify_sidecar(data)[0] == "clean"
+    stale = _stale_rows(data)
+    assert any("events_running_totals" in s for s in stale), (
+        "the burst row passed the gate — the sched regime must scale "
+        f"by tpch, not numpy (stale={stale})"
     )
+    # sanity: the SAME reading would pass for a cpu-tagged row's
+    # tolerance, which is why the one-scalar gate missed it
+    assert benchwindow.inflation_by_regime(
+        data["control"], data["control_end"]
+    )["cpu"] == 4.0
