@@ -6,10 +6,23 @@ Prints ONE JSON line:
   {"metric": "total_query_sec", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "sf": 0.1}
 
-Methodology: per query, one untimed warmup run then the best of
-three timed runs (steady state; best-of-N guards the recorded artifact
-against this host's intermittent multi-second contention windows,
-which otherwise tax whichever query they land on). The warmup absorbs one-time costs that are
+Methodology: per query, one untimed warmup run then the best of three
+CONSECUTIVE timed runs — consecutive is deliberate: it measures warm
+steady state (JIT/code-cache hot), which is what every BASELINE band
+is anchored to (an interleaved-pass variant was tried in round 10 and
+re-anchored small queries 1.5-2x higher by evicting their generated
+code between reps). Burst robustness comes from the SUSPECT RE-CHECK
+pass instead (round 10): this host's contention regime is one
+multi-minute burst per window that taxes all consecutive reps of
+whichever ~10 adjacent queries it lands on while the start/end
+controls sample clean (three r10 windows each flagged a different
+contiguous stretch, every row recovering in the other runs) — so any
+row whose best exceeds 1.5x its value in the last CLEAN artifact is
+re-run with the full warm protocol at the end of the window and the
+minimum kept. A burst heals (the stretch re-reads in-band minutes
+later); a real code regression stays high and the staleness gate
+flags it. Re-checked rows are listed under "recheck" in the sidecar.
+The warmup absorbs one-time costs that are
 amortized in any real deployment — whole-stage-codegen compilation of
 the query's operators (~1-2 s per novel plan shape, JIT-cached after),
 parquet footer/schema caching, and Python-worker spawn for pandas-UDF
@@ -255,6 +268,35 @@ def main() -> None:
     control, cold = _host_controls(spark, sf_dir)
     print(f"[bench] control: {control}", file=sys.stderr, flush=True)
 
+    # last CLEAN artifact's per-query values: the reference the
+    # suspect re-check pass compares against (module docstring). A
+    # missing or degraded prior artifact disables re-checking — the
+    # first-ever run has nothing to compare to.
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior: dict[str, float] = {}
+    try:
+        with open(os.path.join(here, "bench_queries.json")) as f:
+            _pj = json.load(f)
+        if benchwindow.classify_sidecar(_pj)[0] == "clean":
+            prior = _pj.get("queries", {})
+    except Exception:
+        pass
+
+    def _timed_best3(name: str) -> float:
+        fn = QUERIES[name]
+        best = float("inf")
+        for _ in range(3):
+            # each timed rep builds fresh frames, so its checkpoint
+            # blocks are garbage the moment the count returns; without
+            # the scope they accumulate across 117 queries x 3 reps in
+            # the one bench JVM and late queries pay unrelated GC —
+            # the round-5 "unattributed sketch drift" signature
+            with released_after(spark):
+                start = time.perf_counter()
+                fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - start)
+        return best
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
@@ -267,19 +309,28 @@ def main() -> None:
         # q1's cold reading was seeded by _host_controls (its warmup
         # here is warm by then) — don't overwrite it
         cold.setdefault(name, round(time.perf_counter() - start, 3))
-        best = float("inf")
-        for _ in range(3):
-            # each timed rep builds fresh frames, so its checkpoint
-            # blocks are garbage the moment the count returns; without
-            # the scope they accumulate across 42 queries x 3 reps in
-            # the one bench JVM and late queries pay unrelated GC —
-            # the round-5 "unattributed sketch drift" signature
-            with released_after(spark):
-                start = time.perf_counter()
-                fn(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+        timings[name] = round(_timed_best3(name), 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    # suspect re-check (round 10, module docstring): rows over 1.5x
+    # their last-clean-artifact value re-run the full warm protocol
+    # now, minutes after their consecutive block — a mid-window burst
+    # heals, a real regression stays high for the gate.
+    recheck: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name in prior and prior[name] > 0 and (
+            timings[name] > 1.5 * prior[name]
+        ):
+            QUERIES[name](spark, sf_dir).count()  # re-warm the code path
+            redo = round(_timed_best3(name), 3)
+            recheck[name] = timings[name]
+            timings[name] = min(timings[name], redo)
+            print(
+                f"[bench] recheck {name}: {recheck[name]} -> "
+                f"{timings[name]}s",
+                file=sys.stderr,
+                flush=True,
+            )
 
     total = round(sum(timings.values()), 3)
     # end-of-run window state: did the session/host degrade while the
@@ -311,7 +362,6 @@ def main() -> None:
         file=sys.stderr,
         flush=True,
     )
-    here = os.path.dirname(os.path.abspath(__file__))
     # Degraded-quarantine policy (round 10): a degraded window's
     # artifact goes to bench_queries.degraded.json and the last CLEAN
     # sidecar stays in place as the staleness gate's comparand — the
@@ -327,7 +377,9 @@ def main() -> None:
             "cold_first_run_sec": cold,
             "control": control,
             "control_end": control_end,
-            "timing": "1 untimed warmup + best of N timed runs",
+            "timing": "1 untimed warmup + best of 3 consecutive timed runs"
+                      " + suspect re-check pass",
+            "recheck": recheck,
             "runs_per_query": 3,
             "sf": sf,
         },
