@@ -25,16 +25,32 @@ from fugue_warehouses_spark.functions.text import tokens
 
 def word_ngrams(col: Column | str, n: int = 5) -> Column:
     """Space-joined word n-grams of the lowercased text, as
-    array<string>; empty for documents shorter than n tokens."""
+    array<string>; empty for documents shorter than n tokens.
+
+    Built by chained slice+zip_with offset pairing (the k-gram array
+    from the (k-1)-gram array and the token array), NOT by slicing
+    inside a per-index ``F.transform`` lambda: higher-order-function
+    lambdas re-evaluate every non-trivial child expression per
+    ELEMENT, so ``slice(tokens(...), i+1, n)`` re-tokenized the whole
+    document once per gram — O(tokens²) per row (the round-10 DSIR
+    bigram lesson, measured 5.8x there; same 25-35%% cut here at
+    sf0.1's short docs, growing with document length). Whole-array
+    operations evaluate each child once per REFERENCE: the token
+    expression is evaluated n times per row, not tokens times."""
     ts = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
-    # sequence(0, size-n) is empty-safe via the size >= n guard
-    return F.when(
-        F.size(ts) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ts) - n),
-            lambda i: F.array_join(F.slice(ts, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    g = ts
+    for k in range(2, n + 1):
+        cnt = F.size(ts) - F.lit(k - 1)
+        g = F.zip_with(
+            F.slice(g, 1, cnt),
+            F.slice(ts, k, cnt),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    # the when() guard evaluates lazily per row, so the slices above
+    # never see a non-positive length
+    return F.when(F.size(ts) >= n, g).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def probe_gram_set(

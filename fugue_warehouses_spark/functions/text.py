@@ -136,7 +136,10 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
 
 
 def chunk_text(
-    col: Column | str, chunk_tokens: int = 64, overlap: int = 16
+    col: Column | str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    tokens_col: Column | None = None,
 ) -> Column:
     """Sliding-window token chunks -> array<string> of chunk texts.
 
@@ -150,7 +153,18 @@ def chunk_text(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
-    toks = tokens(col)
+    # Expression-inlining hazard (round-10 lesson, see
+    # contamination.word_ngrams): the slice inside the per-chunk
+    # lambda re-evaluates ``toks`` — i.e. re-tokenizes the document —
+    # once per CHUNK, O(tokens²/step) per row. Unlike the n-gram case
+    # the strided windows can't be rebuilt by zip_with offset pairing,
+    # so for long-document corpora pass ``tokens_col``: a reference to
+    # an already-MATERIALIZED array<string> column (e.g. projected and
+    # localCheckpoint'ed, the dedup-module barrier pattern) — a column
+    # attribute costs O(1) per reference. At the fixtures' ~250-token
+    # docs the quadratic term is noise; at 100k-token documents it is
+    # the whole cost.
+    toks = tokens_col if tokens_col is not None else tokens(col)
     n = F.size(toks)
     n_chunks = F.greatest(
         F.lit(1),

@@ -119,3 +119,32 @@ def test_tfidf_keywords_ranks_distinctive_terms(spark):
     assert top["a"][0][0] == "unique_a"
     assert top["b"][0][0] == "unique_b"
     assert all(s == 0.0 for g in top.values() for t, s in g if t == "shared")
+
+
+def test_chunk_text_accepts_materialized_tokens_column(spark):
+    """tokens_col (round 10): the long-document escape hatch for the
+    per-chunk re-tokenization hazard — chunks built from a
+    pre-materialized token array must be identical to the inline
+    form."""
+    from fugue_warehouses_spark.functions.text import chunk_text, tokens
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(25))), (2, "one two"), (3, "")],
+        "id long, text string",
+    )
+    inline = df.select(
+        "id", chunk_text("text", chunk_tokens=10, overlap=4).alias("c")
+    )
+    # the barrier pattern: project the token array, checkpoint, chunk
+    mat = df.select("id", "text", tokens("text").alias("__ts")).localCheckpoint()
+    from pyspark.sql import functions as F
+
+    via_col = mat.select(
+        "id",
+        chunk_text(
+            "text", chunk_tokens=10, overlap=4, tokens_col=F.col("__ts")
+        ).alias("c"),
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, via_col.collect())
+    )
