@@ -276,3 +276,79 @@ def test_jpeg_progressive_baseline_identity_fuzz(h, w, gray, seed):
         J.decode_jpeg(J.encode_jpeg(img)),
         J.decode_jpeg(J.encode_jpeg_progressive(img)),
     )
+
+
+@given(
+    st.lists(
+        # case-stable alphabet: ASCII + uncased CJK/emoji — JVM and
+        # Python case-folding agree here; case-exotic codepoints
+        # (Turkish dotted I, ligatures) fold differently per engine
+        # and are out of scope for the n-gram arithmetic under test
+        st.text(
+            alphabet="abcz019.,;!\u4e2d\u6587\U0001f600\U0001f4a9",
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    st.integers(1, 6),
+    st.sampled_from([" ", "  ", "\t", " \n "]),
+)
+@settings(max_examples=15, deadline=None)
+def test_word_ngrams_matches_python_reference(spark, toks, n, sep):
+    """word_ngrams (round-10 slice+zip_with rewrite) == the obvious
+    Python sliding window, on arbitrary unicode tokens, any order n,
+    and messy separators — including docs shorter than n (empty
+    result) and empty docs. Guards the offset-pairing arithmetic
+    beyond the oracle's fixed-corpus coverage."""
+    from fugue_warehouses_spark.extensions.contamination import word_ngrams
+
+    text = sep.join(toks)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(word_ngrams("text", n).alias("g")).first()["g"]
+    low = [t.lower() for t in text.split() if t]
+    want = [" ".join(low[i:i + n]) for i in range(len(low) - n + 1)]
+    assert list(got) == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=5),
+        min_size=0,
+        max_size=25,
+    ),
+    st.integers(1, 4),
+)
+@settings(max_examples=15, deadline=None)
+def test_hashed_tokens_gram_stream_matches_python_reference(
+    spark, toks, ngram_max
+):
+    """sampling._hashed_tokens emits exactly the 1..ngram_max gram
+    multiset (hashed); compare BUCKET MULTISETS against a Python
+    reference using the same md5-prefix convention — pins the chained
+    zip_with construction for every order, not just the benched
+    bigram."""
+    import hashlib
+
+    from fugue_warehouses_spark.extensions import sampling as SA
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    from pyspark.sql import functions as _F
+
+    out = SA._hashed_tokens(df, "text", 4096, _F.col("doc_id"),
+                            ngram_max=ngram_max)
+    got = sorted(r["__b"] for r in out.collect())
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 4096
+
+    words = [t for t in text.split() if t]
+    want = []
+    for k in range(1, ngram_max + 1):
+        want += [
+            bucket(" ".join(words[i:i + k]))
+            for i in range(len(words) - k + 1)
+        ]
+    assert got == sorted(want)
