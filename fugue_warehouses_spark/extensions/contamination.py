@@ -33,8 +33,9 @@ def word_ngrams(col: Column | str, n: int = 5) -> Column:
     lambdas re-evaluate every non-trivial child expression per
     ELEMENT, so ``slice(tokens(...), i+1, n)`` re-tokenized the whole
     document once per gram — O(tokens²) per row (the round-10 DSIR
-    bigram lesson, measured 5.8x there; same 25-35%% cut here at
-    sf0.1's short docs, growing with document length). Whole-array
+    bigram lesson; measured here: 114x at 10k-token documents,
+    127.3 s -> 1.12 s for 128 docs, and only the scheduling floor hid
+    it at the fixtures' ~250 tokens). Whole-array
     operations evaluate each child once per REFERENCE: the token
     expression is evaluated n times per row, not tokens times."""
     ts = tokens(F.lower(F.col(col) if isinstance(col, str) else col))

@@ -3613,14 +3613,18 @@ def _bloom_handle_for(
     two tables across batches (bloom for the cheap probe, fp set for
     the exact verify) instead of re-reading and re-hashing the history
     corpus per batch. A caller-supplied ``store`` holding a completed
-    build RE-OPENS without re-hashing the history (the split
-    threshold is re-derived from one doc_id percentile agg — never
-    from history text)."""
+    build RE-OPENS without re-hashing the history; the split threshold
+    is read back from the store's ``thr.json`` (it is part of the
+    stored state — the bitset only covers doc_id below the
+    at-build-time threshold, so re-deriving it from a since-grown
+    corpus would silently under-dedup)."""
     from fugue_warehouses_spark.functions.text import fingerprint
 
-    def _entry_from_store(store_dir, bloom, fps):
+    import json as _json
+    import os as _os
+
+    def _entry_from_store(store_dir, bloom, fps, thr):
         docs = _t(spark, sf_dir, "documents")
-        thr = _doc_split_thr(spark, sf_dir)
         entry = {"bloom": bloom, "fps": fps, "thr": thr}
         # exact facet shape: the FULL batch probe (not a limit(50) toy
         # — see _serving_handle's C2 note)
@@ -3646,12 +3650,22 @@ def _bloom_handle_for(
             spark, store_dir, "fps",
             hist.select(fingerprint("text").alias("__fp")).distinct(),
         )
-        return _entry_from_store(store_dir, bloom, fps)
+        # the split threshold is PART of the stored state: the bloom
+        # bitset and fp table only cover doc_id < thr-at-build-time.
+        # Re-deriving thr from the live corpus on re-open would
+        # silently desynchronize on a grown corpus — docs in
+        # [thr_build, thr_new) would be treated as covered history the
+        # bitset never saw, i.e. silent under-dedup (round-10 review).
+        with open(_os.path.join(store_dir, "thr.json"), "w") as f:
+            _json.dump({"thr": thr}, f)
+        return _entry_from_store(store_dir, bloom, fps, thr)
 
     def open_existing(store_dir):
         bloom = _served_table(spark, store_dir, "bloom")
         fps = _served_table(spark, store_dir, "fps")
-        return _entry_from_store(store_dir, bloom, fps)
+        with open(_os.path.join(store_dir, "thr.json")) as f:
+            thr = _json.load(f)["thr"]
+        return _entry_from_store(store_dir, bloom, fps, thr)
 
     return _serving_handle(
         spark, "fp_bloom", sf_dir, build,

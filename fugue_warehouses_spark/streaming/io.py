@@ -80,20 +80,25 @@ def compact_survivors(
     log — the same cost class as the exact-dedup operator — and runs
     in a maintenance window, never on the ingest path.
     """
-    df = spark.read.parquet(path).dropDuplicates([id_col])
     tmp = path.rstrip("/") + "__compact_tmp"
     old = path.rstrip("/") + "__compact_old"
-    df.write.mode("overwrite").parquet(tmp)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hp = jvm.org.apache.hadoop.fs.Path
     fs = hp(path).getFileSystem(conf)
+    # crash-debris check FIRST (round-10 review): when a prior
+    # compaction died between its renames, `path` may be ABSENT — the
+    # read below would then raise a generic path-not-found instead of
+    # these recovery instructions — and when `path` is present the
+    # check must come before paying the corpus-sized dedup shuffle.
     if fs.exists(hp(old)):
         raise FileExistsError(
             f"{old} exists — a previous compaction crashed mid-swap; "
             f"restore it to {path} (or delete it if {path} is complete) "
             "before compacting again"
         )
+    df = spark.read.parquet(path).dropDuplicates([id_col])
+    df.write.mode("overwrite").parquet(tmp)
     if not fs.rename(hp(path), hp(old)):
         raise OSError(f"rename {path} -> {old} failed")
     if not fs.rename(hp(tmp), hp(path)):

@@ -207,7 +207,7 @@ def probe(spark, sizes, ops=None, repeat=1):
         # text ever re-read — what a new serving process pays now).
         # The measured gap IS the cross-process serving story; identity
         # of the served answers is pinned by tests/test_serving_handle.
-        if wanted("serving_reopen"):
+        if wanted("serving_reopen") or wanted("serving_rebuild"):
             import shutil
             import tempfile
 

@@ -158,3 +158,26 @@ def test_bloom_handle_reopens_without_rehashing_history(
     finally:
         DD.fingerprint_bloom = real
     assert second == first
+
+
+def test_bloom_reopen_keeps_the_build_time_threshold(
+    spark, sf_dir, tmp_path
+):
+    """The split threshold is part of the stored state (round-10
+    review): the bitset and fp table only cover doc_id below the
+    AT-BUILD-TIME threshold. A re-open on a since-grown corpus must
+    read the stored thr back, not re-derive it — docs between the two
+    thresholds would otherwise be treated as covered history the
+    bitset never saw (silent under-dedup)."""
+    store = str(tmp_path / "bloom_store")
+    h = Q._bloom_handle_for(spark, sf_dir, store=store)
+    thr_build = h["thr"]
+    Q._SERVING_HANDLES.clear()
+    real = Q._doc_split_thr
+    # simulate corpus growth: the live derivation now returns more
+    Q._doc_split_thr = lambda *a, **k: thr_build + 1000
+    try:
+        h2 = Q._bloom_handle_for(spark, sf_dir, store=store)
+    finally:
+        Q._doc_split_thr = real
+    assert h2["thr"] == thr_build
