@@ -352,3 +352,52 @@ def test_hashed_tokens_gram_stream_matches_python_reference(
             for i in range(len(words) - k + 1)
         ]
     assert got == sorted(want)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.just(None))
+def test_ngram_kernels_are_linear_in_document_length_canary(spark, _):
+    """Long-document perf canary (round 10): the fixtures' ~250-token
+    docs hid an O(tokens²) n-gram construction behind the scheduling
+    floor for nine rounds — at 10k tokens it was 114x (127 s for 128
+    docs). This canary runs the two rewritten kernels on 8 docs x
+    20k tokens with a 30 s budget: the linear forms finish in well
+    under a second of kernel time, the quadratic form needs ~60 s+,
+    so the bound has >30x margin against host noise in both
+    directions. If this ever fails, someone reintroduced per-element
+    evaluation of the token expression inside a higher-order function
+    (see contamination.word_ngrams docstring)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.extensions.contamination import word_ngrams
+    from fugue_warehouses_spark.extensions.sampling import _hashed_tokens
+
+    docs = spark.range(8).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(19_999)),
+                lambda i: F.concat(
+                    F.lit("w"), ((F.col("id") * 31 + i) % 5000).cast("string")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    ).localCheckpoint()
+    t0 = time.perf_counter()
+    n_grams = docs.select(
+        F.size(word_ngrams("text", 5)).alias("k")
+    ).agg(F.sum("k")).first()[0]
+    n_buckets = _hashed_tokens(
+        docs, "text", 4096, F.col("doc_id"), ngram_max=2
+    ).count()
+    took = time.perf_counter() - t0
+    assert n_grams == 8 * (20_000 - 4)
+    assert n_buckets == 8 * (20_000 + 19_999)
+    assert took < 30, (
+        f"n-gram kernels took {took:.1f}s on 8x20k-token docs — "
+        "linear forms need <1s of kernel time; an O(tokens²) "
+        "per-element evaluation has likely been reintroduced"
+    )
