@@ -464,3 +464,17 @@ def test_ivf_cell_pruning_pushes_to_parquet_scan(spark, tmp_path):
     plan = _plan(hits)
     assert "PushedFilters" in plan
     assert "In(cidx" in plan.replace(" ", "").replace("[", "(")
+
+
+def test_dsir_bigram_plan_shape_matches_unigram(spark, sf_dir):
+    """The bigram feature space must not change the PLAN, only widen
+    the gram stream: same exchange count and no extra generate/window
+    nodes vs the unigram facet — the r10 quadratic regression lived
+    entirely inside one Project, invisible to exchanges, so this
+    guards the macro shape while the properties canary guards the
+    per-row cost."""
+    uni = _simple(QUERIES["doc_dsir_select"](spark, sf_dir))
+    bi = _simple(QUERIES["doc_dsir_select_bigram"](spark, sf_dir))
+    assert uni.count("Exchange") == bi.count("Exchange")
+    assert "Window" not in bi
+    assert bi.count("TakeOrdered") == 1
