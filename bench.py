@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "doc_quality_token_budget",
     "doc_clean_normalize",
     "doc_contamination",
+    "doc_corpus_datacard",
     "customer_balance_upsert",
     "doc_ngram_jaccard_pairs",
     "doc_minhash_near_dups",

@@ -69,6 +69,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "events_variant_props": (("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("max_k", "i"),),
     "doc_clean_normalize": (("source", "s"), ("n_docs", "i"), ("clean_chars", "i"), ("distinct_cleaned", "i"),),
     "doc_contamination": (("source", "s"), ("n_docs", "i"), ("n_contaminated", "i"),),
+    "doc_corpus_datacard": (("source", "s"), ("n_docs", "i"), ("total_tokens", "i"), ("n_langs", "i"), ("top_lang", "s"), ("n_exact_dup_docs", "i"), ("distinct_fps", "i"),),
     "doc_alpha_mixture": (("lang", "s"), ("n_docs", "i"), ("id_sum", "i"),),
     "orders_kmv_set_ops": (("op", "s"), ("est_distinct", "i"), ("sample_size", "i"), ("theta", "i"),),
     "events_sliding_distinct_users": (("bucket", "i"), ("est_distinct", "i"), ("sketch_size", "i"), ("kth_min_hash", "i"),),
@@ -257,7 +258,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     ),
     # end-to-end pipeline hygiene: packing/chunking/decontamination
     "doc_pipeline_suite": (
-        "doc_training_pipeline", "doc_contamination",
+        "doc_training_pipeline", "doc_contamination", "doc_corpus_datacard",
         "doc_train_test_split", "doc_chunks", "doc_cdc_dedup",
         "doc_incremental_dedup", "doc_incremental_dedup_bloom",
         "doc_incremental_dedup_bloom_persisted",

@@ -866,6 +866,99 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_corpus_datacard",
+    f"""
+    WITH base AS (
+      SELECT source, lang, doc_id,
+             len({_TOKS}) AS ntok,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents),
+    dupfps AS (SELECT fp FROM base GROUP BY fp HAVING count(*) > 1),
+    agg AS (
+      SELECT source,
+             count(*)::BIGINT AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS total_tokens,
+             count(DISTINCT lang)::BIGINT AS n_langs,
+             count(DISTINCT fp)::BIGINT AS distinct_fps
+      FROM base GROUP BY source),
+    dups AS (
+      SELECT source, count(*)::BIGINT AS n_exact_dup_docs
+      FROM base WHERE fp IN (SELECT fp FROM dupfps) GROUP BY source),
+    top AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY count(*) DESC, lang ASC) AS rn
+        FROM base GROUP BY source, lang) WHERE rn = 1)
+    SELECT a.source, a.n_docs, a.total_tokens, a.n_langs, t.top_lang,
+           coalesce(d.n_exact_dup_docs, 0)::BIGINT AS n_exact_dup_docs,
+           a.distinct_fps
+    FROM agg a JOIN top t USING (source) LEFT JOIN dups d USING (source)
+    """,
+)
+def doc_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus DATACARD — the one-table summary a training-
+    data release ships (docs, token mass, language spread + dominant
+    language, exact-duplicate exposure): n_docs, total_tokens,
+    n_langs, top_lang (ties broken lang-ascending so the card is
+    deterministic), n_exact_dup_docs (docs whose normalized
+    fingerprint is shared CORPUS-WIDE — cross-source duplication
+    counts against both sources), distinct_fps.
+
+    100 TB shape: one scan feeds three aggregates — per-source sums
+    (map-side combine to #sources rows), one 16-byte fingerprint-keyed
+    shuffle for the corpus-wide dup set + per-source distinct, and a
+    #sources x #langs count for the top-language pick (a window over
+    that tiny frame, never over documents). No text moves after the
+    scan: tokens are counted and fingerprints hashed in place."""
+    from fugue_warehouses_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        TX.token_count("text").alias("ntok"),
+        fingerprint("text").alias("fp"),
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("fp").alias("distinct_fps"),
+    )
+    dupfps = base.groupBy("fp").count().filter(F.col("count") > 1).select("fp")
+    dups = (
+        base.join(dupfps, "fp", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_exact_dup_docs"))
+    )
+    lang_counts = base.groupBy("source", "lang").count()
+    w = Window.partitionBy("source").orderBy(
+        F.desc("count"), F.asc("lang")
+    )
+    top = (
+        lang_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        agg.join(top, "source")
+        .join(dups, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "n_langs",
+            "top_lang",
+            F.coalesce("n_exact_dup_docs", F.lit(0))
+            .cast("long")
+            .alias("n_exact_dup_docs"),
+            "distinct_fps",
+        )
+    )
+
+
+@_q(
     "doc_bpe_token_budget",
     f"""
     SELECT source,
