@@ -401,3 +401,31 @@ def test_ngram_kernels_are_linear_in_document_length_canary(spark, _):
         "linear forms need <1s of kernel time; an O(tokens²) "
         "per-element evaluation has likely been reintroduced"
     )
+
+
+@given(
+    st.lists(st.integers(0, 12), min_size=1, max_size=30),
+    st.integers(1, 3),
+)
+@settings(max_examples=8, deadline=None)
+def test_compact_survivors_idempotent_under_random_replays(
+    spark, tmp_path_factory, ids, n_replays
+):
+    """compact_survivors on ANY replay pattern (random id multisets,
+    1-3 whole-log re-appends) leaves exactly one row per id with its
+    original payload, and compacting twice is a no-op."""
+    from fugue_warehouses_spark.streaming import compact_survivors
+
+    path = str(tmp_path_factory.mktemp("kept") / "log")
+    rows = [(i, f"payload-{i}") for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.parquet(path)
+    for _ in range(n_replays):
+        spark.read.parquet(path).write.mode("append").parquet(path)
+
+    out = sorted(map(tuple, compact_survivors(spark, path).collect()))
+    want = sorted({(i, f"payload-{i}") for i in ids})
+    assert out == want
+    # idempotent: a second compaction changes nothing
+    again = sorted(map(tuple, compact_survivors(spark, path).collect()))
+    assert again == want
