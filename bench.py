@@ -17,9 +17,11 @@ multi-minute burst per window that taxes all consecutive reps of
 whichever ~10 adjacent queries it lands on while the start/end
 controls sample clean (three r10 windows each flagged a different
 contiguous stretch, every row recovering in the other runs) — so any
-row whose best exceeds 1.5x its value in the last CLEAN artifact is
-re-run with the full warm protocol at the end of the window and the
-minimum kept. A burst heals (the stretch re-reads in-band minutes
+row whose best exceeds 1.5x its value in the last CLEAN artifact, OR
+whose reading would FAIL its own BASELINE.md staleness-gate tolerance
+(baselinedoc.recheck_names — round 11; the two triggers disagreed in
+r10 and a 1.37x drift failed the gate un-re-checked), is re-run with
+the full warm protocol at the end of the window and the minimum kept. A burst heals (the stretch re-reads in-band minutes
 later); a real code regression stays high and the staleness gate
 flags it. Re-checked rows are listed under "recheck" in the sidecar.
 The warmup absorbs one-time costs that are
@@ -49,7 +51,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from fugue_warehouses_spark import benchwindow  # noqa: E402
+from fugue_warehouses_spark import baselinedoc, benchwindow  # noqa: E402
 from fugue_warehouses_spark.plans.checkpoint import released_after  # noqa: E402
 from fugue_warehouses_spark.queries import QUERIES  # noqa: E402
 from fugue_warehouses_spark.session import get_spark, pinned_heap_conf  # noqa: E402
@@ -316,12 +318,29 @@ def main() -> None:
     # suspect re-check (round 10, module docstring): rows over 1.5x
     # their last-clean-artifact value re-run the full warm protocol
     # now, minutes after their consecutive block — a mid-window burst
-    # heals, a real regression stays high for the gate.
+    # heals, a real regression stays high for the gate. Round 11
+    # (VERDICT r10 wrong #2): ALSO re-check any row whose reading
+    # would FAIL its own BASELINE gate tolerance — the shared
+    # baselinedoc.recheck_names decision, so the trigger and the gate
+    # can never disagree again (r10: 0.261 -> 0.358 slipped under the
+    # 1.5x trigger yet tripped the gate's 0.17 x 2.0 bound). The gate
+    # scales tolerances by start+end control inflation; only the
+    # start control exists here, which can only make this trigger
+    # FIRE MORE (end-window inflation would loosen the gate, never
+    # tighten it past what we check against).
+    try:
+        claims = baselinedoc.query_claims(
+            open(os.path.join(here, "BASELINE.md")).read()
+        )
+    except OSError:
+        claims = {}
+    suspects = baselinedoc.recheck_names(
+        timings, prior, claims,
+        benchwindow.inflation_by_regime(control, None),
+    )
     recheck: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        if name in prior and prior[name] > 0 and (
-            timings[name] > 1.5 * prior[name]
-        ):
+        if name in suspects:
             # re-warm SCOPED (unlike the first warmup): the serving
             # handles already exist by now, so this run builds no
             # caches that must survive — leaking its checkpoint blocks

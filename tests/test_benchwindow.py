@@ -242,3 +242,61 @@ def test_committed_sidecar_matches_its_recorded_verdict():
         return
     state, _ = benchwindow.classify_sidecar(data)
     assert recorded == state
+
+
+def test_recheck_fires_on_gate_tolerance_not_only_prior_ratio():
+    """Replay of the r10 gate red (VERDICT r10 wrong #2):
+    orders_weighted_sample drifted 0.261 -> 0.358 s — only 1.37x its
+    last-clean value, UNDER the 1.5x burst trigger, yet past its
+    then-current BASELINE claim (0.17 point, sched) x2.0 = 0.34. The
+    window re-checked 39 other rows but not the one that then failed
+    the gate. The round-11 trigger (baselinedoc.recheck_names) must
+    put the row in the recheck set. The claim is replayed at its r10
+    state because the row has since been banded — the test pins the
+    MECHANISM, not the current table."""
+    from fugue_warehouses_spark import baselinedoc as B
+
+    # the r10 driver-refresh window's controls (bench_queries.json at
+    # commit 8461f12): steady slow class, sched inflation floored at 1
+    infl = benchwindow.inflation_by_regime(
+        {"numpy_matmul_sec": 0.035, "tpch_scan_agg_sec": 0.309,
+         "jobfloor_32x_sec": 3.354},
+        None,
+    )
+    assert infl["sched"] == 1.0  # tpch faster than idle -> floor
+    claims = {"orders_weighted_sample": B.Claim(0.17, 0.17, "sched")}
+    timings = {"orders_weighted_sample": 0.358}
+    prior = {"orders_weighted_sample": 0.261}
+    assert "orders_weighted_sample" in B.recheck_names(
+        timings, prior, claims, infl
+    )
+    # and the burst trigger alone would have missed it — the r10 hole
+    assert timings["orders_weighted_sample"] <= (
+        B.PRIOR_RECHECK_RATIO * prior["orders_weighted_sample"]
+    )
+
+
+def test_recheck_prior_ratio_trigger_still_fires():
+    """The round-10 burst heuristic survives the round-11 merge: a row
+    far inside its (loose) band but 2x its last-clean value is still
+    suspect — loose bands must not absorb real regressions silently."""
+    from fugue_warehouses_spark import baselinedoc as B
+
+    infl = {"cpu": 1.0, "sched": 1.0}
+    claims = {"q": B.Claim(0.2, 2.0, "sched")}  # loose band, hi=2.0
+    assert "q" in B.recheck_names({"q": 0.9}, {"q": 0.4}, claims, infl)
+    # in-band AND under the prior ratio: not suspect
+    assert not B.recheck_names({"q": 0.5}, {"q": 0.4}, claims, infl)
+
+
+def test_recheck_gate_trigger_scales_with_regime_inflation():
+    """A slow-class window must not re-check every cpu row: the gate
+    trigger scales by the regime-matched control, same as the gate."""
+    from fugue_warehouses_spark import baselinedoc as B
+
+    infl = {"cpu": 3.5, "sched": 1.0}
+    claims = {"k": B.Claim(0.3, 0.3, "cpu")}
+    # 0.9 > 0.3*2.0 unscaled, but under 0.3*2.0*3.5 — not suspect on
+    # the slow class (no prior)
+    assert not B.recheck_names({"k": 0.9}, {}, claims, infl)
+    assert "k" in B.recheck_names({"k": 2.2}, {}, claims, infl)

@@ -31,28 +31,24 @@ import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 
-# Driver-bench contention can tax warm best-of-3 numbers ~1.5x on this
-# host (BASELINE's banded rows document this); the tolerance must sit
-# above that noise floor so the test only fires on REAL drift. Rows
-# that legitimately wander more get an explicit lo-hi band instead.
-POINT_TOLERANCE = 2.0  # sidecar value may exceed a point claim by 2x
-BAND_TOLERANCE = 1.5  # ... or a band's hi end by 1.5x
+# The table scrape, the seconds-cell grammar, and the gate tolerances
+# moved to fugue_warehouses_spark.baselinedoc in round 11 so bench.py's
+# suspect re-check pass and this gate enforce the SAME thresholds
+# (VERDICT r10 wrong #2: they disagreed, and a row drifted past the
+# gate without ever being re-checked). The aliases keep this module's
+# test bodies readable.
+from fugue_warehouses_spark import baselinedoc as B  # noqa: E402
+
+POINT_TOLERANCE = B.POINT_TOLERANCE
+BAND_TOLERANCE = B.BAND_TOLERANCE
+
+
+def _baseline_text() -> str:
+    return (REPO / "BASELINE.md").read_text()
 
 
 def _table_blocks() -> list[list[list[str]]]:
-    """Contiguous runs of `|`-rows, one block per markdown table."""
-    blocks: list[list[list[str]]] = []
-    run: list[list[str]] = []
-    for line in (REPO / "BASELINE.md").read_text().splitlines():
-        if line.lstrip().startswith("|"):
-            cells = [c.strip() for c in line.strip().strip("|").split("|")]
-            run.append(cells)
-        elif run:
-            blocks.append(run)
-            run = []
-    if run:
-        blocks.append(run)
-    return blocks
+    return B.table_blocks(_baseline_text())
 
 
 def _table_rows() -> list[list[str]]:
@@ -60,7 +56,7 @@ def _table_rows() -> list[list[str]]:
 
 
 def _is_separator(cells: list[str]) -> bool:
-    return all(set(c) <= set("-: ") for c in cells)
+    return B.is_separator(cells)
 
 
 def test_baseline_tables_well_formed():
@@ -78,23 +74,11 @@ def test_baseline_tables_well_formed():
 
 
 def _query_table_rows() -> list[list[str]]:
-    """Rows of the per-query table(s): 6-cell rows (query | duckdb |
-    spark | ratio | regime | status) whose first cell is a query name
-    (header/separator/TOTAL rows excluded)."""
-    out = []
-    for cells in _table_rows():
-        if len(cells) != 6 or _is_separator(cells):
-            continue
-        name = cells[0]
-        if name in ("query", "") or name.startswith("**TOTAL"):
-            continue
-        out.append(cells)
-    return out
+    return B.query_table_rows(_baseline_text())
 
 
 def _query_name(cell: str) -> str:
-    # allow an annotation suffix: "q21_waiting_suppliers (round-3 replan)"
-    return cell.strip("`* ").split(" (")[0].split("(")[0].strip()
+    return B.query_name(cell)
 
 
 def test_baseline_query_names_exist_in_registry():
@@ -163,14 +147,7 @@ def test_readme_test_count_matches_collection():
 
 
 def _parse_sec_cell(cell: str) -> tuple[float, float] | None:
-    """Leading '~x', 'x' or 'x-y' out of a Spark-seconds cell; None for
-    non-numeric cells (e.g. '— (prose)')."""
-    m = re.match(r"\s*[~>]?(\d+(?:\.\d+)?)(?:\s*-\s*(\d+(?:\.\d+)?))?", cell)
-    if not m:
-        return None
-    lo = float(m.group(1))
-    hi = float(m.group(2)) if m.group(2) else lo
-    return lo, hi
+    return B.parse_sec_cell(cell)
 
 
 def test_baseline_spark_values_track_bench_sidecar():
@@ -224,25 +201,23 @@ def _stale_rows(data: dict) -> list[str]:
         data.get("control"), data.get("control_end")
     )
     stale = []
-    for cells in _query_table_rows():
-        name = _query_name(cells[0])
+    for name, claim in B.query_claims(_baseline_text()).items():
         if name not in bench:
             continue
-        parsed = _parse_sec_cell(cells[2])
-        if parsed is None:
-            continue
-        regime = cells[4]
-        assert regime in infl, (
-            f"{name}: unknown regime tag {regime!r} (expected one of "
-            f"{sorted(infl)})"
+        assert claim.regime in infl, (
+            f"{name}: unknown regime tag {claim.regime!r} (expected one "
+            f"of {sorted(infl)})"
         )
-        lo, hi = parsed
-        tol = (BAND_TOLERANCE if hi > lo else POINT_TOLERANCE) * infl[regime]
-        if bench[name] > hi * tol:
+        # the SAME threshold arithmetic bench.py's re-check trigger
+        # uses (baselinedoc.gate_threshold) — the two consumers must
+        # never disagree again (VERDICT r10 wrong #2)
+        threshold = B.gate_threshold(claim, infl)
+        if bench[name] > threshold:
             stale.append(
-                f"{name}: BASELINE claims {cells[2].split('(')[0].strip()!r}"
-                f" but bench recorded {bench[name]} s (> {hi}*{tol:.2f}, "
-                f"regime={regime})"
+                f"{name}: BASELINE claims {claim.lo}"
+                + (f"-{claim.hi}" if claim.is_band else "")
+                + f" but bench recorded {bench[name]} s "
+                f"(> {threshold:.2f}, regime={claim.regime})"
             )
     return stale
 
