@@ -1815,7 +1815,12 @@ def _serving_handle(
       ``open_existing(store) -> (entry_dict, warmup_fn)`` re-reads the
       stored tables into memory — zero corpus scans, zero new store
       versions. A half-built store (crash before the marker) rebuilds:
-      the extra versions are shadowed, read_version serves the latest;
+      the extra versions are shadowed, read_version serves the latest.
+      The marker (and family sidecars like thr.json) are DRIVER-LOCAL
+      files, so a caller-supplied ``store`` must be a local
+      filesystem path — URI schemes are refused loudly, and a
+      ``_BUILD_LOCK`` exclusive-create file serializes builders of
+      the same store (both round-10 ADVICE);
     - the warmup callable returns the EXACT facet plan shape and runs
       THREE times after the entry is cached. This encodes the round-8
       C2 lesson: a toy probe (k=1, limit(50)) compiles the codegen
@@ -1840,14 +1845,53 @@ def _serving_handle(
         atexit.register(shutil.rmtree, store_dir, ignore_errors=True)
     else:
         store_dir = store
+        # the marker / thr.json sidecars are driver-local os.path IO
+        # while the tables go through Spark/Hadoop writers — a
+        # non-local store URI (hdfs://, s3a://) would never SEE the
+        # marker (silent full rebuild in every process, defeating the
+        # re-open contract) or would fail opaquely inside open().
+        # Refuse loudly instead (round-10 ADVICE); porting the
+        # sidecars to the Hadoop FileSystem API is the upgrade path if
+        # a shared-filesystem store is ever needed.
+        from urllib.parse import urlparse
+
+        scheme = urlparse(store_dir).scheme
+        if scheme and scheme != "file" and len(scheme) > 1:  # len>1: C:\
+            raise ValueError(
+                f"serving-handle store must be a local filesystem "
+                f"path; got scheme {scheme!r} ({store_dir}). The "
+                "handle's completion marker is driver-local."
+            )
         os.makedirs(store_dir, exist_ok=True)
     marker = os.path.join(store_dir, "_HANDLE_COMPLETE")
+    lock = os.path.join(store_dir, "_BUILD_LOCK")
     if open_existing is not None and os.path.exists(marker):
         entry, warmup = open_existing(store_dir)
     else:
-        entry, warmup = build(store_dir)
-        with open(marker, "w") as f:
-            f.write(family)
+        # exclusive-create lock: two processes building the SAME store
+        # concurrently would interleave table versions — each table
+        # internally consistent but cross-table pairing unverified
+        # (round-10 ADVICE). First builder wins; the loser gets told
+        # what's happening instead of silently double-building.
+        try:
+            lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"{lock} exists — another process is building this "
+                "serving store (or crashed mid-build; delete the lock "
+                "and any unmarked store content to rebuild)"
+            ) from None
+        try:
+            os.write(lock_fd, f"{family}:{os.getpid()}".encode())
+            os.close(lock_fd)
+            entry, warmup = build(store_dir)
+            with open(marker, "w") as f:
+                f.write(family)
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
     entry.setdefault("store", store_dir)
     _SERVING_HANDLES[key] = entry
     for _ in range(3):

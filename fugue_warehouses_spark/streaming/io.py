@@ -16,6 +16,16 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+# Filesystems whose "rename" is a non-atomic copy+delete: the swap in
+# compact_survivors is NOT crash-safe on these (round-10 ADVICE). The
+# list covers the Hadoop connectors for the major object stores; a
+# scheme not listed here is trusted to rename atomically (HDFS, local,
+# viewfs, alluxio, ...).
+_NON_ATOMIC_RENAME_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "oss", "cos", "swift",
+     "wasb", "wasbs", "abfs", "abfss"}
+)
+
 AT_LEAST_ONCE_NOTE = (
     "These parquet files are an AT-LEAST-ONCE survivor log: a crash "
     "replay of the writing ingest can append the same rows twice. The "
@@ -76,6 +86,23 @@ def compact_survivors(
     — a LATER ingest append to the same path re-creates the marker
     and the at-least-once regime with it).
 
+    FILESYSTEM REQUIREMENT (round-10 ADVICE): the crash-safety story
+    above depends on directory rename being ATOMIC — true on local
+    filesystems, HDFS, and viewfs. Object stores (s3a, gs, abfs, ...)
+    implement "rename" as a non-atomic copy+delete, so a crash
+    mid-swap could leave ``path`` PARTIALLY populated — a state the
+    debris check cannot distinguish from a complete log. Known
+    object-store schemes are therefore REJECTED here; route such
+    stores through an atomic-commit layer (HDFS staging, or a table
+    format with transactional swap) instead. As a second guard, the
+    swap refuses to proceed unless the tmp rewrite carries Spark's
+    ``_SUCCESS`` job-commit marker.
+
+    CONCURRENCY: this is a maintenance-window operation. Rows appended
+    to ``path`` by a concurrent ingest between the read below and the
+    swap are silently DROPPED from the compacted log — stop the ingest
+    first; the function cannot detect a concurrent writer.
+
     At 100 TB this is one shuffle on the id column over the survivor
     log — the same cost class as the exact-dedup operator — and runs
     in a maintenance window, never on the ingest path.
@@ -85,6 +112,15 @@ def compact_survivors(
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hp = jvm.org.apache.hadoop.fs.Path
+    scheme = hp(path).toUri().getScheme()
+    if scheme and scheme.lower() in _NON_ATOMIC_RENAME_SCHEMES:
+        raise ValueError(
+            f"compact_survivors requires atomic directory rename; "
+            f"{scheme}:// is an object store whose rename is a "
+            "non-atomic copy+delete (a crash mid-swap could leave the "
+            "log partially populated). Compact via an atomic-rename "
+            "filesystem (HDFS/local) or a transactional table format."
+        )
     fs = hp(path).getFileSystem(conf)
     # crash-debris check FIRST (round-10 review): when a prior
     # compaction died between its renames, `path` may be ABSENT — the
@@ -99,6 +135,14 @@ def compact_survivors(
         )
     df = spark.read.parquet(path).dropDuplicates([id_col])
     df.write.mode("overwrite").parquet(tmp)
+    # job-commit marker before the point of no return: a tmp directory
+    # without _SUCCESS is a crashed/partial write (or debris a crashed
+    # earlier compaction left) and must never be swapped into place
+    if not fs.exists(hp(os.path.join(tmp, "_SUCCESS"))):
+        raise OSError(
+            f"{tmp} lacks a _SUCCESS marker after the rewrite — "
+            "partial write; original log untouched"
+        )
     if not fs.rename(hp(path), hp(old)):
         raise OSError(f"rename {path} -> {old} failed")
     if not fs.rename(hp(tmp), hp(path)):

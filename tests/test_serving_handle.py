@@ -181,3 +181,52 @@ def test_bloom_reopen_keeps_the_build_time_threshold(
     finally:
         Q._doc_split_thr = real
     assert h2["thr"] == thr_build
+
+
+def test_non_local_store_uri_is_refused(spark, sf_dir):
+    """Round-10 ADVICE: the handle's completion marker (and sidecars
+    like thr.json) are driver-local os.path IO while the tables go
+    through Hadoop writers. A non-local store URI would silently
+    rebuild every process (marker never seen) or fail opaquely inside
+    open() — refuse it loudly instead."""
+    import pytest
+
+    for bad in ("hdfs://nn/warehouse/idx", "s3a://bucket/idx"):
+        with pytest.raises(ValueError, match="local filesystem"):
+            Q._serving_handle(
+                spark, "minhash_idx", sf_dir,
+                build=lambda store_dir: (_ for _ in ()).throw(
+                    AssertionError("build must not run")
+                ),
+                store=bad,
+            )
+
+
+def test_concurrent_build_lock_refuses_second_builder(
+    spark, sf_dir, tmp_path
+):
+    """Round-10 ADVICE: two processes building the same store would
+    interleave table versions with unverified cross-table pairing.
+    The exclusive-create _BUILD_LOCK makes the second builder fail
+    with instructions instead of double-building — and a successful
+    build removes the lock so later processes re-open normally."""
+    import pytest
+
+    store = str(tmp_path / "locked_store")
+    os.makedirs(store)
+    with open(os.path.join(store, "_BUILD_LOCK"), "w") as f:
+        f.write("other:999")
+    with pytest.raises(RuntimeError, match="_BUILD_LOCK"):
+        Q._serving_handle(
+            spark, "minhash_idx", sf_dir,
+            build=lambda store_dir: (_ for _ in ()).throw(
+                AssertionError("build must not run under a held lock")
+            ),
+            store=store,
+        )
+    os.unlink(os.path.join(store, "_BUILD_LOCK"))
+    Q._SERVING_HANDLES.clear()
+    h = Q._minhash_index_for(spark, sf_dir, store=store)
+    assert h["idx"] is not None
+    assert os.path.exists(os.path.join(store, "_HANDLE_COMPLETE"))
+    assert not os.path.exists(os.path.join(store, "_BUILD_LOCK"))

@@ -1170,3 +1170,18 @@ def test_compact_survivors_refuses_over_crashed_swap(spark, tmp_path):
     ).write.parquet(kept + "__compact_old")
     with _pytest.raises(FileExistsError, match="crashed mid-swap"):
         compact_survivors(spark, kept)
+
+
+def test_compact_survivors_refuses_object_store_schemes(spark):
+    """Round-10 ADVICE: the 3-rename swap is only crash-safe where
+    directory rename is atomic; object-store connectors rename by
+    copy+delete, so a crash mid-swap could leave the log PARTIALLY
+    populated — a state the debris check can't detect. Refuse the
+    scheme outright, before any read."""
+    import pytest as _pytest
+
+    from fugue_warehouses_spark.streaming import compact_survivors
+
+    for scheme in ("s3a", "gs", "abfss"):
+        with _pytest.raises(ValueError, match="atomic"):
+            compact_survivors(spark, f"{scheme}://bucket/survivors")
