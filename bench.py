@@ -280,7 +280,11 @@ def main() -> None:
     try:
         with open(os.path.join(here, "bench_queries.json")) as f:
             _pj = json.load(f)
-        if benchwindow.classify_sidecar(_pj)[0] == "clean":
+        # clean-noisy is acceptable as the re-check PRIOR (its values
+        # are the best available; the gate-tolerance trigger floors
+        # the re-check decision anyway) — only re-banding from it is
+        # forbidden (benchwindow.classify_sidecar)
+        if benchwindow.classify_sidecar(_pj)[0] in ("clean", "clean-noisy"):
             prior = _pj.get("queries", {})
     except Exception:
         pass

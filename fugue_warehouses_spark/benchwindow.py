@@ -97,6 +97,15 @@ DEGRADED_RATIO = 3.0
 # control whose session-start and session-end samples differ by more
 # than this factor saw a burst between them, not a class shift.
 STABLE_AGREEMENT = 1.25
+# Third verdict tier (round 11, VERDICT r10 next #6): a window whose
+# CONTROLS sample clean but whose suspect re-check pass fired on this
+# many rows or more saw repeated mid-window bursts the controls
+# missed. Such a window is RECORDABLE (it is the latest reality; the
+# staleness gate enforces against it) but its values must not be used
+# to RE-BAND BASELINE rows — the r10 driver refresh classified clean
+# with 39 re-checks and sat 17% above the committed total, which
+# would have silently loosened every band anchored to it.
+NOISY_RECHECK_MIN = 20
 
 
 def _samples(control: dict | None, control_end: dict | None, key: str):
@@ -207,8 +216,28 @@ def classify(
 
 
 def classify_sidecar(data: dict) -> tuple[str, list[str]]:
-    """Classify a loaded bench sidecar dict (bench_queries.json)."""
-    return classify(data.get("control"), data.get("control_end"))
+    """Classify a loaded bench sidecar dict (bench_queries.json):
+    ('clean' | 'clean-noisy' | 'degraded', [reasons]).
+
+    'clean-noisy' (round 11): controls clean, but the suspect
+    re-check pass fired on >= NOISY_RECHECK_MIN rows — repeated
+    mid-window bursts the scalar controls sampled past. Policy:
+    recordable (written to the main sidecar path; the staleness gate
+    enforces against it, and it may serve as the re-check pass's
+    prior), but NEVER a source for re-banding/re-anchoring BASELINE
+    rows — its row values carry burst residue the verdict can't
+    localize."""
+    state, reasons = classify(data.get("control"), data.get("control_end"))
+    if state != "clean":
+        return state, reasons
+    n_recheck = len(data.get("recheck") or {})
+    if n_recheck >= NOISY_RECHECK_MIN:
+        return "clean-noisy", [
+            f"suspect re-check fired on {n_recheck} rows "
+            f"(>= {NOISY_RECHECK_MIN}) — controls clean but the window "
+            "bursted repeatedly; do not re-band from these values"
+        ]
+    return state, reasons
 
 
 def quarantine_path(path: str) -> str:
@@ -232,7 +261,12 @@ def write_sidecar(path: str, payload: dict) -> str:
     state, reasons = classify_sidecar(payload)
     payload = dict(payload)
     payload["window"] = {"state": state, "reasons": reasons}
-    target = path if state == "clean" else quarantine_path(path)
+    # clean-noisy stays at the main path: it is the latest recordable
+    # window and the gate must enforce against it — only re-banding
+    # from it is forbidden (classify_sidecar docstring)
+    target = path if state in ("clean", "clean-noisy") else (
+        quarantine_path(path)
+    )
     with open(target, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     return target

@@ -124,7 +124,94 @@ def probe(spark, sizes, ops=None, repeat=1):
         "embedding_ingest_deep",
         "global_cumsum",
         "global_cumsum_window",
+        "pagerank_phases",
     }
+    # part_pagerank per-phase attribution (round 11, VERDICT r10 next
+    # #3): the facet's clean-window readings trended 1.88 -> 2.33 ->
+    # 3.31 s across r9/r10 with git-verifiably unchanged code. The
+    # facet (numeric part keys, ~edge count under the local gate) runs
+    # graph.pagerank's DRIVER-LOCAL path, which has four separable
+    # phases; timing each attributes any drift to the phase that moved
+    # instead of re-litigating the whole row. Runs ONCE per invocation
+    # (reads $SPARK_GRAFT_SF_DIR lineitem — corpus size is fixed by the
+    # sf, not --sizes); recorded under n = edge count.
+    if wanted("pagerank_phases"):
+        import pandas as pd
+
+        from fugue_warehouses_spark.extensions import graph as G
+
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        phases: dict[str, list[float]] = {}
+        n_edges = 0
+        for _ in range(max(1, repeat)):
+            with released_after(spark):
+                t0 = time.perf_counter()
+                edges = G.cooccurrence_edges(
+                    li, "l_orderkey", "l_partkey"
+                ).localCheckpoint(eager=False)
+                n_edges = edges.count()
+                phases.setdefault("edges", []).append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                t0 = time.perf_counter()
+                ep = edges.select("src", "dst").toPandas()
+                phases.setdefault("transfer", []).append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                t0 = time.perf_counter()
+                node_vals = pd.unique(
+                    pd.concat([ep["src"], ep["dst"]], ignore_index=True)
+                )
+                pos = pd.Series(np.arange(len(node_vals)), index=node_vals)
+                s = pos[ep["src"]].to_numpy()
+                d = pos[ep["dst"]].to_numpy()
+                n_loc = len(node_vals)
+                deg = np.bincount(s, minlength=n_loc).astype("float64")
+                r = np.full(n_loc, 1.0 / n_loc)
+                for _ in range(3):
+                    contrib = np.bincount(
+                        d, weights=r[s] / deg[s], minlength=n_loc
+                    )
+                    r = (1.0 - 0.85) / n_loc + 0.85 * contrib
+                phases.setdefault("numpy", []).append(
+                    round(time.perf_counter() - t0, 3)
+                )
+                t0 = time.perf_counter()
+                res = spark.createDataFrame(
+                    pd.DataFrame({"node": node_vals, "score": r})
+                )
+                res.select(
+                    "node", F.round(F.col("score") * 1000, 6).alias("p")
+                ).orderBy(F.col("p").desc(), F.col("node")).limit(100).count()
+                phases.setdefault("result", []).append(
+                    round(time.perf_counter() - t0, 3)
+                )
+        for ph, ts in phases.items():
+            out.setdefault(f"pagerank_phase_{ph}", {})[n_edges] = (
+                ts[0] if repeat <= 1 else ts
+            )
+            print(
+                f"[probe] pagerank_phase_{ph} edges={n_edges}: {ts}",
+                file=sys.stderr, flush=True,
+            )
+        # the whole facet under the same window, warm best-of-3, as the
+        # cross-check that the phase sum reproduces the bench reading
+        from fugue_warehouses_spark.queries import QUERIES
+
+        QUERIES["part_pagerank"](spark, sf_dir).count()  # warm
+        best = float("inf")
+        for _ in range(3):
+            with released_after(spark):
+                t0 = time.perf_counter()
+                QUERIES["part_pagerank"](spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+        out.setdefault("pagerank_facet_best3", {})[n_edges] = round(best, 3)
+        print(
+            f"[probe] pagerank_facet_best3 edges={n_edges}: "
+            f"{round(best, 3)}s",
+            file=sys.stderr, flush=True,
+        )
     for n in sizes:
         # the 250-token doc corpus takes minutes to synthesize at 320k;
         # embedding-only probe runs skip it entirely
@@ -199,43 +286,11 @@ def probe(spark, sizes, ops=None, repeat=1):
             out.setdefault("minhash_candidate_pairs", {})[n] = n_cand
             print(f"[probe] minhash_candidate_pairs n={n}: {n_cand} rows",
                   file=sys.stderr, flush=True)
-        # serving-handle durability (round 10): REBUILD = sign the 80%
-        # history + band it + write both tables to a versioned store
-        # (corpus-proportional — what every new process paid before the
-        # durable-store re-open existed); REOPEN = read both tables
-        # back and materialize them in memory (index-proportional, no
-        # text ever re-read — what a new serving process pays now).
-        # The measured gap IS the cross-process serving story; identity
-        # of the served answers is pinned by tests/test_serving_handle.
-        if wanted("serving_reopen") or wanted("serving_rebuild"):
-            import shutil
-            import tempfile
-
-            from fugue_warehouses_spark.plans import versioned as _V
-
-            _store = tempfile.mkdtemp(prefix="wf_probe_store_")
-            _hist = docs.filter(f"doc_id < {n - n // 5}")
-
-            def _rebuild():
-                sig = D.build_minhash_index(_hist, "doc_id", "text")
-                _V.write_version(sig, os.path.join(_store, "sigs"), spark)
-                back = _V.read_version(spark, os.path.join(_store, "sigs"))
-                _V.write_version(
-                    D.build_minhash_band_index(back, "doc_id"),
-                    os.path.join(_store, "bands"),
-                    spark,
-                )
-
-            timed("serving_rebuild", n, _rebuild, force=True)
-
-            def _reopen():
-                for t in ("sigs", "bands"):
-                    df = _V.read_version(spark, os.path.join(_store, t))
-                    df.persist()
-                    df.count()
-
-            timed("serving_reopen", n, _reopen, force=True)
-            shutil.rmtree(_store, ignore_errors=True)
+        # serving-handle durability: handled by serving_probe() (its
+        # own two-process harness — see main()); requesting
+        # serving_rebuild / serving_reopen here is a no-op.
+        # (r11: the r10 in-session reopen timing was structurally
+        # contaminated — see serving_probe's docstring.)
         timed("duplicate_span_coverage", n, lambda: D.duplicate_span_coverage(docs, "doc_id", "text").count())
         timed("incremental_dedup", n, lambda: D.incremental_dedup(
             docs.filter(f"doc_id >= {n // 2}"), docs.filter(f"doc_id < {n // 2}")).count())
@@ -702,6 +757,149 @@ def probe(spark, sizes, ops=None, repeat=1):
     return out
 
 
+SERVING_OPS = {"serving_rebuild", "serving_reopen"}
+
+
+def _serving_build_phase(sizes: list[int], repeat: int, root: str) -> dict:
+    """Build-cluster leg of the serving probe: synthesize each corpus,
+    time REBUILD (sign the 80% history + band + write both tables to
+    the versioned store — corpus-proportional), leave the stores on
+    disk for the reopen phase, exit (the JVM dies with the process)."""
+    from fugue_warehouses_spark.extensions import dedup as D
+    from fugue_warehouses_spark.plans import versioned as V
+    from fugue_warehouses_spark.plans.checkpoint import released_after
+
+    spark = get_spark(
+        app_name="wf-serving-build",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            **pinned_heap_conf(),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict[int, object]] = {}
+    for n in sizes:
+        docs = make_docs(spark, n).repartition(32).cache()
+        docs.count()
+        hist = docs.filter(f"doc_id < {n - n // 5}")
+        store = os.path.join(root, str(n))
+        ts = []
+        for _ in range(max(1, repeat)):
+            with released_after(spark):
+                t0 = time.perf_counter()
+                sig = D.build_minhash_index(hist, "doc_id", "text")
+                V.write_version(sig, os.path.join(store, "sigs"), spark)
+                back = V.read_version(spark, os.path.join(store, "sigs"))
+                V.write_version(
+                    D.build_minhash_band_index(back, "doc_id"),
+                    os.path.join(store, "bands"),
+                    spark,
+                )
+                ts.append(round(time.perf_counter() - t0, 2))
+        out.setdefault("serving_rebuild", {})[n] = (
+            ts[0] if repeat <= 1 else ts
+        )
+        print(f"[probe] serving_rebuild n={n}: {ts}",
+              file=sys.stderr, flush=True)
+        docs.unpersist()
+    spark.stop()
+    return out
+
+
+def _serving_reopen_phase(sizes: list[int], repeat: int, root: str) -> dict:
+    """Serving-process leg: a process that NEVER built anything (and
+    whose heap is sized to the index it serves, not to a corpus) reads
+    both stored tables back and materializes them in memory —
+    index-proportional, zero corpus scans. One untimed trivial job
+    absorbs executor-thread spinup + codegen init; the timed region is
+    exactly the two table materializations, which is the scaling claim
+    (session startup is a constant — executor provisioning on a real
+    cluster)."""
+    # must be set BEFORE the JVM launches; the serving child holds a
+    # few hundred MB of index, and a corpus-sized pinned -Xms here
+    # would first-touch tens of GB for nothing
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+    from fugue_warehouses_spark.plans import versioned as V
+    from fugue_warehouses_spark.plans.checkpoint import released_after
+
+    spark = get_spark(
+        app_name="wf-serving-reopen",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            **pinned_heap_conf(),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).repartition(8).count()
+    out: dict[str, dict[int, object]] = {}
+    for n in sizes:
+        store = os.path.join(root, str(n))
+        ts = []
+        for _ in range(max(1, repeat)):
+            with released_after(spark):
+                t0 = time.perf_counter()
+                for t in ("sigs", "bands"):
+                    df = V.read_version(spark, os.path.join(store, t))
+                    df.persist()
+                    df.count()
+                ts.append(round(time.perf_counter() - t0, 2))
+        out.setdefault("serving_reopen", {})[n] = (
+            ts[0] if repeat <= 1 else ts
+        )
+        print(f"[probe] serving_reopen n={n}: {ts}",
+              file=sys.stderr, flush=True)
+    spark.stop()
+    return out
+
+
+def serving_probe(sizes: list[int], repeat: int) -> dict:
+    """Serving-handle durability, measured in its real topology
+    (round 11): a BUILD process writes the versioned store and exits;
+    a separate SERVING process re-opens it. Each phase is a
+    subprocess with its own JVM, run sequentially — never co-tenant.
+
+    Why not in-session (the r10 form): PySpark's gateway JVM survives
+    SparkContext.stop(), so any 'fresh session' in the same process
+    inherits the build's pinned corpus-sized heap; and timing the
+    reopen while the build JVM is alive measures two 32-thread JVMs
+    fighting over first-touch allocation and GC threads, not the
+    operator. The r10 table's '80k reopen above 320k' inversion
+    (VERDICT r10 wrong #3) was THIS, reproduced on a clean window by
+    a decomposed re-run (2.5-25 s spread on identical work with a
+    co-tenant JVM; 1.8 s quiet) — probe-methodology defect, not
+    tenancy and not the operator."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="wf_serving_probe_")
+    out: dict = {}
+    try:
+        for phase in ("build", "reopen"):
+            proc = subprocess.run(
+                [
+                    sys.executable, os.path.abspath(__file__),
+                    "--serving-phase", phase,
+                    "--sizes", ",".join(str(s) for s in sizes),
+                    "--repeat", str(repeat),
+                    "--store-root", root,
+                ],
+                stdout=subprocess.PIPE, stderr=sys.stderr,
+                text=True, timeout=7200,
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"serving {phase} phase failed rc={proc.returncode}"
+                )
+            line = [
+                ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+            ][-1]
+            out.update(json.loads(line))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="5000,20000,80000")
@@ -711,21 +909,43 @@ def main():
         help="timed runs per op in ONE session (each scoped by "
         "released_after); records a list when > 1",
     )
+    ap.add_argument(
+        "--serving-phase", choices=["build", "reopen"], default=None,
+        help="internal: run ONE leg of serving_probe in this process",
+    )
+    ap.add_argument("--store-root", default=None, help="internal")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     ops = set(args.ops.split(",")) if args.ops else None
-    # -Xms pinned by default: a growing heap full-GCs at every
-    # expansion step under checkpoint-heavy probes (SCALE_NOTES r6);
-    # SPARK_GRAFT_DRIVER_JAVA_OPTS overrides
-    spark = get_spark(
-        app_name="wf-scale-probe",
-        extra_conf={
-            "spark.ui.showConsoleProgress": "false",
-            **pinned_heap_conf(),
-        },
-    )
-    out = probe(spark, sizes, ops, repeat=args.repeat)
-    spark.stop()
+    if args.serving_phase:
+        phase_fn = (
+            _serving_build_phase if args.serving_phase == "build"
+            else _serving_reopen_phase
+        )
+        out = phase_fn(sizes, args.repeat, args.store_root)
+        sys.stdout.flush()
+        print(json.dumps(out), flush=True)
+        return
+    out = {}
+    non_serving = None if ops is None else (ops - SERVING_OPS)
+    if non_serving is None or non_serving:
+        # -Xms pinned by default: a growing heap full-GCs at every
+        # expansion step under checkpoint-heavy probes (SCALE_NOTES r6);
+        # SPARK_GRAFT_DRIVER_JAVA_OPTS overrides
+        spark = get_spark(
+            app_name="wf-scale-probe",
+            extra_conf={
+                "spark.ui.showConsoleProgress": "false",
+                **pinned_heap_conf(),
+            },
+        )
+        out = probe(spark, sizes, non_serving, repeat=args.repeat)
+        spark.stop()
+    if ops is None or (ops & SERVING_OPS):
+        # after the main session stopped: the gateway JVM of THIS
+        # process is the only leftover, and the serving legs run as
+        # their own processes (see serving_probe)
+        out.update(serving_probe(sizes, args.repeat))
     sys.stdout.flush()
     print(json.dumps(out), flush=True)
 

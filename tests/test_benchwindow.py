@@ -300,3 +300,48 @@ def test_recheck_gate_trigger_scales_with_regime_inflation():
     # the slow class (no prior)
     assert not B.recheck_names({"k": 0.9}, {}, claims, infl)
     assert "k" in B.recheck_names({"k": 2.2}, {}, claims, infl)
+
+
+def test_r10_refresh_window_classifies_clean_noisy():
+    """The exact r10 driver-refresh shape (VERDICT r10 next #6):
+    controls clean (steady slow class), yet 39 suspect re-checks fired
+    and the total sat 17% above the committed window. Under the
+    two-tier policy that window silently became the gate comparand AND
+    a potential re-band source; the third tier records it but forbids
+    re-banding from it."""
+    data = {
+        "control": {"numpy_matmul_sec": 0.033, "tpch_scan_agg_sec": 0.32,
+                    "jobfloor_32x_sec": 3.354},
+        "control_end": {"numpy_matmul_sec": 0.038,
+                        "jobfloor_32x_sec": 1.784},
+        "recheck": {f"q{i}": 1.0 for i in range(39)},
+    }
+    state, reasons = benchwindow.classify_sidecar(data)
+    assert state == "clean-noisy"
+    assert any("re-band" in r for r in reasons)
+    # same controls with few re-checks: plain clean
+    data["recheck"] = {"q0": 1.0}
+    assert benchwindow.classify_sidecar(data)[0] == "clean"
+    # degraded controls dominate the recheck count
+    data["recheck"] = {f"q{i}": 1.0 for i in range(39)}
+    data["control"]["jobfloor_32x_sec"] = 4.5
+    assert benchwindow.classify_sidecar(data)[0] == "degraded"
+
+
+def test_write_sidecar_keeps_clean_noisy_at_the_main_path(tmp_path):
+    """clean-noisy is recordable: the gate must enforce against the
+    latest recordable window, so it lands at the main sidecar path
+    (with its verdict recorded), not in quarantine."""
+    payload = {
+        "control": {"numpy_matmul_sec": 0.01, "tpch_scan_agg_sec": 0.49,
+                    "jobfloor_32x_sec": 2.0},
+        "control_end": {"numpy_matmul_sec": 0.011,
+                        "jobfloor_32x_sec": 2.1},
+        "recheck": {f"q{i}": 1.0 for i in range(25)},
+        "queries": {"q1": 0.5},
+    }
+    target = str(tmp_path / "bench_queries.json")
+    written = benchwindow.write_sidecar(target, payload)
+    assert written == target
+    got = json.loads(Path(target).read_text())
+    assert got["window"]["state"] == "clean-noisy"

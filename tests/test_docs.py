@@ -258,3 +258,36 @@ def test_regime_gate_catches_sched_burst_even_with_steady_slow_numpy():
     assert benchwindow.inflation_by_regime(
         data["control"], data["control_end"]
     )["cpu"] == 4.0
+
+
+def test_window_history_last_row_matches_committed_sidecar():
+    """BASELINE.md's Window history table (round 11, VERDICT r10 #6)
+    must end with the committed sidecar's window: total, query count,
+    recheck count, and verdict. This makes recording a new window
+    without appending its history row a test failure — clean-window
+    drift stays visible in BASELINE.md itself, not in artifact
+    archaeology."""
+    from fugue_warehouses_spark import benchwindow
+
+    sidecar = REPO / "bench_queries.json"
+    if not sidecar.exists():
+        pytest.skip("no bench sidecar recorded yet")
+    data = json.loads(sidecar.read_text())
+
+    text = _baseline_text()
+    section = text.split("## Window history")[1].split("\n## ")[0]
+    rows = [
+        cells for cells in B.table_blocks(section)[0]
+        if len(cells) == 8 and not B.is_separator(cells)
+        and cells[0] != "window"
+    ]
+    assert rows, "Window history table missing or empty"
+    last = rows[-1]
+    assert float(last[1]) == data["value"], (
+        f"history's last total {last[1]} != sidecar {data['value']} — "
+        "append a row for the new window"
+    )
+    assert int(last[2]) == len(data["queries"])
+    assert int(last[6]) == len(data.get("recheck") or {})
+    state, _ = benchwindow.classify_sidecar(data)
+    assert last[7] == state
