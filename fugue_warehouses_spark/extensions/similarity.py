@@ -1099,6 +1099,47 @@ def ivf_topk_from_index(
     )
 
 
+def recall_at_k(
+    truth: DataFrame,
+    approx: DataFrame,
+    query_id: str = "query_id",
+    match_id: str = "match_id",
+) -> float:
+    """Mean per-query recall of an approximate top-k result against an
+    exact one: |approx ∩ truth| / |truth|, averaged over the queries
+    present in ``truth``. Both frames use the (query_id, match_id)
+    result contract every top-k operator here emits
+    (:func:`brute_force_topk`, :func:`lsh_topk`,
+    :func:`ivf_topk_from_index`, ...).
+
+    This is the quality axis a serving deployment tunes against
+    (round 11, VERDICT r10 next #5): answer-identity at full probe is
+    pinned by tests, but choosing ``n_probe`` / ``n_tables`` for a
+    100 TB index means trading this number against probe cost — the
+    recall curve lives in SCALE_NOTES (`scale_probe.py --ops
+    ann_recall`). Queries absent from ``approx`` count as recall 0 for
+    their truth rows (an ANN that drops a query entirely must not
+    improve the average). One semi-join + two grouped counts,
+    truth-sized; no collect beyond the final scalar.
+    """
+    t = truth.groupBy(F.col(query_id).alias("__q")).agg(
+        F.count("*").alias("__n_true")
+    )
+    h = (
+        truth.join(approx, [query_id, match_id], "leftsemi")
+        .groupBy(F.col(query_id).alias("__q"))
+        .agg(F.count("*").alias("__n_hit"))
+    )
+    per = t.join(h, "__q", "left").select(
+        (
+            F.coalesce(F.col("__n_hit"), F.lit(0))
+            / F.col("__n_true")
+        ).alias("__r")
+    )
+    row = per.agg(F.avg("__r").alias("recall")).first()
+    return float(row["recall"]) if row["recall"] is not None else 0.0
+
+
 # ---------------- hard-negative mining ----------------------------
 
 

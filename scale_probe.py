@@ -125,6 +125,7 @@ def probe(spark, sizes, ops=None, repeat=1):
         "global_cumsum",
         "global_cumsum_window",
         "pagerank_phases",
+        "ann_recall",
     }
     # part_pagerank per-phase attribution (round 11, VERDICT r10 next
     # #3): the facet's clean-window readings trended 1.88 -> 2.33 ->
@@ -212,6 +213,72 @@ def probe(spark, sizes, ops=None, repeat=1):
             f"{round(best, 3)}s",
             file=sys.stderr, flush=True,
         )
+    # ANN quality harness (round 11, VERDICT r10 next #5): recall@10
+    # against brute-force truth on the sf embeddings table, across the
+    # serving parameters a 100 TB deployment must pick — IVF n_probe
+    # and SRP-LSH table count. Answer identity at full probe is pinned
+    # by tests (tests/test_similarity.py: full-probe recall == 1.0);
+    # THIS records the curve between that point and the cheap end, so
+    # parameter choices trade a measured recall against probe cost
+    # instead of folklore. Keys in the output map are n_probe /
+    # n_tables, not corpus sizes.
+    if wanted("ann_recall"):
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        emb_t = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).cache()
+        n_emb = emb_t.count()
+        qs = emb_t.filter("vec_id < 100")
+        truth = S.brute_force_topk(emb_t, qs, k=10).cache()
+        truth.count()
+        asg, cents = S.build_ivf_hash_index(
+            emb_t, corpus_id="vec_id", corpus_vec="embedding"
+        )
+        asg = asg.cache()
+        asg.count()
+        cent_rows = cents.collect()
+        n_cells = len(cent_rows)
+        print(
+            f"[probe] ann_recall corpus={n_emb} cells={n_cells}",
+            file=sys.stderr, flush=True,
+        )
+        for n_probe in (1, 2, 4, 8, n_cells):
+            r = S.recall_at_k(
+                truth,
+                S.ivf_topk_from_index(
+                    asg, cents, qs, k=10, n_probe=n_probe,
+                    centroid_rows=cent_rows,
+                ),
+            )
+            out.setdefault("ann_recall_ivf_nprobe", {})[n_probe] = round(r, 4)
+            print(
+                f"[probe] ann_recall_ivf n_probe={n_probe}: {round(r, 4)}",
+                file=sys.stderr, flush=True,
+            )
+        dim = len(emb_t.select("embedding").first()[0])
+        # two plane counts: bucket population scales like corpus/2^planes,
+        # so the RIGHT n_planes is corpus-size-dependent — recording
+        # both shows the cliff (16 planes over a small corpus = near-zero
+        # collisions = near-zero recall, however many tables)
+        for n_planes in (8, 16):
+            for n_tables in (1, 2, 4, 8):
+                r = S.recall_at_k(
+                    truth,
+                    S.lsh_topk(
+                        emb_t, qs, k=10, dim=dim,
+                        n_planes=n_planes, n_tables=n_tables,
+                    ),
+                )
+                key = f"ann_recall_lsh_p{n_planes}_tables"
+                out.setdefault(key, {})[n_tables] = round(r, 4)
+                print(
+                    f"[probe] ann_recall_lsh planes={n_planes} "
+                    f"n_tables={n_tables}: {round(r, 4)}",
+                    file=sys.stderr, flush=True,
+                )
+        truth.unpersist()
+        asg.unpersist()
+        emb_t.unpersist()
     for n in sizes:
         # the 250-token doc corpus takes minutes to synthesize at 320k;
         # embedding-only probe runs skip it entirely

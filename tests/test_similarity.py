@@ -549,3 +549,46 @@ def test_ivf_topk_from_index_sim_floor(spark):
     f = {(r["query_id"], r["match_id"], r["cosine_sim"]) for r in floored.collect()}
     assert f == {t for t in b if t[2] >= 0.2}
     assert all(t[2] >= 0.2 for t in f)
+
+
+def test_recall_at_k_full_probe_is_exactly_one(spark, tables):
+    """The ANN quality harness's anchor (round 11, VERDICT r10 next
+    #5): IVF probing EVERY cell must reproduce brute-force truth
+    exactly — recall@10 == 1.0, tying the recall curve recorded in
+    SCALE_NOTES to the long-standing full-probe identity property.
+    Also pins recall_at_k's own semantics: truth against itself is
+    1.0, and a query missing entirely from the approximate result
+    counts as 0 for its rows (not skipped)."""
+    from fugue_warehouses_spark.extensions.similarity import (
+        brute_force_topk,
+        build_ivf_hash_index,
+        ivf_topk_from_index,
+        recall_at_k,
+    )
+
+    emb = tables["embeddings"]
+    queries = emb.filter("vec_id < 20")
+    truth = brute_force_topk(emb, queries, k=10)
+    assert recall_at_k(truth, truth) == 1.0
+
+    assigned, centroids = build_ivf_hash_index(emb)
+    n_cells = centroids.count()
+    full = ivf_topk_from_index(
+        assigned, centroids, queries, k=10, n_probe=n_cells
+    )
+    assert recall_at_k(truth, full) == 1.0
+
+    # fewer probes can only lose truth rows, never gain recall
+    one = ivf_topk_from_index(
+        assigned, centroids, queries, k=10, n_probe=1
+    )
+    r1 = recall_at_k(truth, one)
+    assert 0.0 <= r1 < 1.0
+
+    # a dropped query counts as zero, not as absent from the average:
+    # keeping 10 of 20 queries whole and dropping the rest entirely
+    # must average to exactly 0.5
+    n_kept = truth.filter("query_id < 10").select("query_id").distinct().count()
+    n_all = truth.select("query_id").distinct().count()
+    assert (n_kept, n_all) == (10, 20)
+    assert recall_at_k(truth, truth.filter("query_id < 10")) == 0.5
