@@ -879,20 +879,28 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*)::BIGINT AS n_docs,
              CAST(sum(ntok) AS BIGINT) AS total_tokens,
              count(DISTINCT lang)::BIGINT AS n_langs,
-             count(DISTINCT fp)::BIGINT AS distinct_fps
+             count(DISTINCT fp)::BIGINT AS distinct_fps,
+             round(quantile_cont(ntok, 0.5), 4) AS p50_tokens,
+             round(quantile_cont(ntok, 0.9), 4) AS p90_tokens,
+             round(quantile_cont(ntok, 0.99), 4) AS p99_tokens
       FROM base GROUP BY source),
     dups AS (
       SELECT source, count(*)::BIGINT AS n_exact_dup_docs
       FROM base WHERE fp IN (SELECT fp FROM dupfps) GROUP BY source),
     top AS (
-      SELECT source, lang AS top_lang FROM (
+      SELECT source, lang AS top_lang, lang_tokens AS top_lang_tokens
+      FROM (
         SELECT source, lang,
+               CAST(sum(ntok) AS BIGINT) AS lang_tokens,
                row_number() OVER (PARTITION BY source
                  ORDER BY count(*) DESC, lang ASC) AS rn
         FROM base GROUP BY source, lang) WHERE rn = 1)
     SELECT a.source, a.n_docs, a.total_tokens, a.n_langs, t.top_lang,
+           t.top_lang_tokens,
+           round(t.top_lang_tokens / greatest(a.total_tokens, 1), 4)
+             AS top_lang_token_share,
            coalesce(d.n_exact_dup_docs, 0)::BIGINT AS n_exact_dup_docs,
-           a.distinct_fps
+           a.distinct_fps, a.p50_tokens, a.p90_tokens, a.p99_tokens
     FROM agg a JOIN top t USING (source) LEFT JOIN dups d USING (source)
     """,
 )
@@ -901,16 +909,24 @@ def doc_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     data release ships (docs, token mass, language spread + dominant
     language, exact-duplicate exposure): n_docs, total_tokens,
     n_langs, top_lang (ties broken lang-ascending so the card is
-    deterministic), n_exact_dup_docs (docs whose normalized
-    fingerprint is shared CORPUS-WIDE — cross-source duplication
-    counts against both sources), distinct_fps.
+    deterministic), top_lang_tokens + top_lang_token_share (the
+    dominant language's token MASS — a card that only counts docs
+    hides a source whose minority-language docs are 10x longer),
+    n_exact_dup_docs (docs whose normalized fingerprint is shared
+    CORPUS-WIDE — cross-source duplication counts against both
+    sources), distinct_fps, and the token-length percentile sketch
+    p50/p90/p99_tokens (round 11 — the length-distribution line every
+    public corpus datasheet carries; exact interpolated percentiles,
+    matching DuckDB's quantile_cont).
 
-    100 TB shape: one scan feeds three aggregates — per-source sums
-    (map-side combine to #sources rows), one 16-byte fingerprint-keyed
-    shuffle for the corpus-wide dup set + per-source distinct, and a
-    #sources x #langs count for the top-language pick (a window over
-    that tiny frame, never over documents). No text moves after the
-    scan: tokens are counted and fingerprints hashed in place."""
+    100 TB shape: one scan feeds three aggregates — per-source sums +
+    exact percentiles (the percentile agg buffers per-source token
+    counts; at release scale swap to approx_percentile in the same
+    slot), one 16-byte fingerprint-keyed shuffle for the corpus-wide
+    dup set + per-source distinct, and a #sources x #langs count+sum
+    for the top-language pick (a window over that tiny frame, never
+    over documents). No text moves after the scan: tokens are counted
+    and fingerprints hashed in place."""
     from fugue_warehouses_spark.functions.text import fingerprint
 
     docs = _t(spark, sf_dir, "documents")
@@ -925,6 +941,9 @@ def doc_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ntok").cast("long").alias("total_tokens"),
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("fp").alias("distinct_fps"),
+        F.round(F.percentile("ntok", F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile("ntok", F.lit(0.9)), 4).alias("p90_tokens"),
+        F.round(F.percentile("ntok", F.lit(0.99)), 4).alias("p99_tokens"),
     )
     dupfps = base.groupBy("fp").count().filter(F.col("count") > 1).select("fp")
     dups = (
@@ -932,14 +951,21 @@ def doc_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_exact_dup_docs"))
     )
-    lang_counts = base.groupBy("source", "lang").count()
+    lang_counts = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.sum("ntok").cast("long").alias("lang_tokens"),
+    )
     w = Window.partitionBy("source").orderBy(
         F.desc("count"), F.asc("lang")
     )
     top = (
         lang_counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("source", F.col("lang").alias("top_lang"))
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("lang_tokens").alias("top_lang_tokens"),
+        )
     )
     return (
         agg.join(top, "source")
@@ -950,10 +976,19 @@ def doc_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_tokens",
             "n_langs",
             "top_lang",
+            "top_lang_tokens",
+            F.round(
+                F.col("top_lang_tokens")
+                / F.greatest(F.col("total_tokens"), F.lit(1)),
+                4,
+            ).alias("top_lang_token_share"),
             F.coalesce("n_exact_dup_docs", F.lit(0))
             .cast("long")
             .alias("n_exact_dup_docs"),
             "distinct_fps",
+            "p50_tokens",
+            "p90_tokens",
+            "p99_tokens",
         )
     )
 
