@@ -127,12 +127,32 @@ def bpe_token_estimate(col: Column | str, chars_per_token: int = 4) -> Column:
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """Distinct character n-grams (shingles) -> array<string>.
 
-    Expression-only: substring over a generated index sequence; stays
-    JVM-side for the MinHash/Jaccard pipelines."""
+    Expression-only (stays JVM-side for the MinHash/Jaccard
+    pipelines), built by slice+zip_with offset pairing over the
+    per-char split — NOT by per-position ``substr`` over an index
+    sequence. The substr form is O(len²) per document: UTF8String is
+    byte-addressed, so ``substr(i, n)`` must walk from the string
+    start to find char offset i, and the round-10 inlining sweep
+    mis-audited it as O(1) ("substr over a plain column attribute").
+    The round-11 long-document canary measured the old form at 76 s
+    for 8 x 115 KB docs vs ~1 s for this one
+    (tests/test_properties.py: the text-kernel canary). Offset slices
+    are zip_with ARGUMENTS, evaluated once per row — never per
+    element. Semantics preserved exactly (oracle twins replay them):
+    len >= n gives the len-n+1 grams; len < n gives one gram, the
+    whole (short) string — the coalesce absorbs zip_with's null
+    padding on the out-of-range offsets in that case only."""
     c = F.col(col) if isinstance(col, str) else col
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: c.substr(i, F.lit(n)))
-    return F.array_distinct(grams)
+    n_grams = F.greatest(F.length(c) - (n - 1), F.lit(1))
+    chars = F.split(c, "")
+    g = F.slice(chars, 1, n_grams)
+    for off in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(chars, 1 + off, n_grams),
+            lambda a, b: F.concat(a, F.coalesce(b, F.lit(""))),
+        )
+    return F.array_distinct(g)
 
 
 def chunk_text(

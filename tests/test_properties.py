@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import string
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from fugue_warehouses_spark.schema import parse_schema, struct_to_schema
@@ -354,27 +356,13 @@ def test_hashed_tokens_gram_stream_matches_python_reference(
     assert got == sorted(want)
 
 
-@settings(max_examples=1, deadline=None)
-@given(st.just(None))
-def test_ngram_kernels_are_linear_in_document_length_canary(spark, _):
-    """Long-document perf canary (round 10): the fixtures' ~250-token
-    docs hid an O(tokens²) n-gram construction behind the scheduling
-    floor for nine rounds — at 10k tokens it was 114x (127 s for 128
-    docs). This canary runs the two rewritten kernels on 8 docs x
-    20k tokens with a 30 s budget: the linear forms finish in well
-    under a second of kernel time, the quadratic form needs ~60 s+,
-    so the bound has >30x margin against host noise in both
-    directions. If this ever fails, someone reintroduced per-element
-    evaluation of the token expression inside a higher-order function
-    (see contamination.word_ngrams docstring)."""
-    import time
-
+def _long_docs(spark):
+    """8 docs x 20k tokens — big enough that an O(tokens²) kernel
+    needs minutes while the linear forms need well under a second of
+    kernel time (>30x margin against host noise in both directions)."""
     from pyspark.sql import functions as F
 
-    from fugue_warehouses_spark.extensions.contamination import word_ngrams
-    from fugue_warehouses_spark.extensions.sampling import _hashed_tokens
-
-    docs = spark.range(8).select(
+    return spark.range(8).select(
         F.col("id").alias("doc_id"),
         F.array_join(
             F.transform(
@@ -386,20 +374,127 @@ def test_ngram_kernels_are_linear_in_document_length_canary(spark, _):
             " ",
         ).alias("text"),
     ).localCheckpoint()
-    t0 = time.perf_counter()
-    n_grams = docs.select(
+
+
+def _canary_word_ngrams(spark, docs):
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.extensions.contamination import word_ngrams
+
+    got = docs.select(
         F.size(word_ngrams("text", 5)).alias("k")
     ).agg(F.sum("k")).first()[0]
-    n_buckets = _hashed_tokens(
+    assert got == 8 * (20_000 - 4)
+
+
+def _canary_hashed_tokens_bigram(spark, docs):
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.extensions.sampling import _hashed_tokens
+
+    got = _hashed_tokens(
         docs, "text", 4096, F.col("doc_id"), ngram_max=2
     ).count()
+    assert got == 8 * (20_000 + 19_999)
+
+
+def _canary_char_ngrams(spark, docs):
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.functions.text import char_ngrams
+
+    row = docs.select(
+        F.size(char_ngrams("text", 5)).alias("k"),
+        F.length("text").alias("n"),
+    ).agg(F.sum("k").alias("k"), F.sum("n").alias("n")).first()
+    # the kernel dedups (array_distinct), so the invariant is a
+    # sandwich: >0 per doc, and never more than the len-n+1 positions
+    assert 8 < row["k"] <= row["n"] - 8 * 4
+
+
+def _canary_chunk_text_tokens_col(spark, docs):
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.functions.text import chunk_text, tokens
+
+    # the long-document contract: pass a MATERIALIZED token array so
+    # the strided windows never re-split the text per window start
+    with_toks = docs.withColumn("__toks", tokens("text"))
+    got = with_toks.select(
+        F.explode(
+            chunk_text("text", chunk_tokens=512, overlap=64,
+                       tokens_col=F.col("__toks"))
+        )
+    ).count()
+    assert got >= 8 * (20_000 // 512)
+
+
+def _canary_quality_kernels(spark, docs):
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.functions.text import (
+        bpe_token_estimate,
+        fingerprint,
+        quality_score,
+    )
+
+    row = docs.select(
+        quality_score("text").alias("q"),
+        bpe_token_estimate("text").alias("b"),
+        fingerprint("text").alias("fp"),
+    ).agg(
+        F.sum("q").alias("q"),
+        F.sum("b").alias("b"),
+        F.countDistinct("fp").alias("f"),
+    ).first()
+    assert 0.0 <= row["q"] <= 8.0 and row["b"] > 0 and row["f"] == 8
+
+
+def _canary_minhash_signing(spark, docs):
+    from fugue_warehouses_spark.extensions.dedup import build_minhash_index
+
+    sig = build_minhash_index(docs, "doc_id", "text")
+    assert sig.count() == 8
+
+
+_LONG_DOC_CANARIES = [
+    ("word_ngrams", _canary_word_ngrams),
+    ("hashed_tokens_bigram", _canary_hashed_tokens_bigram),
+    ("char_ngrams", _canary_char_ngrams),
+    ("chunk_text_tokens_col", _canary_chunk_text_tokens_col),
+    ("quality_kernels", _canary_quality_kernels),
+    ("minhash_signing", _canary_minhash_signing),
+]
+
+
+@pytest.mark.parametrize(
+    "name,case", _LONG_DOC_CANARIES, ids=[n for n, _ in _LONG_DOC_CANARIES]
+)
+def test_text_kernels_are_linear_in_document_length_canary(
+    spark, name, case
+):
+    """Long-document perf canary, parametrized over every
+    text-kernel family the round-10 inlining sweep audited (round 11,
+    VERDICT r10 next #8). The fixtures' ~250-token docs hid an
+    O(tokens²) n-gram construction behind the scheduling floor for
+    nine rounds — at 10k tokens it was 114x (127 s for 128 docs).
+    Each case runs one kernel family on 8 docs x 20k tokens under a
+    30 s budget and checks a count invariant: the linear forms finish
+    in well under a second of kernel time, a quadratic form needs
+    minutes. If a case ever fails on time, someone reintroduced
+    per-element evaluation of a row expression inside a higher-order
+    function (see contamination.word_ngrams docstring); fix the
+    kernel, don't raise the budget."""
+    import time
+
+    docs = _long_docs(spark)
+    t0 = time.perf_counter()
+    case(spark, docs)
     took = time.perf_counter() - t0
-    assert n_grams == 8 * (20_000 - 4)
-    assert n_buckets == 8 * (20_000 + 19_999)
     assert took < 30, (
-        f"n-gram kernels took {took:.1f}s on 8x20k-token docs — "
-        "linear forms need <1s of kernel time; an O(tokens²) "
-        "per-element evaluation has likely been reintroduced"
+        f"{name} took {took:.1f}s on 8x20k-token docs — linear forms "
+        "need <1s of kernel time; an O(tokens²) per-element "
+        "evaluation has likely been reintroduced"
     )
 
 
