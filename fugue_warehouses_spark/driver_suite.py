@@ -69,7 +69,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "events_variant_props": (("event_type", "s"), ("n", "i"), ("sum_k", "i"), ("max_k", "i"),),
     "doc_clean_normalize": (("source", "s"), ("n_docs", "i"), ("clean_chars", "i"), ("distinct_cleaned", "i"),),
     "doc_contamination": (("source", "s"), ("n_docs", "i"), ("n_contaminated", "i"),),
-    "doc_corpus_datacard": (("source", "s"), ("n_docs", "i"), ("total_tokens", "i"), ("n_langs", "i"), ("top_lang", "s"), ("n_exact_dup_docs", "i"), ("distinct_fps", "i"),),
+    "doc_corpus_datacard": (("source", "s"), ("n_docs", "i"), ("total_tokens", "i"), ("n_langs", "i"), ("top_lang", "s"), ("top_lang_tokens", "i"), ("top_lang_token_share", "f"), ("n_exact_dup_docs", "i"), ("distinct_fps", "i"), ("p50_tokens", "f"), ("p90_tokens", "f"), ("p99_tokens", "f"),),
     "doc_alpha_mixture": (("lang", "s"), ("n_docs", "i"), ("id_sum", "i"),),
     "orders_kmv_set_ops": (("op", "s"), ("est_distinct", "i"), ("sample_size", "i"), ("theta", "i"),),
     "events_sliding_distinct_users": (("bucket", "i"), ("est_distinct", "i"), ("sketch_size", "i"), ("kth_min_hash", "i"),),
