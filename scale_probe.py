@@ -276,6 +276,60 @@ def probe(spark, sizes, ops=None, repeat=1):
                     f"n_tables={n_tables}: {round(r, 4)}",
                     file=sys.stderr, flush=True,
                 )
+        # matryoshka truncation axis: recall of first-d-dims cosine
+        # top-k vs full-dim truth — the cost/quality trade of the
+        # truncated first-stage retriever (embedding_matryoshka_topk);
+        # d == full dim must reproduce truth exactly.
+        for d in (8, 16, 32, dim):
+            sliced = emb_t.select(
+                "vec_id", F.slice("embedding", 1, d).alias("embedding")
+            )
+            r = S.recall_at_k(
+                truth,
+                S.brute_force_topk(
+                    sliced, sliced.filter("vec_id < 100"), k=10
+                ),
+            )
+            out.setdefault("ann_recall_matryoshka_dim", {})[d] = round(r, 4)
+            print(
+                f"[probe] ann_recall_matryoshka d={d}: {round(r, 4)}",
+                file=sys.stderr, flush=True,
+            )
+        # int8 quantization axis, isolated from metric mismatch:
+        # quantized_topk ranks by DOT product, brute truth by cosine,
+        # so both sides run over UNIT-NORMALIZED vectors (cosine is
+        # scale-invariant — normalized truth equals truth) and the
+        # recall gap is pure quantization error. The norm is a
+        # materialized column, never an expression inside the
+        # transform lambda (the inlining hazard class).
+        from fugue_warehouses_spark.extensions.quantization import (
+            quantized_topk,
+        )
+
+        normed = (
+            emb_t.withColumn(
+                "__norm",
+                F.sqrt(F.aggregate(
+                    "embedding", F.lit(0.0), lambda a, x: a + x * x
+                )),
+            )
+            .select(
+                "vec_id",
+                F.transform(
+                    "embedding",
+                    lambda x: x / F.greatest(F.col("__norm"), F.lit(1e-12)),
+                ).alias("embedding"),
+            )
+        )
+        qd = quantized_topk(
+            normed, normed.filter("vec_id < 100"), k=10
+        ).filter("query_id != match_id")
+        r = S.recall_at_k(truth, qd)
+        out.setdefault("ann_recall_quantized_int8", {})[8] = round(r, 4)
+        print(
+            f"[probe] ann_recall_quantized_int8: {round(r, 4)}",
+            file=sys.stderr, flush=True,
+        )
         truth.unpersist()
         asg.unpersist()
         emb_t.unpersist()

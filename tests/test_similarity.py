@@ -592,3 +592,51 @@ def test_recall_at_k_full_probe_is_exactly_one(spark, tables):
     n_all = truth.select("query_id").distinct().count()
     assert (n_kept, n_all) == (10, 20)
     assert recall_at_k(truth, truth.filter("query_id < 10")) == 0.5
+
+
+def test_recall_anchors_matryoshka_and_quantized(spark, tables):
+    """The two round-11 recall-harness axes keep their anchors:
+    full-dim matryoshka slicing is a no-op (recall 1.0 vs truth), and
+    int8 quantization over unit-normalized vectors — where cosine and
+    dot rank identically, so the gap is pure quantization error —
+    loses only a few percent of recall@10."""
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.extensions.quantization import quantized_topk
+    from fugue_warehouses_spark.extensions.similarity import (
+        brute_force_topk,
+        recall_at_k,
+    )
+
+    emb = tables["embeddings"]
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter("vec_id < 20")
+    truth = brute_force_topk(emb, queries, k=10)
+
+    full_slice = emb.select(
+        "vec_id", F.slice("embedding", 1, dim).alias("embedding")
+    )
+    assert recall_at_k(
+        truth,
+        brute_force_topk(full_slice, full_slice.filter("vec_id < 20"), k=10),
+    ) == 1.0
+
+    normed = (
+        emb.withColumn(
+            "__norm",
+            F.sqrt(F.aggregate(
+                "embedding", F.lit(0.0), lambda a, x: a + x * x
+            )),
+        )
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: x / F.greatest(F.col("__norm"), F.lit(1e-12)),
+            ).alias("embedding"),
+        )
+    )
+    qd = quantized_topk(
+        normed, normed.filter("vec_id < 20"), k=10
+    ).filter("query_id != match_id")
+    assert recall_at_k(truth, qd) >= 0.9
