@@ -1314,6 +1314,7 @@ def build_minhash_index(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle: int = 5,
+    keep_grams: bool = True,
 ) -> DataFrame:
     """Persistable MinHash signature index for incremental near-dedup:
     one row per document with ``(id, __grams array<long>, __sig
@@ -1323,11 +1324,21 @@ def build_minhash_index(
     re-signing the historical corpus — the index is ~8·(num_hashes +
     |shingle set|) bytes per doc, not the text.
 
+    ``keep_grams=False`` (round 11) drops the shingle arrays from the
+    stored index — ~95% of its bytes at typical document lengths
+    (SCALE_NOTES: serving-index memory budget) — leaving a pure
+    signature index (~8·num_hashes bytes/doc). Such an index supports
+    banding and ``verify="signature"`` (estimated Jaccard) but not the
+    default exact-grams verification; the probe refuses the mismatch
+    loudly. The shingles are still computed (they ARE the signature's
+    input), just not stored.
+
     Same signature family as :func:`near_dup_pairs_minhash`
     (seeded multiply-add permutations over base-257 byte shingles), so
     index and batch signatures are directly comparable.
     """
-    return _shingle_minhash_numpy(df, id_col, text_col, num_hashes, shingle)
+    out = _shingle_minhash_numpy(df, id_col, text_col, num_hashes, shingle)
+    return out if keep_grams else out.drop("__grams")
 
 
 def _band_buckets(
@@ -1421,11 +1432,29 @@ def near_dup_pairs_against_index(
     max_bucket_size: int | None = None,
     round_digits: int | None = 6,
     index_bands_df: DataFrame | None = None,
+    verify: str = "grams",
 ) -> DataFrame:
     """Incremental near-dedup: MinHash-LSH pairs between a NEW batch
     and a persisted signature index (:func:`build_minhash_index`),
     plus pairs within the new batch itself — the rolling-corpus shape
     where only the new crawl pays the shingle/signature cost.
+
+    ``verify`` selects the candidate-verification stage (round 11):
+
+    - ``"grams"`` (default): exact shingle-set Jaccard from the stored
+      ``__grams`` arrays — the oracle-exact mode every facet uses.
+    - ``"signature"``: Jaccard ESTIMATED as the fraction of matching
+      MinHash components (the estimator the signatures exist for) —
+      no grams are read on either side, so a signature-ONLY index
+      (:func:`build_minhash_index` with ``keep_grams=False``, ~11x
+      smaller measured: 213 -> 19.7 MB at 80k docs) suffices and the verify join moves ~1 KB/doc instead
+      of corpus-text-scale arrays. The estimate is unbiased with
+      std ≈ sqrt(j(1-j)/num_hashes) (~0.06 at j=0.5, num_hashes=64),
+      so pairs near ``threshold`` can flip relative to exact verify;
+      deterministic for a fixed seed/corpus. This is the 100 TB
+      serving mode SCALE_NOTES' memory-budget section describes —
+      re-verify near-threshold pairs from text downstream if the
+      boundary matters.
 
     Returns ``(id_new, id_match, jaccard_sim)`` with ``id_match <
     id_new`` for within-batch pairs (earlier doc is the survivor, the
@@ -1457,6 +1486,17 @@ def near_dup_pairs_against_index(
     slices on the index side and miss every cross pair, so an in-plan
     guard fails the job on the first mismatching row.
     """
+    if verify not in ("grams", "signature"):
+        raise ValueError(
+            f"verify must be 'grams' or 'signature', got {verify!r}"
+        )
+    if verify == "grams" and "__grams" not in index_df.columns:
+        raise ValueError(
+            "index has no __grams column (signature-only index?) — "
+            "exact verification needs the stored shingle arrays; pass "
+            "verify='signature' to estimate Jaccard from the "
+            "signatures instead"
+        )
     rows_per_band = max(1, num_hashes // bands)
     # heap-adaptive level for the gram-carrying batch signatures —
     # same heap-for-hash-build trade as near_dup_pairs_minhash
@@ -1543,9 +1583,13 @@ def near_dup_pairs_against_index(
         F.countDistinct("id_match").alias("nm"),
     ).first()
     n_cand_ids = max(vstats["nn"] or 0, vstats["nm"] or 0)
+    if verify == "signature":
+        # fixed-width rows (num_hashes int64 components): no gram-length
+        # pass exists to pay; size directly from the candidate count
+        nparts = _verify_partitions(n_cand_ids, float(num_hashes), par)
     # same fast path as near_dup_pairs_minhash: only pay the gram-length
     # pass when a pessimistic 64 KB/row could overflow default partitions
-    if n_cand_ids and _verify_partitions(n_cand_ids, 4096.0, par) > par:
+    elif n_cand_ids and _verify_partitions(n_cand_ids, 4096.0, par) > par:
         avg_len = (
             new_sig.agg(F.avg(F.size("__grams")).alias("g")).first()["g"]
             or 0.0
@@ -1556,25 +1600,40 @@ def near_dup_pairs_against_index(
     # ga is semi-filtered to colliding batch ids too: non-colliding
     # batch docs never reach the output, so their arrays need not ride
     # the verify shuffle at all
+    vcol = "__sig" if verify == "signature" else "__grams"
     ga = (
         new_sig.select(
-            F.col(id_col).alias("id_new"), F.col("__grams").alias("__ga")
+            F.col(id_col).alias("id_new"), F.col(vcol).alias("__ga")
         )
         .join(pairs.select("id_new").distinct(), "id_new", "left_semi")
         .repartition(nparts, F.col("id_new"))
         .hint("shuffle_hash")
     )
     gb = (
-        new_sig.select(F.col(id_col), F.col("__grams"))
-        .unionByName(index_df.select(F.col(id_col), F.col("__grams")))
+        new_sig.select(F.col(id_col), F.col(vcol))
+        .unionByName(index_df.select(F.col(id_col), F.col(vcol)))
         .withColumnRenamed(id_col, "id_match")
         .join(pairs.select("id_match").distinct(), "id_match", "left_semi")
-        .select("id_match", F.col("__grams").alias("__gb"))
+        .select("id_match", F.col(vcol).alias("__gb"))
         .repartition(nparts, F.col("id_match"))
         .hint("shuffle_hash")
     )
     na, nb = F.size(F.col("__ga")), F.size(F.col("__gb"))
-    sim = jaccard(F.col("__ga"), F.col("__gb"))
+    if verify == "signature":
+        # unbiased MinHash estimator: fraction of matching components.
+        # zip_with pairs the two stored arrays positionally; both are
+        # length num_hashes (the stored-length guard ran at banding).
+        sim = F.aggregate(
+            F.zip_with(
+                F.col("__ga"),
+                F.col("__gb"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, m: acc + m,
+        ) / F.lit(float(num_hashes))
+    else:
+        sim = jaccard(F.col("__ga"), F.col("__gb"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     pre_thr = threshold - _round_eps(round_digits)
@@ -1603,11 +1662,16 @@ def near_dup_pairs_against_index(
             ).isNotNull(),
         ).otherwise(F.lit(True))
     )
+    verified = pairs.join(ga, "id_new").join(gb, "id_match")
+    if verify == "grams":
+        # gram-count prefilter: |a∩b|/|a∪b| can't reach the threshold
+        # when the set SIZES already forbid it. Signature arrays are
+        # all num_hashes long, so the same inequality is vacuous there.
+        verified = verified.filter(
+            F.least(na, nb) >= F.lit(pre_thr) * F.greatest(na, nb)
+        )
     return (
-        pairs.join(ga, "id_new")
-        .join(gb, "id_match")
-        .filter(F.least(na, nb) >= F.lit(pre_thr) * F.greatest(na, nb))
-        .withColumn("jaccard_sim", sim)
+        verified.withColumn("jaccard_sim", sim)
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_new", "id_match", "jaccard_sim")
     )

@@ -904,11 +904,14 @@ def _serving_build_phase(sizes: list[int], repeat: int, root: str) -> dict:
         docs.count()
         hist = docs.filter(f"doc_id < {n - n // 5}")
         store = os.path.join(root, str(n))
+        slim = os.environ.get("WF_PROBE_SLIM") == "1"
         ts = []
         for _ in range(max(1, repeat)):
             with released_after(spark):
                 t0 = time.perf_counter()
-                sig = D.build_minhash_index(hist, "doc_id", "text")
+                sig = D.build_minhash_index(
+                    hist, "doc_id", "text", keep_grams=not slim
+                )
                 V.write_version(sig, os.path.join(store, "sigs"), spark)
                 back = V.read_version(spark, os.path.join(store, "sigs"))
                 V.write_version(
@@ -920,7 +923,17 @@ def _serving_build_phase(sizes: list[int], repeat: int, root: str) -> dict:
         out.setdefault("serving_rebuild", {})[n] = (
             ts[0] if repeat <= 1 else ts
         )
-        print(f"[probe] serving_rebuild n={n}: {ts}",
+        sig_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(os.path.join(store, "sigs"))
+            for f in fs
+        )
+        out.setdefault("serving_sigs_store_mb", {})[n] = round(
+            sig_bytes / 1e6, 1
+        )
+        print(f"[probe] serving_rebuild n={n}: {ts} "
+              f"(sigs store {round(sig_bytes / 1e6, 1)} MB, "
+              f"slim={slim})",
               file=sys.stderr, flush=True)
         docs.unpersist()
     spark.stop()
@@ -973,7 +986,7 @@ def _serving_reopen_phase(sizes: list[int], repeat: int, root: str) -> dict:
     return out
 
 
-def serving_probe(sizes: list[int], repeat: int) -> dict:
+def serving_probe(sizes: list[int], repeat: int, slim: bool = False) -> dict:
     """Serving-handle durability, measured in its real topology
     (round 11): a BUILD process writes the versioned store and exits;
     a separate SERVING process re-opens it. Each phase is a
@@ -994,6 +1007,12 @@ def serving_probe(sizes: list[int], repeat: int) -> dict:
     import tempfile
 
     root = tempfile.mkdtemp(prefix="wf_serving_probe_")
+    env = dict(os.environ)
+    if slim:
+        # signature-only index (keep_grams=False): the TB-scale
+        # serving mode verify="signature" serves from — ~11x smaller
+        # store, same banding
+        env["WF_PROBE_SLIM"] = "1"
     out: dict = {}
     try:
         for phase in ("build", "reopen"):
@@ -1006,7 +1025,7 @@ def serving_probe(sizes: list[int], repeat: int) -> dict:
                     "--store-root", root,
                 ],
                 stdout=subprocess.PIPE, stderr=sys.stderr,
-                text=True, timeout=7200,
+                text=True, timeout=7200, env=env,
             )
             if proc.returncode != 0:
                 raise RuntimeError(
@@ -1035,6 +1054,11 @@ def main():
         help="internal: run ONE leg of serving_probe in this process",
     )
     ap.add_argument("--store-root", default=None, help="internal")
+    ap.add_argument(
+        "--serving-slim", action="store_true",
+        help="serving probe builds a signature-only index "
+        "(keep_grams=False) — the verify='signature' store",
+    )
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     ops = set(args.ops.split(",")) if args.ops else None
@@ -1066,7 +1090,7 @@ def main():
         # after the main session stopped: the gateway JVM of THIS
         # process is the only leftover, and the serving legs run as
         # their own processes (see serving_probe)
-        out.update(serving_probe(sizes, args.repeat))
+        out.update(serving_probe(sizes, args.repeat, slim=args.serving_slim))
     sys.stdout.flush()
     print(json.dumps(out), flush=True)
 

@@ -617,3 +617,78 @@ def test_sig_checkpoint_level_heap_adaptive(spark):
         StorageLevel.DISK_ONLY,
         StorageLevel.MEMORY_AND_DISK,
     )
+
+
+def test_signature_verify_mode_on_grams_free_index(spark, tables):
+    """verify='signature' (round 11, the TB-scale serving mode): a
+    signature-ONLY index (keep_grams=False, ~11x smaller) must band
+    and verify without ever touching a grams column, its Jaccard
+    ESTIMATES must track the exact-grams values within the
+    estimator's deviation on this deterministic corpus, and exact
+    duplicates (estimate provably 1.0) must be found identically in
+    both modes."""
+    docs = tables["documents"]
+    hist = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+
+    slim = D.build_minhash_index(hist, "doc_id", "text", keep_grams=False)
+    assert "__grams" not in slim.columns
+
+    est_pairs = D.near_dup_pairs_against_index(
+        new, slim, "doc_id", "text", threshold=0.6, verify="signature"
+    ).collect()
+    est = {(r["id_new"], r["id_match"]): r["jaccard_sim"] for r in est_pairs}
+    assert est, "signature mode found no pairs on a corpus with dups"
+
+    full = D.build_minhash_index(hist, "doc_id", "text")
+    exact = {
+        (r["id_new"], r["id_match"]): r["jaccard_sim"]
+        for r in D.near_dup_pairs_against_index(
+            new, full, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+
+    # one-way implication: exact Jaccard 1.0 (identical gram sets)
+    # forces identical signatures, so the estimate must be 1.0 too.
+    # The CONVERSE is false by design — near-identical docs can
+    # collide on all 64 components (est 1.0, exact < 1.0) — which is
+    # exactly the estimator's documented variance at the top end.
+    for k, v in exact.items():
+        if v == 1.0:
+            assert est.get(k) == 1.0, (k, est.get(k))
+
+    # every pair BOTH modes report: estimate within 4 sigma of exact
+    # (num_hashes=64 -> sigma <= 0.0625); deterministic, not flaky —
+    # the hash family is seeded and the corpus fixed
+    both = set(est) & set(exact)
+    assert both
+    for k in both:
+        assert abs(est[k] - exact[k]) <= 4 * 0.0625, (k, est[k], exact[k])
+
+    # pairs comfortably above threshold in exact terms must not be
+    # lost by the estimator (boundary pairs may flip; these must not)
+    for k, v in exact.items():
+        if v >= 0.6 + 4 * 0.0625:
+            assert k in est, (k, v)
+
+
+def test_grams_verify_refuses_signature_only_index(spark, tables):
+    """Exact verification without stored grams must fail loudly with
+    guidance, not with an opaque unresolved-column error."""
+    import pytest as _pytest
+
+    docs = tables["documents"]
+    slim = D.build_minhash_index(
+        docs.filter(F.col("doc_id") % 5 != 4), "doc_id", "text",
+        keep_grams=False,
+    )
+    with _pytest.raises(ValueError, match="signature"):
+        D.near_dup_pairs_against_index(
+            docs.filter(F.col("doc_id") % 5 == 4), slim,
+            "doc_id", "text", threshold=0.6,
+        )
+    with _pytest.raises(ValueError, match="verify must be"):
+        D.near_dup_pairs_against_index(
+            docs.filter(F.col("doc_id") % 5 == 4), slim,
+            "doc_id", "text", threshold=0.6, verify="exact",
+        )
