@@ -516,6 +516,61 @@ def _verify_pairs(
     )
 
 
+def _verify_pairs_signature(
+    pairs: DataFrame,
+    with_sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    threshold: float,
+    round_digits: int | None,
+) -> DataFrame:
+    """Signature-estimated verify of an (id_a, id_b) candidate set
+    against a signature frame ``(id_col, __sig)`` — the
+    ``verify="signature"`` counterpart of :func:`_verify_pairs`:
+    Jaccard estimated as the fraction of matching MinHash components,
+    no grams read (unbiased, std ≈ sqrt(j(1-j)/num_hashes); see
+    near_dup_pairs_against_index's verify doc). Same semi-filter /
+    SHUFFLE_HASH discipline; partition sizing is direct (fixed-width
+    num_hashes-component rows — no gram-length pass exists to pay)."""
+    par = pairs.sparkSession.sparkContext.defaultParallelism
+    stats = pairs.agg(
+        F.countDistinct("id_a").alias("na"),
+        F.countDistinct("id_b").alias("nb"),
+    ).first()
+    n_cand_ids = max(stats["na"] or 0, stats["nb"] or 0)
+    nparts = _verify_partitions(n_cand_ids, float(num_hashes), par)
+    a = (
+        with_sigs.withColumnRenamed(id_col, "id_a")
+        .join(pairs.select("id_a").distinct(), "id_a", "left_semi")
+        .select("id_a", F.col("__sig").alias("__sa"))
+        .repartition(nparts, F.col("id_a"))
+        .hint("shuffle_hash")
+    )
+    b = (
+        with_sigs.withColumnRenamed(id_col, "id_b")
+        .join(pairs.select("id_b").distinct(), "id_b", "left_semi")
+        .select("id_b", F.col("__sig").alias("__sb"))
+        .repartition(nparts, F.col("id_b"))
+        .hint("shuffle_hash")
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            F.col("__sa"), F.col("__sb"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, m: acc + m,
+    ) / F.lit(float(num_hashes))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard_sim", sim)
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
 def near_dup_pairs_from_signatures(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -524,11 +579,18 @@ def near_dup_pairs_from_signatures(
     bands: int = 8,
     max_bucket_size: int | None = None,
     round_digits: int | None = 6,
+    verify: str = "grams",
 ) -> DataFrame:
     """All-pairs near-dup detection over a STORED signature frame
     ``(id, __grams, __sig)`` (the :func:`build_minhash_index` schema)
     — no text is read and nothing is re-signed: banding + exact-
     Jaccard verification run entirely from the persisted arrays.
+
+    ``verify="signature"`` (round 11) estimates Jaccard from the
+    signatures alone — the reconciliation mode for signature-ONLY
+    stores (:func:`build_minhash_index` ``keep_grams=False``); same
+    estimator contract as
+    :func:`near_dup_pairs_against_index`'s signature mode.
 
     This is the offline-reconciliation primitive: a rolling ingest
     that logged every doc's signatures (survivors to the index store,
@@ -550,6 +612,17 @@ def near_dup_pairs_from_signatures(
     verify sides — a pre-checkpointed input just pays a second
     corpus-sized block copy per call.
     """
+    if verify not in ("grams", "signature"):
+        raise ValueError(
+            f"verify must be 'grams' or 'signature', got {verify!r}"
+        )
+    if verify == "grams" and "__grams" not in sig_df.columns:
+        raise ValueError(
+            "signature frame has no __grams column (signature-only "
+            "store?) — exact verification needs the stored shingle "
+            "arrays; pass verify='signature' to estimate Jaccard from "
+            "the signatures instead"
+        )
     rows_per_band = max(1, num_hashes // bands)
     sig = sig_df.localCheckpoint(
         eager=False, storageLevel=_sig_checkpoint_level(sig_df.sparkSession)
@@ -558,6 +631,11 @@ def near_dup_pairs_from_signatures(
         sig, id_col, "__sig", bands, rows_per_band, max_bucket_size,
         expected_len=num_hashes,
     ).localCheckpoint(eager=False)
+    if verify == "signature":
+        return _verify_pairs_signature(
+            pairs, sig.select(id_col, "__sig"), id_col, num_hashes,
+            threshold, round_digits,
+        )
     return _verify_pairs(
         pairs, sig.select(id_col, "__grams"), id_col, threshold, round_digits
     )

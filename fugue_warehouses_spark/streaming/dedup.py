@@ -93,6 +93,7 @@ def run_near_dedup_ingest(
     compact_every: int | None = None,
     dropped_store: str | None = None,
     band_store: str | None = "auto",
+    verify: str = "grams",
 ) -> DataFrame:
     """Rolling-corpus NEAR-dedup ingest: drain a document stream where
     each micro-batch is near-deduped (MinHash-LSH) against the
@@ -122,6 +123,20 @@ def run_near_dedup_ingest(
        ``band_store`` delta FIRST, then their signatures as a new
        index delta;
     4. survivors append to ``survivors_path``.
+
+    ``verify`` (round 11): verification mode, plumbed to
+    :func:`extensions.dedup.near_dup_pairs_against_index`. The default
+    ``"grams"`` is exact; ``"signature"`` estimates Jaccard from the
+    MinHash components alone AND makes every stored delta (index and
+    drop log) signature-ONLY (``keep_grams=False``, ~11x smaller) —
+    the rolling 100 TB ingest mode where executor memory and per-batch
+    verify IO hold signatures, not corpus text. A store keeps ONE
+    verify mode for its lifetime (delta logs are single-schema;
+    mixing is refused loudly); reconcile such stores with
+    ``reconcile_survivors(..., verify="signature")``. Estimator
+    variance can flip pairs near ``threshold`` relative to exact
+    verification — see the estimator contract on
+    near_dup_pairs_against_index.
 
     ``band_store`` (round 9): delta-log store holding the index's
     precomputed LSH band table (:func:`extensions.dedup.
@@ -307,6 +322,20 @@ def run_near_dedup_ingest(
             )
         except FileNotFoundError:
             idx = None
+        if idx is not None and ("__grams" in idx.columns) != (
+            verify != "signature"
+        ):
+            # delta-log stores must keep ONE schema across versions
+            # (plans/versioned.read_all_versions): appending slim
+            # deltas to a grams store (or vice versa) would silently
+            # drift the multi-path scan's schema. Refuse the mix.
+            raise ValueError(
+                f"index store at {index_store} was built with "
+                f"{'grams' if '__grams' in idx.columns else 'signature-only'}"
+                f" deltas but this ingest runs verify={verify!r} — a "
+                "store keeps one verify mode for its lifetime; compact/"
+                "rebuild the store or match the ingest's verify param"
+            )
         if idx is None:
             # first batch, empty store: only within-batch near-dedup
             from fugue_warehouses_spark.extensions.dedup import (
@@ -337,6 +366,7 @@ def run_near_dedup_ingest(
                 batch_df, idx, id_col, text_col, threshold, num_hashes,
                 shingle, bands, max_bucket_size,
                 index_bands_df=idx_bands,
+                verify=verify,
             ).select(F.col("id_new").alias("__dup"))
         survivors = batch_df.join(
             pairs.distinct(),
@@ -352,7 +382,8 @@ def run_near_dedup_ingest(
             # are harmless (no grams to verify against / replay
             # guard), missing ones would silently skip dedup.
             sig = build_minhash_index(
-                survivors, id_col, text_col, num_hashes, shingle
+                survivors, id_col, text_col, num_hashes, shingle,
+                keep_grams=(verify != "signature"),
             ).localCheckpoint()
             if band_path is not None:
                 V.write_version(
@@ -374,7 +405,8 @@ def run_near_dedup_ingest(
             if not dropped.rdd.isEmpty():
                 V.write_version(
                     build_minhash_index(
-                        dropped, id_col, text_col, num_hashes, shingle
+                        dropped, id_col, text_col, num_hashes, shingle,
+                        keep_grams=(verify != "signature"),
                     ),
                     dropped_store,
                     spark,
@@ -422,6 +454,7 @@ def reconcile_survivors(
     bands: int = 8,
     max_bucket_size: int | None = None,
     max_iter: int = 15,
+    verify: str = "grams",
 ) -> DataFrame:
     """Offline reconciliation of greedy streaming near-dedup to batch
     connected-component semantics: returns the (small) set of
@@ -471,7 +504,10 @@ def reconcile_survivors(
     ``threshold`` / ``num_hashes`` / ``bands`` / ``max_bucket_size``
     must match the ingest's params — the stored signature length is
     guarded in-plan, the rest is the caller's contract (a different
-    threshold answers a different question, not a wrong one).
+    threshold answers a different question, not a wrong one). An
+    ingest run with ``verify="signature"`` logs signature-ONLY deltas,
+    so reconcile with ``verify="signature"`` too (round 11) — the
+    grams default refuses such stores with guidance.
 
     Scale: pair graph is corpus-wide but signature-sized; CC state is
     two longs per paired doc. Run it in the same maintenance windows
@@ -495,7 +531,8 @@ def reconcile_survivors(
             pass  # nothing was ever dropped: no edges beyond the index
     all_sigs = all_sigs.dropDuplicates([id_col])
     pairs = near_dup_pairs_from_signatures(
-        all_sigs, id_col, threshold, num_hashes, bands, max_bucket_size
+        all_sigs, id_col, threshold, num_hashes, bands, max_bucket_size,
+        verify=verify,
     )
     comps = connected_components(pairs.select("id_a", "id_b"), max_iter)
     # component labels of SURVIVORS only, then per-component min

@@ -1185,3 +1185,112 @@ def test_compact_survivors_refuses_object_store_schemes(spark):
     for scheme in ("s3a", "gs", "abfss"):
         with _pytest.raises(ValueError, match="atomic"):
             compact_survivors(spark, f"{scheme}://bucket/survivors")
+
+
+def test_run_near_dedup_ingest_signature_mode_end_to_end(spark, tmp_path):
+    """verify='signature' streaming ingest (round 11, the 100 TB
+    serving mode): same 3-batch replay as the rolling-corpus test, but
+    every stored delta is signature-ONLY. The fixture's duplicate
+    classes are exact or 1-token-edit near-dups — far above the
+    estimator's 4-sigma band at threshold 0.5 — so the survivor set
+    must equal the exact-verify run's, every stored delta must lack
+    __grams, reconciliation must work in signature mode, and a
+    grams-mode ingest against the slim store must be refused."""
+    import pytest as _pytest
+
+    from fugue_warehouses_spark.plans import versioned as V
+    from fugue_warehouses_spark.streaming import (
+        read_parquet_stream,
+        reconcile_survivors,
+        run_near_dedup_ingest,
+    )
+
+    docs = _near_dedup_corpus(spark)
+    feed = str(tmp_path / "feed")
+    for k in range(3):
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    survivors = run_near_dedup_ingest(
+        read_parquet_stream(spark, feed, max_files_per_trigger=1),
+        index_store=str(tmp_path / "idx"),
+        survivors_path=str(tmp_path / "kept"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.5,
+        dropped_store=str(tmp_path / "dropped"),
+        verify="signature",
+    )
+    kept = {r["doc_id"] for r in survivors.collect()}
+    expected = set(range(10, 20))
+    for a, b in [(i, 20 + i) for i in range(5)] + [
+        (5 + i, 25 + i) for i in range(5)
+    ]:
+        expected.add(
+            min(a, b) if a % 3 == b % 3 else (a if a % 3 < b % 3 else b)
+        )
+    assert kept == expected
+
+    idx = V.read_all_versions(spark, str(tmp_path / "idx"))
+    assert "__grams" not in idx.columns and "__sig" in idx.columns
+    dropped = V.read_all_versions(spark, str(tmp_path / "dropped"))
+    assert "__grams" not in dropped.columns
+
+    # reconciliation from the slim stores, signature mode. NOTE the
+    # estimator can add pair edges exact verify would not (unbiased
+    # but sigma ~0.0625 at 64 hashes; a ~0.35-exact pair can read
+    # >= 0.5) — so unlike the grams-mode sibling test, over-kept need
+    # not be empty. The UNCONDITIONAL contract still holds: over-kept
+    # is a subset of survivors, and after deleting it every estimated
+    # component keeps exactly one representative (its min survivor).
+    over = {
+        r["doc_id"]
+        for r in reconcile_survivors(
+            spark, str(tmp_path / "idx"), str(tmp_path / "dropped"),
+            threshold=0.5, verify="signature",
+        ).collect()
+    }
+    assert over <= kept
+    from fugue_warehouses_spark.extensions.dedup import (
+        connected_components,
+        near_dup_pairs_from_signatures,
+    )
+
+    all_sigs = idx.unionByName(dropped).dropDuplicates(["doc_id"])
+    comps = connected_components(
+        near_dup_pairs_from_signatures(
+            all_sigs, "doc_id", threshold=0.5, verify="signature"
+        ).select("id_a", "id_b")
+    )
+    surv_comp = {
+        r["id"]: r["component"]
+        for r in comps.collect()
+        if r["id"] in kept
+    }
+    remaining = kept - over
+    per_comp = {}
+    for doc, comp in surv_comp.items():
+        if doc in remaining:
+            per_comp.setdefault(comp, []).append(doc)
+    # exactly one representative per estimated component, the min
+    # survivor; docs in no component (no estimated edges) all remain
+    for comp, docs_in in per_comp.items():
+        members = [d for d, c in surv_comp.items() if c == comp]
+        assert docs_in == [min(members)], (comp, docs_in, members)
+    assert (kept - set(surv_comp)) <= remaining
+    # ...and grams mode refuses the slim stores with guidance
+    with _pytest.raises(ValueError, match="signature"):
+        reconcile_survivors(
+            spark, str(tmp_path / "idx"), str(tmp_path / "dropped"),
+            threshold=0.5,
+        ).count()
+
+    # a later grams-mode ingest against the slim store: refused
+    with _pytest.raises(Exception, match="one verify mode"):
+        run_near_dedup_ingest(
+            read_parquet_stream(spark, feed, max_files_per_trigger=1),
+            index_store=str(tmp_path / "idx"),
+            survivors_path=str(tmp_path / "kept2"),
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+            threshold=0.5,
+        )
