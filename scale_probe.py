@@ -505,6 +505,23 @@ def probe(spark, sizes, ops=None, repeat=1):
                     docs.filter(f"doc_id >= {n - n // 5}"), idx, "doc_id", "text",
                     threshold=0.6, max_bucket_size=64,
                     index_bands_df=bands_pb).count())
+        # round 11: the same per-batch probe in SIGNATURE-verify mode
+        # over a grams-free index — what the verify="signature" rolling
+        # ingest pays per batch. Head-to-head vs
+        # near_dedup_prebuilt_bands isolates the verify-stage delta
+        # (fixed-width signature arrays vs corpus-text-scale grams).
+        if wanted("near_dedup_signature_verify"):
+            slim_idx = D.build_minhash_index(
+                docs.filter(f"doc_id < {n - n // 5}"), "doc_id", "text",
+                keep_grams=False,
+            ).localCheckpoint()
+            bands_sl = D.build_minhash_band_index(
+                slim_idx, "doc_id"
+            ).localCheckpoint()
+            timed("near_dedup_signature_verify", n, lambda: D.near_dup_pairs_against_index(
+                docs.filter(f"doc_id >= {n - n // 5}"), slim_idx, "doc_id",
+                "text", threshold=0.6, max_bucket_size=64,
+                index_bands_df=bands_sl, verify="signature").count())
         # deep-history TEXT near-dedup ingest (round 9, VERDICT r8 #3):
         # n is the PRE-SEEDED history (signature index + band table on
         # disk, the rolling pipeline's sunk cost); the timed work is a
