@@ -577,11 +577,15 @@ def probe(spark, sizes, ops=None, repeat=1):
                 hist_sig, "doc_id"
             ).localCheckpoint()
 
-            def _deep_text(banded: bool, op: str):
+            def _deep_text(banded: bool, op: str, verify: str = "grams"):
                 def _one_rep() -> float:
                     d = tempfile.mkdtemp(prefix="wf_txt_ingest_")
                     try:
-                        V.write_version(hist_sig, f"{d}/idx", spark)
+                        V.write_version(
+                            hist_sig.drop("__grams")
+                            if verify == "signature" else hist_sig,
+                            f"{d}/idx", spark,
+                        )
                         if banded:
                             V.write_version(
                                 hist_bands, f"{d}/idx_bands", spark
@@ -606,6 +610,7 @@ def probe(spark, sizes, ops=None, repeat=1):
                             max_bucket_size=64,
                             band_store="auto" if banded else None,
                             timeout_sec=2400,
+                            verify=verify,
                         ).count()
                         return round(time.perf_counter() - t0, 2)
                     finally:
@@ -638,6 +643,16 @@ def probe(spark, sizes, ops=None, repeat=1):
                 _deep_text(False, "text_ingest_deep_reband")
             if wanted("text_ingest_deep") or wanted("text_ingest_deep_banded"):
                 _deep_text(True, "text_ingest_deep_banded")
+            # round 11: the grams-free rolling ingest (slim pre-seeded
+            # index, signature-estimated verify) — per-batch cost must
+            # stay flat in history like the banded grams leg, with the
+            # verify stage moving fixed-width arrays
+            if wanted("text_ingest_deep") or wanted(
+                "text_ingest_deep_signature"
+            ):
+                _deep_text(
+                    True, "text_ingest_deep_signature", verify="signature"
+                )
         # storage-only reconcile primitive: all-pairs banding + exact
         # verify + connected components straight from a STORED
         # signature frame — the maintenance-window cost of
