@@ -692,3 +692,33 @@ def test_grams_verify_refuses_signature_only_index(spark, tables):
             docs.filter(F.col("doc_id") % 5 == 4), slim,
             "doc_id", "text", threshold=0.6, verify="exact",
         )
+
+
+def test_signature_estimate_matches_python_reference(spark, tables):
+    """The estimator's arithmetic pinned against an independent
+    reference: for every pair signature mode reports, recompute the
+    matching-component fraction in plain Python from the collected
+    signature arrays — values must match exactly (after the facet
+    rounding), not just statistically."""
+    docs = tables["documents"]
+    hist = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    slim = D.build_minhash_index(hist, "doc_id", "text", keep_grams=False)
+    got = D.near_dup_pairs_against_index(
+        new, slim, "doc_id", "text", threshold=0.6, verify="signature"
+    ).collect()
+    assert got
+
+    sigs = {
+        r["doc_id"]: list(r["__sig"])
+        for r in D.build_minhash_index(docs, "doc_id", "text")
+        .select("doc_id", "__sig")
+        .collect()
+    }
+    for r in got:
+        sa, sb = sigs[r["id_new"]], sigs[r["id_match"]]
+        assert len(sa) == len(sb) == 64
+        frac = sum(1 for x, y in zip(sa, sb) if x == y) / 64.0
+        assert round(frac, 6) == r["jaccard_sim"], (
+            r["id_new"], r["id_match"], frac, r["jaccard_sim"]
+        )
