@@ -571,6 +571,97 @@ def _verify_pairs_signature(
     )
 
 
+def reverify_pairs_from_text(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    band: float = 0.25,
+    left_col: str = "id_new",
+    right_col: str = "id_match",
+    num_hashes: int = 64,
+    shingle: int = 5,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exactness-recovery pass for signature-estimated pipelines
+    (round 11): re-verify ONLY the threshold-boundary band of an
+    estimated pair set from text, exactly.
+
+    The MinHash estimator (``verify="signature"``) is unbiased with
+    std ≈ sqrt(j(1-j)/num_hashes), so pairs near ``threshold`` can be
+    mis-kept or mis-dropped while pairs far from it are safe. The
+    canonical hybrid recipe:
+
+    1. capture with signature verify at ``threshold - band`` (the
+       over-capture absorbs the estimator's downward errors);
+    2. ``reverify_pairs_from_text(pairs, docs, threshold=t,
+       band=band)`` — pairs ESTIMATED below ``t + band`` are
+       re-shingled from text (ONLY those docs: a candidate-sized
+       semi-join fetch, never a corpus scan) and re-cut at ``t`` with
+       exact Jaccard; pairs at or above ``t + band`` pass through
+       with their estimates (their exactness is not in doubt — only
+       their last digits).
+
+    With ``band`` at least the estimator's worst deviation (4 sigma =
+    0.25 at 64 hashes covers everything the property tests observe),
+    the hybrid's PAIR SET equals the exact grams pipeline's at ``t``
+    — pinned by test_dedup's recovery test — while the exact work
+    stays proportional to the boundary population, not the corpus.
+
+    ``docs`` must cover every id the boundary pairs reference (the
+    batch+history corpus union); a missing id fails loudly in-plan
+    rather than silently dropping the pair. Grams are recomputed with
+    the SAME kernel the pipeline stores (seeded base-257 shingles),
+    so recomputed values are byte-comparable with stored-grams runs.
+    """
+    est = F.col("jaccard_sim")
+    confident = pairs.filter(est >= threshold + band)
+    boundary = pairs.filter(est < threshold + band).localCheckpoint(
+        eager=False
+    )
+    ids = (
+        boundary.select(F.col(left_col).alias(id_col))
+        .unionByName(boundary.select(F.col(right_col).alias(id_col)))
+        .distinct()
+    )
+    grams = _shingle_minhash_numpy(
+        docs.join(ids, id_col, "left_semi"),
+        id_col, text_col, num_hashes, shingle,
+    ).select(id_col, "__grams")
+    missing_msg = (
+        "reverify_pairs_from_text: a boundary pair references an id "
+        "absent from docs — pass the batch+history corpus union"
+    )
+
+    def _guarded(side: str):
+        g = grams.withColumnRenamed(id_col, side).withColumnRenamed(
+            "__grams", f"__g_{side}"
+        )
+        joined = boundary.select(side).distinct().join(g, side, "left")
+        return joined.withColumn(
+            f"__g_{side}",
+            F.when(
+                F.col(f"__g_{side}").isNotNull(), F.col(f"__g_{side}")
+            ).otherwise(F.raise_error(F.lit(missing_msg))),
+        )
+
+    sim = jaccard(F.col(f"__g_{left_col}"), F.col(f"__g_{right_col}"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    reverified = (
+        boundary.drop("jaccard_sim")
+        .join(_guarded(left_col), left_col)
+        .join(_guarded(right_col), right_col)
+        .withColumn("jaccard_sim", sim)
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select(left_col, right_col, "jaccard_sim")
+    )
+    return confident.select(left_col, right_col, "jaccard_sim").unionByName(
+        reverified
+    )
+
+
 def near_dup_pairs_from_signatures(
     sig_df: DataFrame,
     id_col: str = "doc_id",

@@ -722,3 +722,66 @@ def test_signature_estimate_matches_python_reference(spark, tables):
         assert round(frac, 6) == r["jaccard_sim"], (
             r["id_new"], r["id_match"], frac, r["jaccard_sim"]
         )
+
+
+def test_reverify_recovers_exact_pair_set_from_estimates(spark, tables):
+    """The hybrid recipe's exactness-recovery property (round 11):
+    signature capture at threshold-band, then
+    reverify_pairs_from_text at threshold with the same band, must
+    reproduce the exact grams pipeline's PAIR SET at threshold —
+    with band = 4 sigma (0.25 at 64 hashes), which bounds every
+    estimator deviation the fixture exhibits. Boundary pairs carry
+    exact recomputed values; confident pairs pass through with their
+    estimates untouched."""
+    docs = tables["documents"]
+    hist = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    t, band = 0.6, 0.25
+
+    slim = D.build_minhash_index(hist, "doc_id", "text", keep_grams=False)
+    captured = D.near_dup_pairs_against_index(
+        new, slim, "doc_id", "text", threshold=t - band, verify="signature"
+    )
+    hybrid = {
+        (r["id_new"], r["id_match"]): r["jaccard_sim"]
+        for r in D.reverify_pairs_from_text(
+            captured, docs, threshold=t, band=band
+        ).collect()
+    }
+
+    full = D.build_minhash_index(hist, "doc_id", "text")
+    exact = {
+        (r["id_new"], r["id_match"]): r["jaccard_sim"]
+        for r in D.near_dup_pairs_against_index(
+            new, full, "doc_id", "text", threshold=t
+        ).collect()
+    }
+    assert set(hybrid) == set(exact) and hybrid
+
+    # boundary pairs (estimated < t+band in the captured set) must
+    # carry the exact value; confident ones their untouched estimate
+    est_vals = {
+        (r["id_new"], r["id_match"]): r["jaccard_sim"]
+        for r in captured.collect()
+    }
+    for k, v in hybrid.items():
+        if est_vals[k] < t + band:
+            assert v == exact[k], (k, v, exact[k])
+        else:
+            assert v == est_vals[k], (k, v, est_vals[k])
+
+
+def test_reverify_missing_doc_fails_loudly(spark, tables):
+    """A boundary pair referencing an id absent from docs must raise
+    with the recipe's guidance, never silently drop the pair."""
+    import pytest as _pytest
+
+    docs = tables["documents"]
+    pairs = spark.createDataFrame(
+        [(999_999_999, 0, 0.61)],
+        "id_new long, id_match long, jaccard_sim double",
+    )
+    with _pytest.raises(Exception, match="absent from docs"):
+        D.reverify_pairs_from_text(
+            pairs, docs, threshold=0.6, band=0.25
+        ).count()
