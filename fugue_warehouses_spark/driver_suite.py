@@ -55,6 +55,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_bigram_lift": (("bigram", "s"), ("n_pair", "i"), ("lift", "f"),),
     "doc_bigram_logprob": (("source", "s"), ("n_docs", "i"), ("avg_logprob", "f"), ("min_logprob", "f"), ("max_logprob", "f"),),
     "doc_bpe_token_budget": (("source", "s"), ("est_tokens", "i"), ("n_docs", "i"),),
+    "doc_curriculum_schedule": (("schedule_pos", "i"), ("bucket", "i"), ("doc_id", "i"), ("quality", "f"),),
     "doc_cdc_dedup": (("source", "s"), ("n_chunks", "i"), ("n_distinct_chunks", "i"), ("total_chunk_chars", "i"), ("distinct_chunk_chars", "i"),),
     "doc_incremental_dedup": (("doc_id", "i"), ("source", "s"),),
     "doc_incremental_dedup_bloom": (("doc_id", "i"), ("source", "s"),),
@@ -272,7 +273,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "orders_weighted_sample", "doc_stratified_sample",
         "doc_domain_mixture", "doc_alpha_mixture", "doc_pack_sequences",
         "doc_epoch_shuffle", "doc_dsir_select", "doc_dsir_select_bigram",
-        "doc_quality_token_budget",
+        "doc_quality_token_budget", "doc_curriculum_schedule",
     ),
     # mergeable sketches
     "sketch_suite": (

@@ -1105,6 +1105,87 @@ def doc_quality_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURRICULUM_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks, len({_TOKS}) AS ntok
+      FROM documents
+    ), s AS (
+      SELECT doc_id, {_Q_EXPR} AS q FROM t
+    ), p AS (
+      SELECT doc_id, q,
+             row_number() OVER (ORDER BY q DESC, doc_id ASC) AS qpos,
+             count(*) OVER () AS n
+      FROM s
+    ), b AS (
+      SELECT doc_id, q,
+             CAST(1 + ((qpos - 1) * 4) // n AS BIGINT) AS bucket
+      FROM p
+    )
+    SELECT row_number() OVER (
+             ORDER BY bucket, md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS schedule_pos,
+           bucket, doc_id, round(q, 6) AS quality
+    FROM b
+    """
+
+
+@_q("doc_curriculum_schedule", _CURRICULUM_SQL)
+def doc_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training schedule: the corpus ordered into 4
+    quality-descending difficulty buckets (bucket 1 = cleanest data,
+    trained first), deterministically shuffled WITHIN each bucket by a
+    doc-id hash — the "order the epoch by curriculum stage, shuffle
+    inside the stage" schedule curriculum-learning pipelines emit.
+    Returns (schedule_pos, bucket, doc_id, quality); a trainer streams
+    the corpus in schedule_pos order.
+
+    Scale shape: BOTH global orders (the quality rank that defines
+    buckets, and the final schedule position) are
+    operators/rank.add_global_cumsum range-shuffle cumsums — never a
+    partition-less window (NTILE/ROW_NUMBER over a global ORDER BY is
+    a one-task sort at 100 TB). Buckets are rank quartiles computed
+    as 1 + (qpos-1)*4 div N — exact integer arithmetic both engines,
+    so the DuckDB twin replays the schedule byte-for-byte (the
+    within-bucket shuffle key is md5 of the decimal doc id, identical
+    in both). The per-doc quality doubles are engine-identical (the
+    token-budget facet's sort already pins this)."""
+    from fugue_warehouses_spark.operators.rank import add_global_cumsum
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "doc_id", TX.quality_score("text").alias("q"),
+        F.lit(1).alias("__one"),
+    )
+    n = per.count()  # scalar: drives the quartile arithmetic
+    ranked = add_global_cumsum(
+        per, [F.desc("q"), F.asc("doc_id")], "__one", cumsum_col="qpos"
+    )
+    bucketed = ranked.select(
+        "doc_id",
+        "q",
+        # integer `div`, not floor(double /): a float quotient can
+        # round up across an integer boundary at bucket edges, and the
+        # DuckDB twin's `//` is exact integer division
+        (
+            F.lit(1) + F.expr(f"(qpos - 1) * 4 div {n}")
+        ).cast("long").alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+        F.lit(1).alias("__one"),
+    )
+    scheduled = add_global_cumsum(
+        bucketed,
+        [F.asc("bucket"), F.asc("__h"), F.asc("doc_id")],
+        "__one",
+        cumsum_col="schedule_pos",
+    )
+    return scheduled.select(
+        F.col("schedule_pos").cast("long"),
+        "bucket",
+        "doc_id",
+        F.round("q", 6).alias("quality"),
+    )
+
+
 @_q("doc_quality_by_source", _QUALITY_SQL)
 def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
