@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "doc_dsir_select",
     "doc_dsir_select_bigram",
     "doc_quality_token_budget",
+    "doc_curriculum_schedule",
     "doc_clean_normalize",
     "doc_contamination",
     "doc_corpus_datacard",
