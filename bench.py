@@ -398,23 +398,37 @@ def main() -> None:
     # sidecar stays in place as the staleness gate's comparand — the
     # r9 driver refresh overwrote the clean artifact and the gate then
     # had nothing to enforce against (VERDICT r9 wrong #1).
-    written = benchwindow.write_sidecar(
-        os.path.join(here, "bench_queries.json"),
-        {
-            "metric": "total_query_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "cold_first_run_sec": cold,
-            "control": control,
-            "control_end": control_end,
-            "timing": "1 untimed warmup + best of 3 consecutive timed runs"
-                      " + suspect re-check pass",
-            "recheck": recheck,
-            "runs_per_query": 3,
-            "sf": sf,
-        },
-    )
+    sidecar_payload = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_first_run_sec": cold,
+        "control": control,
+        "control_end": control_end,
+        "timing": "1 untimed warmup + best of 3 consecutive timed runs"
+                  " + suspect re-check pass",
+        "recheck": recheck,
+        "runs_per_query": 3,
+        "sf": sf,
+    }
+    main_path = os.path.join(here, "bench_queries.json")
+    written = benchwindow.write_sidecar(main_path, sidecar_payload)
+    if written == main_path:
+        # keep BASELINE.md's Window history current for windows
+        # recorded by automation too (round 11): without this, any
+        # refresh the builder didn't hand-document turns the history
+        # pinning test red on a tree state nobody saw
+        recorded_state, _ = benchwindow.classify_sidecar(sidecar_payload)
+        try:
+            baselinedoc.append_window_history_row(
+                os.path.join(here, "BASELINE.md"),
+                sidecar_payload,
+                recorded_state,
+            )
+        except (OSError, ValueError, StopIteration) as exc:
+            print(f"[bench] history append skipped: {exc}",
+                  file=sys.stderr, flush=True)
     queries_file = os.path.basename(written)
     # Final stdout line: inline only the slowest queries that fit a
     # ~1.4 KB budget (driver tail window is 2000 chars); the full map

@@ -134,6 +134,59 @@ def gate_threshold(claim: Claim, infl_by_regime: dict[str, float]) -> float:
     return claim.hi * tol * infl_by_regime[claim.regime]
 
 
+def append_window_history_row(
+    baseline_path: str,
+    payload: dict,
+    state: str,
+    label: str | None = None,
+) -> None:
+    """Append a just-recorded bench window's row to BASELINE.md's
+    Window history table (round 11). bench.py calls this whenever it
+    writes the MAIN sidecar path, so the table stays current even for
+    windows recorded by automation — without this, any refresh the
+    builder didn't hand-document would turn the history pinning test
+    red on a tree state nobody saw (the r10 staleness-gate failure
+    mode, reborn one table over). Degraded windows are quarantined and
+    never reach the main path, so they never get a row here."""
+    import time as _time
+
+    label = label or "auto " + _time.strftime(
+        "%Y-%m-%dT%H:%MZ", _time.gmtime()
+    )
+    c = payload.get("control") or {}
+    e = payload.get("control_end") or {}
+
+    def _pair(key: str) -> str:
+        return f"{c.get(key, '—')}/{e.get(key, '—')}"
+
+    row = (
+        f"| {label} | {payload.get('value', '—')} "
+        f"| {len(payload.get('queries') or {})} "
+        f"| {_pair('numpy_matmul_sec')} "
+        f"| {c.get('tpch_scan_agg_sec', '—')} "
+        f"| {_pair('jobfloor_32x_sec')} "
+        f"| {len(payload.get('recheck') or {})} "
+        f"| {state} |"
+    )
+    with open(baseline_path) as f:
+        lines = f.read().splitlines(keepends=True)
+    start = next(
+        i for i, ln in enumerate(lines)
+        if ln.startswith("## Window history")
+    )
+    last_row = None
+    for i in range(start + 1, len(lines)):
+        if lines[i].startswith("## "):
+            break
+        if lines[i].lstrip().startswith("|"):
+            last_row = i
+    if last_row is None:
+        raise ValueError("Window history table not found in BASELINE.md")
+    lines.insert(last_row + 1, row + "\n")
+    with open(baseline_path, "w") as f:
+        f.write("".join(lines))
+
+
 def recheck_names(
     timings: dict[str, float],
     prior: dict[str, float],

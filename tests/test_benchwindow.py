@@ -345,3 +345,47 @@ def test_write_sidecar_keeps_clean_noisy_at_the_main_path(tmp_path):
     assert written == target
     got = json.loads(Path(target).read_text())
     assert got["window"]["state"] == "clean-noisy"
+
+
+def test_append_window_history_row_roundtrip(tmp_path):
+    """bench.py appends the just-recorded window's row to BASELINE.md
+    (round 11): the appended row must parse back with exactly the
+    cells the pinning test checks — total, query count, recheck count,
+    verdict — and land after the previous last row. Without the
+    auto-append, a driver bench refresh turns the history test red on
+    a tree state nobody saw (the r10 failure mode, one table over)."""
+    from fugue_warehouses_spark import baselinedoc as B
+
+    doc = tmp_path / "BASELINE.md"
+    doc.write_text(
+        "# x\n\n## Window history\n\nprose\n\n"
+        "| window | total s | queries | numpy start/end | tpch "
+        "| jobfloor start/end | rechecks | verdict |\n"
+        "|---|---|---|---|---|---|---|---|\n"
+        "| r11 end-of-round | 50.813 | 118 | 0.032/0.032 | 0.261 "
+        "| 2.938/1.338 | 5 | clean |\n\n"
+        "## Next section\n"
+    )
+    payload = {
+        "value": 61.2,
+        "queries": {f"q{i}": 0.5 for i in range(119)},
+        "recheck": {"q1": 0.9},
+        "control": {"numpy_matmul_sec": 0.033, "tpch_scan_agg_sec": 0.30,
+                    "jobfloor_32x_sec": 3.0},
+        "control_end": {"numpy_matmul_sec": 0.034,
+                        "jobfloor_32x_sec": 1.5},
+    }
+    B.append_window_history_row(str(doc), payload, "clean", label="test-win")
+    section = doc.read_text().split("## Window history")[1].split("\n## ")[0]
+    rows = [
+        cells for cells in B.table_blocks(section)[0]
+        if len(cells) == 8 and not B.is_separator(cells)
+        and cells[0] != "window"
+    ]
+    assert rows[-1][0] == "test-win"
+    assert float(rows[-1][1]) == 61.2
+    assert int(rows[-1][2]) == 119
+    assert int(rows[-1][6]) == 1
+    assert rows[-1][7] == "clean"
+    # previous row intact, order preserved
+    assert rows[-2][0].startswith("r11")
