@@ -478,3 +478,25 @@ def test_dsir_bigram_plan_shape_matches_unigram(spark, sf_dir):
     assert uni.count("Exchange") == bi.count("Exchange")
     assert "Window" not in bi
     assert bi.count("TakeOrdered") == 1
+
+
+def test_curriculum_schedule_windows_are_partitioned(spark, sf_dir):
+    """Both of the curriculum facet's global orders (the quality rank
+    that defines buckets and the final schedule position) must run
+    through add_global_cumsum's range-shuffle + pid-partitioned
+    window — a partition-less `ROW_NUMBER() OVER (ORDER BY ...)`
+    would pull the whole corpus through one task at 100 TB. Every
+    Window node in the plan must carry a partition spec."""
+    import re
+
+    plan = _plan(QUERIES["doc_curriculum_schedule"](spark, sf_dir))
+    # window spec renders as windowspecdefinition(<partition...>,
+    # <order...>); a partition-less one starts directly with the sort
+    # expression list and no partition columns before the first
+    # ordering spec ("ASC NULLS FIRST" etc. appears as the FIRST arg)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        first_arg = m.group(1).split(",")[0]
+        assert "ASC" not in first_arg and "DESC" not in first_arg, (
+            "partition-less window in curriculum plan: "
+            f"windowspecdefinition({m.group(1)[:120]}...)"
+        )
