@@ -62,6 +62,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_incremental_dedup_bloom_persisted": (("doc_id", "i"), ("source", "s"),),
     "doc_incremental_near_dedup": (("id_new", "i"), ("id_match", "i"), ("jaccard_sim", "f"),),
     "doc_incremental_near_dedup_persisted": (("id_new", "i"), ("id_match", "i"), ("jaccard_sim", "f"),),
+    "doc_near_dup_signature_estimate": (("id_new", "i"), ("id_match", "i"), ("est_sim", "f"),),
     "doc_export_manifest": (("shard", "i"), ("n_rows", "i"), ("id_checksum", "i"),),
     "doc_webdataset_export": (("shard", "i"), ("n_members", "i"), ("total_bytes", "i"), ("id_checksum", "i"),),
     "orders_profile": (("column", "s"), ("dtype", "s"), ("n_rows", "i"), ("n_null", "i"), ("n_distinct", "i"), ("min_num", "f"), ("max_num", "f"), ("min_str", "s"), ("max_str", "s"),),
@@ -265,6 +266,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "doc_incremental_dedup_bloom_persisted",
         "doc_incremental_near_dedup",
         "doc_incremental_near_dedup_persisted",
+        "doc_near_dup_signature_estimate",
         "doc_context_windows", "doc_webdataset_export",
     ),
     # A12/A13 + deterministic sampling/mixture family

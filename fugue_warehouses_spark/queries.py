@@ -4065,6 +4065,103 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sig_estimate_sql() -> str:
+    """DuckDB twin of the SIGNATURE-ESTIMATED near-dedup (round 11):
+    replays the ENTIRE MinHash pipeline in SQL — byte shingles as
+    base-257 polynomials (grams < 257^5 < 2^49, so plain BIGINT), the
+    seeded multiply-add permutation family with the 64 (a, b)
+    constants INLINED as literals (a < 2^63, so a*gram < 2^112 fits
+    HUGEINT; mod 2^64 exact), per-component min, and the
+    matching-component-fraction estimate. This makes the estimator's
+    output hash-checkable end-to-end, not just property-tested: the
+    oracle computes ALL batch-vs-history + within-batch pairs at the
+    threshold, so any pair LSH banding ever dropped (or invented)
+    would hash-mismatch. Spark's xxhash64 bucket ids never need
+    replicating — bucket equality only gates CANDIDATES, and the
+    frozen fixtures' est>=0.6 pairs are all banding-captured
+    (verified at sf0.001 and sf0.01; deterministic thereafter)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = (rng.integers(1, 2**62, size=64, dtype=np.uint64) << 1) | 1
+    b = rng.integers(0, 2**62, size=64, dtype=np.uint64)
+    m = "18446744073709551616::HUGEINT"  # 2^64
+    # vectorized form: unnest grams to rows and compute the 64
+    # per-component mins as AGGREGATE columns — DuckDB's columnar
+    # engine does the 64 x n_grams HUGEINT multiply-mods vectorized,
+    # 12x faster than per-row list lambdas (131 -> 11 s at sf0.01)
+    mins = ",\n             ".join(
+        f"CAST(min((CAST({int(a[k])} AS HUGEINT) * gg + {int(b[k])})"
+        f" % {m}) AS UBIGINT) AS s{k + 1}"
+        for k in range(64)
+    )
+    sig_list = "[" + ", ".join(f"s{k + 1}" for k in range(64)) + "]"
+    # est >= 0.6 <=> nmatch/64 >= 0.6 <=> nmatch >= 39 (38/64=0.59375
+    # and 39/64=0.609375 — no 6-dp rounding boundary between them)
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+        CASE
+          WHEN length(text) = 0 THEN [CAST(0 AS BIGINT)]
+          WHEN length(text) < 5 THEN [CAST(list_sum(
+            list_transform(generate_series(1, length(text)),
+              i -> CAST(ascii(text[i]) AS BIGINT)
+                   * (257 ** (length(text) - i))::BIGINT)) AS BIGINT)]
+          ELSE list_distinct(
+            list_transform(generate_series(1, length(text) - 4),
+              i -> CAST(ascii(text[i]) AS BIGINT) * 4362470401::BIGINT
+                 + CAST(ascii(text[i+1]) AS BIGINT) * 16974593::BIGINT
+                 + CAST(ascii(text[i+2]) AS BIGINT) * 66049::BIGINT
+                 + CAST(ascii(text[i+3]) AS BIGINT) * 257::BIGINT
+                 + CAST(ascii(text[i+4]) AS BIGINT)))
+        END AS grams
+      FROM documents
+    ), u AS (
+      SELECT doc_id, unnest(grams) AS gg FROM g
+    ), s0 AS (
+      SELECT doc_id, {mins}
+      FROM u GROUP BY doc_id
+    ), s AS (
+      SELECT doc_id, {sig_list} AS sig FROM s0
+    ), p AS (
+      SELECT a.doc_id AS id_new, b.doc_id AS id_match,
+             len(list_filter(generate_series(1, 64),
+                 k -> a.sig[k] = b.sig[k])) AS nmatch
+      FROM s a JOIN s b
+        ON a.doc_id % 5 = 4
+       AND (b.doc_id % 5 <> 4 OR b.doc_id < a.doc_id)
+       AND a.doc_id <> b.doc_id
+    )
+    SELECT id_new, id_match, round(nmatch / 64.0, 6) AS est_sim
+    FROM p WHERE nmatch >= 39
+    """
+
+
+@_q("doc_near_dup_signature_estimate", _sig_estimate_sql())
+def doc_near_dup_signature_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Signature-estimated incremental near-dedup, hash-checked: the
+    grams-free serving mode (extensions/dedup.py ``verify="signature"``
+    over a ``keep_grams=False`` index — SCALE_NOTES r11: 11x smaller
+    store, 2-3.8x faster per-batch verify) run as a driver-visible
+    facet against an EXACT DuckDB replay of the whole MinHash pipeline
+    (byte shingles -> inlined seeded permutation family -> component
+    mins -> matching-fraction estimate). Batch = doc_id %% 5 == 4,
+    history = the rest, threshold 0.6 — the incremental family's
+    split."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    slim = DD.build_minhash_index(hist, "doc_id", "text", keep_grams=False)
+    pairs = DD.near_dup_pairs_against_index(
+        new, slim, "doc_id", "text", threshold=0.6, verify="signature"
+    )
+    return pairs.select(
+        "id_new", "id_match", F.col("jaccard_sim").alias("est_sim")
+    )
+
+
 _INCR_NEAR_DEDUP_SQL = """
     WITH g AS (
       SELECT doc_id, list_distinct(list_transform(
