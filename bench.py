@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "doc_incremental_dedup_bloom_persisted",
     "doc_incremental_near_dedup",
     "doc_incremental_near_dedup_persisted",
+    "doc_near_dup_signature_estimate",
     "doc_export_manifest",
     "doc_webdataset_export",
     "events_anomaly_mad",
