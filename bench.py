@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "doc_curriculum_schedule",
     "doc_clean_normalize",
     "doc_contamination",
+    "doc_decontaminate_spans",
     "doc_corpus_datacard",
     "customer_balance_upsert",
     "doc_ngram_jaccard_pairs",

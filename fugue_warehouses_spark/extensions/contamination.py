@@ -90,6 +90,91 @@ def contaminated_doc_ids(
     )
 
 
+def decontaminate_spans(
+    corpus: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    keep_cols: tuple[str, ...] = (),
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Span-surgery decontamination: instead of dropping every document
+    that shares an n-gram with the probe set (``contaminated_doc_ids``,
+    the GPT-3 appendix-C policy), remove only the covered token
+    positions and keep the rest of the document — the higher-recall
+    policy used when the corpus is scarce relative to the benchmark
+    overlap (a license header or a quoted benchmark item should not
+    cost the whole document).
+
+    Returns one row per CONTAMINATED corpus document:
+    ``(id_col, *keep_cols, n_tokens, removed_tokens, clean_text)``
+    where ``clean_text`` is the document with every token covered by
+    >= 1 shared n-gram removed, survivors re-joined with single
+    spaces. Matching is on lowercased word n-grams (same semantics as
+    ``contaminated_doc_ids``); reconstruction uses the RAW tokens, and
+    the two align position-for-position because lowercasing never
+    moves a whitespace boundary. Documents with no shared gram are not
+    returned (they need no surgery — callers union them back
+    untouched).
+
+    Scale shape: the probe gram set broadcasts (8-byte hashes by
+    default); the corpus side is one narrow gram posexplode into the
+    broadcast LEFT SEMI probe. The only shuffles are the hit-start
+    groupBy (contaminated-WINDOW-sized, not corpus-sized) and the
+    doc-keyed inner join back (contaminated-DOC-sized). The covered
+    position set is computed in the aggregate's own projection, so
+    downstream lambdas see it as a plain column attribute — the
+    per-element work in the reconstruction filter is one
+    ``array_contains`` probe, never a re-evaluated expression tree
+    (round-10 inlining lesson, see ``word_ngrams``)."""
+    probe = probe_gram_set(probes, text_col, n, hash_grams)
+    # posexplode index == 0-based token start of the gram
+    corpus_grams = corpus.select(
+        F.col(id_col), F.posexplode(word_ngrams(text_col, n)).alias("s", "g")
+    )
+    if hash_grams:
+        corpus_grams = corpus_grams.select(
+            id_col, "s", F.xxhash64("g").alias("g")
+        )
+    hits = (
+        corpus_grams.join(F.broadcast(probe), "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("s").alias("__starts"))
+        .select(
+            F.col(id_col),
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            "__starts",
+                            lambda s: F.sequence(s, s + F.lit(n - 1)),
+                        )
+                    )
+                )
+            ).alias("__covered"),
+        )
+    )
+    toks = corpus.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        tokens(text_col).alias("__toks"),
+    )
+    return toks.join(hits, id_col, "inner").select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size("__covered").cast("long").alias("removed_tokens"),
+        F.array_join(
+            F.filter(
+                "__toks",
+                lambda t, i: ~F.array_contains(F.col("__covered"), i),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
 def contamination_report(
     corpus: DataFrame,
     probes: DataFrame,

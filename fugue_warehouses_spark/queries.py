@@ -4788,6 +4788,87 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(corpus, probes, group_col="source")
 
 
+_DECON_SPANS_SQL = r"""
+    WITH tl AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         t -> t <> '') AS t,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t <> '') AS tlo
+      FROM documents),
+    probe AS (
+      SELECT DISTINCT array_to_string(tlo[i:i+3], ' ') AS g
+      FROM tl, UNNEST(generate_series(1, len(tlo) - 3)) r(i)
+      WHERE source = 'src0' AND len(tlo) >= 4),
+    corp AS (
+      SELECT doc_id, source, t, tlo, len(t) AS n
+      FROM tl WHERE source <> 'src0'),
+    occ AS (
+      SELECT corp.doc_id, r.i::INT AS s,
+             array_to_string(corp.tlo[r.i:r.i+3], ' ') AS g
+      FROM corp, UNNEST(generate_series(1, corp.n - 3)) r(i)
+      WHERE corp.n >= 4),
+    hits AS (SELECT occ.doc_id, occ.s FROM occ JOIN probe USING (g)),
+    cov AS (
+      SELECT doc_id, u.p::INT AS p
+      FROM hits, UNNEST(generate_series(hits.s, hits.s + 3)) u(p)
+      GROUP BY doc_id, u.p),
+    rem AS (
+      SELECT doc_id, count(*)::BIGINT AS removed_tokens
+      FROM cov GROUP BY doc_id),
+    toksp AS (
+      SELECT corp.doc_id, r.i::INT AS p, corp.t[r.i] AS tok
+      FROM corp, UNNEST(generate_series(1, corp.n)) r(i)),
+    surv AS (
+      SELECT toksp.doc_id, toksp.p, toksp.tok
+      FROM toksp LEFT JOIN cov
+        ON toksp.doc_id = cov.doc_id AND toksp.p = cov.p
+      WHERE cov.p IS NULL),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+      FROM surv GROUP BY doc_id)
+    SELECT corp.doc_id, corp.source,
+           corp.n::BIGINT AS n_tokens,
+           rem.removed_tokens,
+           md5(coalesce(agg.clean_text, '')) AS clean_md5
+    FROM corp JOIN rem USING (doc_id)
+    LEFT JOIN agg ON corp.doc_id = agg.doc_id
+    """
+
+
+@_q("doc_decontaminate_spans", _DECON_SPANS_SQL)
+def doc_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-surgery decontamination
+    (extensions/contamination.decontaminate_spans): same probe
+    semantics as doc_contamination ('src0' as the held-out benchmark,
+    lowercased word n-grams — n=4 here, one notch more aggressive
+    than the flagging facet's 5, exercising the overlap-window
+    parameter), but instead of FLAGGING contaminated
+    documents it removes exactly the covered token positions and
+    re-joins the survivors — the policy that keeps a 100 TB corpus's
+    documents when only a quoted benchmark item overlaps. Per
+    contaminated doc: token counts before/removed and the md5 of the
+    cleaned text (the oracle rebuilds the identical string via
+    position anti-join + ordered string_agg). Hashed probe broadcast +
+    narrow gram posexplode; shuffles are hit-window-sized and
+    contaminated-doc-sized only."""
+    from fugue_warehouses_spark.extensions.contamination import (
+        decontaminate_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    out = decontaminate_spans(corpus, probes, n=4, keep_cols=("source",))
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "removed_tokens",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
 @_q(
     "customer_balance_upsert",
     """

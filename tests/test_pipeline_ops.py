@@ -161,6 +161,50 @@ def test_word_ngrams_and_contamination(spark):
     assert hits_exact == hits
 
 
+def test_decontaminate_spans(spark):
+    from fugue_warehouses_spark.extensions.contamination import (
+        decontaminate_spans,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            # matches probe's "the quick brown fox jumps" at positions
+            # 0-4 despite the case difference; raw case survives in the
+            # reconstructed tail
+            (1, "The QUICK brown fox JUMPS over the lazy dog"),
+            (2, "a totally different sentence with no overlap here at all"),
+            (3, "short text"),
+            # every position covered -> empty clean text
+            (4, "the quick brown fox jumps"),
+        ],
+        "doc_id int, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "he said the quick brown fox jumps indeed")],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in decontaminate_spans(corpus, probes, n=5).collect()
+    }
+    # only contaminated docs are returned
+    assert set(out) == {1, 4}
+    assert out[1].n_tokens == 9 and out[1].removed_tokens == 5
+    assert out[1].clean_text == "over the lazy dog"
+    assert out[4].n_tokens == 5 and out[4].removed_tokens == 5
+    assert out[4].clean_text == ""
+    # hashed and exact gram matching agree on the full surgery
+    exact = {
+        r.doc_id: r
+        for r in decontaminate_spans(
+            corpus, probes, n=5, hash_grams=False
+        ).collect()
+    }
+    assert {k: (v.removed_tokens, v.clean_text) for k, v in out.items()} == {
+        k: (v.removed_tokens, v.clean_text) for k, v in exact.items()
+    }
+
+
 # ---- quantization ---------------------------------------------------
 
 
