@@ -1007,6 +1007,54 @@ def dedup_near(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def dedup_near_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_by: list[Column],
+    max_iter: int = 15,
+    cluster_size_col: str | None = None,
+) -> DataFrame:
+    """Near-dedup with an explicit CANONICAL-selection policy: group
+    the pair graph into components and keep the best row per component
+    under ``order_by`` (e.g. longest document, highest quality score)
+    instead of :func:`dedup_near`'s arbitrary min-id pick — the policy
+    production dedup actually wants, where the survivor should be the
+    most complete copy, not whichever crawled first. ``order_by`` must
+    be a total order (break ties on the id) so the survivor is
+    deterministic. Unpaired rows pass through untouched.
+
+    With ``cluster_size_col`` set, the output carries each survivor's
+    component size (1 for unpaired rows) — the per-doc duplication
+    exposure a release datacard wants alongside the survivor set.
+
+    Scale shape: the component labels are a node-sized frame; the
+    rank/size window partitions by ``component`` (dedup components are
+    tiny near-cliques — never a partition-less global window), and
+    unpaired rows take the null-component branch without entering the
+    window at all. One label join + one component-keyed window on the
+    PAIRED subset only."""
+    comps = connected_components(pairs.select("id_a", "id_b"), max_iter).select(
+        F.col("id").alias(id_col), "component"
+    )
+    members = df.join(comps, on=id_col, how="left")
+    paired = members.filter(F.col("component").isNotNull())
+    w = Window.partitionBy("component")
+    ranked = paired.withColumn(
+        "__rn", F.row_number().over(w.orderBy(*order_by))
+    ).withColumn("__sz", F.count(F.lit(1)).over(w))
+    keeps = ranked.filter(F.col("__rn") == 1).drop("__rn", "component")
+    singles = members.filter(F.col("component").isNull()).drop(
+        "component"
+    ).withColumn("__sz", F.lit(1).cast("long"))
+    out = keeps.withColumn("__sz", F.col("__sz").cast("long")).unionByName(
+        singles
+    )
+    if cluster_size_col is None:
+        return out.drop("__sz")
+    return out.withColumnRenamed("__sz", cluster_size_col)
+
+
 # ---------------- exact substring (token-window) dedup ------------
 
 

@@ -1420,6 +1420,70 @@ def doc_near_dedup_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_near(docs, pairs, "doc_id").select("doc_id", "source")
 
 
+# Same transitive-closure shape, but the survivor is chosen by POLICY:
+# the longest document (ties -> min id) — and the output carries each
+# survivor's component size. comp = min reachable id including self,
+# so grouping by it enumerates full component membership.
+_NEAR_DEDUP_CANONICAL_SQL = """
+    WITH RECURSIVE g AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(length(text) - 4, 1)),
+        i -> substring(text, i, 5))) AS grams
+      FROM documents),
+    p AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                     / (len(a.grams) + len(b.grams)
+                        - len(list_intersect(a.grams, b.grams))), 6) AS jac
+        FROM g a JOIN g b ON a.doc_id < b.doc_id)
+      WHERE jac >= 0.6),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+    ranked AS (
+      SELECT c.id, c.comp,
+             count(*) OVER (PARTITION BY c.comp) AS sz,
+             row_number() OVER (
+               PARTITION BY c.comp
+               ORDER BY d.n_chars DESC, c.id ASC) AS rn
+      FROM comp c JOIN documents d ON c.id = d.doc_id)
+    SELECT d.doc_id, d.source,
+           coalesce(r.sz, 1)::BIGINT AS cluster_size
+    FROM documents d
+    LEFT JOIN comp m ON d.doc_id = m.id
+    LEFT JOIN (SELECT id, sz FROM ranked WHERE rn = 1) r
+      ON d.doc_id = r.id
+    WHERE m.id IS NULL OR r.id IS NOT NULL
+    """
+
+
+@_q("doc_near_dedup_canonical", _NEAR_DEDUP_CANONICAL_SQL)
+def doc_near_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup with a canonical-selection POLICY
+    (extensions/dedup.dedup_near_canonical): same MinHash-LSH pair
+    graph and label-propagation components as doc_near_dedup_resolved,
+    but the survivor per cluster is the LONGEST document (ties -> min
+    id) — the keep-the-most-complete-copy rule production dedup wants
+    — and each survivor carries its cluster size (1 for unpaired).
+    The oracle replays the policy over the recursive transitive
+    closure, so the component membership, the argmax pick, and the
+    size all hash-check cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.near_dup_pairs_minhash(docs, "doc_id", "text", threshold=0.6)
+    return DD.dedup_near_canonical(
+        docs,
+        pairs,
+        "doc_id",
+        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        cluster_size_col="cluster_size",
+    ).select("doc_id", "source", "cluster_size")
+
+
 _DUP_SPANS_SQL = r"""
     WITH tl AS (
       SELECT doc_id, source,

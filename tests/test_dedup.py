@@ -64,6 +64,44 @@ def test_connected_components_and_dedup(spark, docs):
     assert {r["doc_id"] for r in kept.collect()} == {0, 3}
 
 
+def test_dedup_near_canonical_policy(spark):
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame(
+        [
+            # component {0,1,2}: doc 1 is longest -> survives over min-id 0
+            (0, "a" * 10),
+            (1, "b" * 30),
+            (2, "c" * 20),
+            # component {3,4}: equal length -> tie broken to min id 3
+            (3, "d" * 15),
+            (4, "e" * 15),
+            # unpaired -> passes through as a size-1 cluster
+            (5, "f" * 5),
+        ],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    kept = {
+        r["doc_id"]: r["sz"]
+        for r in D.dedup_near_canonical(
+            rows,
+            edges,
+            "doc_id",
+            order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+            cluster_size_col="sz",
+        ).collect()
+    }
+    assert kept == {1: 3, 3: 2, 5: 1}
+    # without cluster_size_col the size column is dropped
+    cols = D.dedup_near_canonical(
+        rows, edges, "doc_id", order_by=[F.col("doc_id").asc()]
+    ).columns
+    assert cols == rows.columns
+
+
 def test_chain_components_converge(spark):
     # a 6-node chain exercises multi-round propagation
     edges = spark.createDataFrame(
