@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "doc_incremental_near_dedup_persisted",
     "doc_near_dup_signature_estimate",
     "doc_export_manifest",
+    "doc_token_balanced_shards",
     "doc_webdataset_export",
     "events_anomaly_mad",
     "events_ewma",

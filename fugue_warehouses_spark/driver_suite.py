@@ -73,6 +73,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_contamination": (("source", "s"), ("n_docs", "i"), ("n_contaminated", "i"),),
     "doc_decontaminate_spans": (("doc_id", "i"), ("source", "s"), ("n_tokens", "i"), ("removed_tokens", "i"), ("clean_md5", "s"),),
     "doc_near_dedup_canonical": (("doc_id", "i"), ("source", "s"), ("cluster_size", "i"),),
+    "doc_token_balanced_shards": (("shard", "i"), ("n_docs", "i"), ("shard_tokens", "i"), ("id_checksum", "i"),),
     "doc_corpus_datacard": (("source", "s"), ("n_docs", "i"), ("total_tokens", "i"), ("n_langs", "i"), ("top_lang", "s"), ("top_lang_tokens", "i"), ("top_lang_token_share", "f"), ("n_exact_dup_docs", "i"), ("distinct_fps", "i"), ("p50_tokens", "f"), ("p90_tokens", "f"), ("p99_tokens", "f"),),
     "doc_alpha_mixture": (("lang", "s"), ("n_docs", "i"), ("id_sum", "i"),),
     "orders_kmv_set_ops": (("op", "s"), ("est_distinct", "i"), ("sample_size", "i"), ("theta", "i"),),
@@ -304,7 +305,8 @@ SUITES: dict[str, tuple[str, ...]] = {
     # skew-salted join, MERGE upsert, data-quality checks
     "warehouse_ops_suite": (
         "salted_join_revenue", "customer_balance_upsert",
-        "star_quality_checks", "doc_export_manifest", "orders_profile",
+        "star_quality_checks", "doc_export_manifest",
+        "doc_token_balanced_shards", "orders_profile",
         "orders_snapshot_diff", "events_scd2_user_state",
         "events_latest_state",
     ),

@@ -185,6 +185,64 @@ def export_shards(
     return shard_manifest(back, id_col)
 
 
+def token_balanced_shards(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n_shards: int,
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """Add a ``shard`` column cutting the rows into ``n_shards``
+    CONTIGUOUS ranges of ~equal total ``weight_col`` — the plan a
+    training-data writer wants when shards must carry equal TOKEN
+    mass, not equal row counts (hash-mod ``shard_assignment`` balances
+    rows; with heavy-tailed document lengths that leaves some shards
+    2-3x the work of others, and the slowest shard paces every data-
+    parallel consumer).
+
+    Rows are ordered by ``order_by`` (default: the family's md5-draw
+    of the id + id tiebreak — i.e. a deterministic pre-shuffle, so a
+    shard is also an unbiased sample) and assigned
+    ``shard = floor(prefix_weight_before_row * n_shards / total)``,
+    clamped to ``n_shards - 1``. Every shard is a contiguous slice of
+    the order (sequential-read friendly) and no shard's weight can
+    exceed ``total/n_shards + max_row_weight`` — the classic
+    prefix-sum partitioning bound.
+
+    Scale shape: the prefix sums come from
+    ``operators/rank.add_global_cumsum`` (one range exchange +
+    O(#partitions) offsets + pid-partitioned window — never a
+    partition-less global window); the total is one scalar aggregate
+    broadcast back. Integer weights make the assignment
+    bit-deterministic across engines (integer multiply + floor div).
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    from fugue_warehouses_spark.operators.rank import add_global_cumsum
+
+    if order_by is None:
+        draw = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        df = df.withColumn("__draw", draw)
+        order_by = [F.asc("__draw"), F.asc(id_col)]
+    out = add_global_cumsum(
+        df, order_by, weight_col, cumsum_col="__cum", total_col="__total"
+    ).withColumn(
+        "shard",
+        F.when(F.col("__total") <= 0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_shards - 1),
+                F.expr(
+                    f"((__cum - cast({weight_col} as bigint))"
+                    f" * {n_shards}) div __total"
+                ),
+            )
+        ).cast("int"),
+    )
+    return out.drop("__cum", "__total", "__draw")
+
+
 def shard_manifest(sharded: DataFrame, id_col: str) -> DataFrame:
     """Per-shard accounting over a frame that already has ``shard``:
     (shard, n_rows, id_checksum) with the checksum an order-independent

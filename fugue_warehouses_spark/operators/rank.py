@@ -101,6 +101,7 @@ def add_global_cumsum(
     value_col: str,
     cumsum_col: str = "global_cumsum",
     num_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Exact global running sum of ``value_col`` in the total order
     given by ``order_by`` — the distributed replacement for
@@ -182,7 +183,7 @@ def add_global_cumsum(
         .orderBy("__mono")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         ranged.withColumn("__pid", pid)
         .join(F.broadcast(off_df), "__pid")
         .withColumn(
@@ -191,6 +192,15 @@ def add_global_cumsum(
         )
         .drop("__pid", "__off", "__mono")
     )
+    if total_col is not None:
+        # the grand total fell out of the offsets collect — attach it
+        # as a LITERAL (consumers like balanced sharding need
+        # cumsum/total; a separate scan+aggregate+crossJoin would pay
+        # a whole extra pass for a number the driver already holds)
+        out = out.withColumn(
+            total_col, F.lit(_as_sum_type(acc)).cast(sum_type)
+        )
+    return out
 
 
 def ntile_from_rank(rank: Column, n: int, k: int) -> Column:

@@ -4474,6 +4474,55 @@ def doc_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKEN_BALANCED_SHARDS_SQL = f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({_TOKS})::BIGINT AS ntok,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT AS draw
+      FROM documents),
+    c AS (
+      SELECT doc_id, ntok,
+             sum(ntok) OVER (ORDER BY draw, doc_id) AS cum
+      FROM t),
+    tot AS (SELECT sum(ntok)::BIGINT AS tt FROM t)
+    SELECT least(7, ((c.cum - c.ntok) * 8) // tot.tt)::INT AS shard,
+           count(*)::BIGINT AS n_docs,
+           sum(c.ntok)::BIGINT AS shard_tokens,
+           (sum(('0x' || substr(md5(c.doc_id::VARCHAR), 9, 8))::UBIGINT)
+            % 2147483647)::BIGINT AS id_checksum
+    FROM c, tot GROUP BY 1
+    """
+
+
+@_q("doc_token_balanced_shards", _TOKEN_BALANCED_SHARDS_SQL)
+def doc_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass-balanced shard plan (layout.token_balanced_shards):
+    unlike doc_export_manifest's hash-mod shards (equal ROWS), shards
+    here are contiguous cuts of the deterministic md5-draw order with
+    ~equal total TOKENS — the plan that keeps every data-parallel
+    training consumer equally busy under heavy-tailed document
+    lengths. Prefix sums via the distributed global-cumsum operator
+    (range exchange + O(#partitions) offsets — never a partition-less
+    window at this shape's 100 TB scale; the oracle's plain OVER
+    (ORDER BY) is the semantics, not the plan). Integer arithmetic
+    end-to-end, so shard boundaries hash-check cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id", TX.token_count("text").alias("__ntok")
+    )
+    planned = LY.token_balanced_shards(weighted, "doc_id", "__ntok", 8)
+    # one aggregate over the plan (shard_manifest's checksum inline, so
+    # the cumsum pipeline runs once, not once per output column family)
+    chk = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10
+    ).cast("bigint")
+    return planned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("__ntok").cast("long")).alias("shard_tokens"),
+        (F.sum(chk) % F.lit((1 << 31) - 1)).alias("id_checksum"),
+    )
+
+
 @_q("orders_approx_distinct")  # no oracle: HLL++ estimate, engine-specific
 def orders_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (§2.C APPROX_COUNT_DISTINCT analog).

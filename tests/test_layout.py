@@ -125,6 +125,54 @@ def test_shard_assignment_deterministic_and_partition_free(spark):
     assert set(a.values()) == {0, 1, 2, 3}
 
 
+def test_token_balanced_shards(spark):
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.operators.layout import token_balanced_shards
+
+    # heavy-tailed weights: a hash-mod split would be badly unbalanced
+    rows = [(i, 1 if i % 50 else 500) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    planned = token_balanced_shards(df, "doc_id", "w", 4)
+    got = planned.collect()
+    assert len(got) == 300 and {r["shard"] for r in got} == {0, 1, 2, 3}
+    total = sum(w for _, w in rows)
+    max_w = max(w for _, w in rows)
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], 0)
+        by_shard[r["shard"]] += r["w"]
+    # classic prefix-sum partitioning bound
+    assert all(v <= total / 4 + max_w for v in by_shard.values())
+    # contiguous in the draw order: shard is monotone along the order
+    draw = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    ordered = [
+        r["shard"]
+        for r in planned.withColumn("__d", draw)
+        .orderBy("__d", "doc_id")
+        .collect()
+    ]
+    assert ordered == sorted(ordered)
+    # deterministic under physical re-partitioning
+    again = {
+        r["doc_id"]: r["shard"]
+        for r in token_balanced_shards(
+            df.repartition(13), "doc_id", "w", 4
+        ).collect()
+    }
+    assert again == {r["doc_id"]: r["shard"] for r in got}
+    # degenerate inputs: one shard; all-zero weights
+    assert {
+        r["shard"] for r in token_balanced_shards(df, "doc_id", "w", 1).collect()
+    } == {0}
+    z = df.withColumn("w", F.lit(0))
+    assert {
+        r["shard"] for r in token_balanced_shards(z, "doc_id", "w", 4).collect()
+    } == {0}
+
+
 def test_export_tar_shards_roundtrip_and_reproducible(spark, sf_dir, tmp_path):
     import tarfile
 
