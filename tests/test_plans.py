@@ -500,3 +500,36 @@ def test_curriculum_schedule_windows_are_partitioned(spark, sf_dir):
             "partition-less window in curriculum plan: "
             f"windowspecdefinition({m.group(1)[:120]}...)"
         )
+
+
+def test_decontaminate_spans_probe_broadcasts_no_cartesian(spark, sf_dir):
+    """The decontamination probe set must reach the corpus side as a
+    BROADCAST (a shuffled gram join would move the 100 TB corpus's
+    exploded grams), and nothing in the plan may degenerate to a
+    cartesian product. The non-broadcast shuffles are the hit-start
+    groupBy and the contaminated-doc rebuild join — candidate-sized,
+    never corpus-gram-sized."""
+    plan = _simple(QUERIES["doc_decontaminate_spans"](spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange") <= 4
+
+
+def test_token_balanced_shards_no_global_window_no_extra_scan(spark, sf_dir):
+    """The balanced-shard plan must keep add_global_cumsum's shape —
+    pid-PARTITIONED window, offsets arriving by broadcast — and the
+    grand total must ride the offsets collect as a literal: no second
+    scan+aggregate+crossJoin for sum(weights), no partition-less
+    window."""
+    import re
+
+    df = QUERIES["doc_token_balanced_shards"](spark, sf_dir)
+    plan = _plan(df)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        first_arg = m.group(1).split(",")[0]
+        assert "ASC" not in first_arg and "DESC" not in first_arg, (
+            "partition-less window in balanced-shard plan"
+        )
+    simple = _simple(df)
+    assert "CartesianProduct" not in simple and "Join Cross" not in simple
+    assert simple.count("Exchange") <= 3
