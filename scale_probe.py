@@ -695,6 +695,34 @@ def probe(spark, sizes, ops=None, repeat=1):
 
             timed("epoch_shuffle_rank", n, lambda: epoch_shuffle(
                 docs.select("doc_id"), "doc_id", epochs=3).count())
+        # span-surgery decontamination (round 11): probe = every 50th
+        # doc (2% benchmark), corpus = the rest. The corpus-side gram
+        # explode is the linear term; the probe broadcast and the
+        # candidate-sized rebuild join must NOT grow super-linearly.
+        if wanted("decon_spans"):
+            from fugue_warehouses_spark.extensions.contamination import (
+                decontaminate_spans,
+            )
+
+            pr = docs.filter(F.col("doc_id") % 50 == 0)
+            corp = docs.filter(F.col("doc_id") % 50 != 0)
+            timed("decon_spans", n, lambda: decontaminate_spans(
+                corp, pr, n=4).count())
+        # token-balanced shard planning (round 11): one range exchange
+        # + O(#partitions) offsets + shard groupBy — expected ~linear,
+        # flat in n_shards.
+        if wanted("balanced_shards"):
+            from fugue_warehouses_spark.functions.text import token_count
+            from fugue_warehouses_spark.operators.layout import (
+                token_balanced_shards,
+            )
+
+            weighted = docs.select(
+                "doc_id", token_count("text").alias("w")
+            )
+            timed("balanced_shards", n, lambda: token_balanced_shards(
+                weighted, "doc_id", "w", 64
+            ).groupBy("shard").count().count())
         # rolling semantic dedup: history = the oldest 80%, batch the
         # newest 20% — exact (k=1 BLAS vs streaming history) and
         # index-served (persisted IVF, full-probe) shapes; the index
