@@ -524,3 +524,72 @@ def test_compact_survivors_idempotent_under_random_replays(
     # idempotent: a second compaction changes nothing
     again = sorted(map(tuple, compact_survivors(spark, path).collect()))
     assert again == want
+
+
+@given(
+    st.lists(  # corpus docs as token lists over a tiny vocab so probe
+        st.lists(  # overlap actually happens at n=2
+            st.sampled_from(["aa", "Bb", "cc", "dd", "EE"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.integers(2, 3),
+)
+@settings(max_examples=10, deadline=None)
+def test_decontaminate_spans_matches_python_reference(
+    spark, corpus_toks, probe_toks, n
+):
+    """decontaminate_spans == the obvious Python span surgery: mark
+    every token position covered by a lowercased n-gram shared with
+    the probe set, drop those positions, rejoin the rest — on random
+    tiny-vocab corpora where overlaps, overlapping windows, full
+    removals and case differences all occur. Output rows only for
+    contaminated docs; raw case preserved in survivors."""
+    from fugue_warehouses_spark.extensions.contamination import (
+        decontaminate_spans,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(corpus_toks)],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(probe_toks)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.removed_tokens, r.clean_text)
+        for r in decontaminate_spans(corpus, probes, n=n).collect()
+    }
+
+    probe_grams = set()
+    for t in probe_toks:
+        low = [x.lower() for x in t]
+        probe_grams |= {
+            " ".join(low[i:i + n]) for i in range(len(low) - n + 1)
+        }
+    want = {}
+    for i, t in enumerate(corpus_toks):
+        low = [x.lower() for x in t]
+        covered = set()
+        for s in range(len(low) - n + 1):
+            if " ".join(low[s:s + n]) in probe_grams:
+                covered |= set(range(s, s + n))
+        if covered:
+            clean = " ".join(
+                tok for p, tok in enumerate(t) if p not in covered
+            )
+            want[i] = (len(t), len(covered), clean)
+    assert got == want
