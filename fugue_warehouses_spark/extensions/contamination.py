@@ -124,10 +124,9 @@ def decontaminate_spans(
     groupBy (contaminated-WINDOW-sized, not corpus-sized) and the
     doc-keyed inner join back (contaminated-DOC-sized). The covered
     position set is computed in the aggregate's own projection, so
-    downstream lambdas see it as a plain column attribute — the
-    per-element work in the reconstruction filter is one
-    ``array_contains`` probe, never a re-evaluated expression tree
-    (round-10 inlining lesson, see ``word_ngrams``)."""
+    downstream lambdas see it as a plain column attribute (round-10
+    inlining lesson, see ``word_ngrams``), and the reconstruction is
+    LINEAR in document length — see the array_except comment below."""
     probe = probe_gram_set(probes, text_col, n, hash_grams)
     # posexplode index == 0-based token start of the gram
     corpus_grams = corpus.select(
@@ -160,15 +159,30 @@ def decontaminate_spans(
         *[F.col(c) for c in keep_cols],
         tokens(text_col).alias("__toks"),
     )
+    # Linear reconstruction: surviving POSITIONS via array_except
+    # (hash-based, order-preserving), then O(1) array indexing per
+    # survivor. The tempting filter-with-index form —
+    # ``F.filter(toks, (t, i) -> !array_contains(covered, i))`` — is
+    # O(len x covered) per document: a fully-contaminated 100k-token
+    # document would pay 1e10 comparisons (the round-10/11 quadratic
+    # class, invisible at fixture lengths; the long-doc canary in
+    # tests/test_properties.py covers this kernel). ``__toks`` is a
+    # projected attribute, so referencing it inside the transform
+    # lambda costs O(1) per element. A contaminated doc has >= n
+    # tokens (it produced a gram), so size - 1 >= 0 and the sequence
+    # below never runs backwards.
+    surv_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("__toks") - 1), F.col("__covered")
+    )
     return toks.join(hits, id_col, "inner").select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         F.size("__toks").cast("long").alias("n_tokens"),
         F.size("__covered").cast("long").alias("removed_tokens"),
         F.array_join(
-            F.filter(
-                "__toks",
-                lambda t, i: ~F.array_contains(F.col("__covered"), i),
+            F.transform(
+                surv_pos,
+                lambda p: F.element_at(F.col("__toks"), p + F.lit(1)),
             ),
             " ",
         ).alias("clean_text"),

@@ -212,9 +212,11 @@ def token_balanced_shards(
     Scale shape: the prefix sums come from
     ``operators/rank.add_global_cumsum`` (one range exchange +
     O(#partitions) offsets + pid-partitioned window — never a
-    partition-less global window); the total is one scalar aggregate
-    broadcast back. Integer weights make the assignment
-    bit-deterministic across engines (integer multiply + floor div).
+    partition-less global window); the grand total rides the operator's
+    offsets collect as a literal (``total_col``), so no second pass
+    over the data. Weights must be non-negative integers — that makes
+    the assignment bit-deterministic across engines (integer multiply
+    + floor div) and keeps the prefix-sum bound meaningful.
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")

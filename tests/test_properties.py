@@ -457,6 +457,32 @@ def _canary_minhash_signing(spark, docs):
     assert sig.count() == 8
 
 
+def _canary_decontaminate_spans(spark, docs):
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.extensions.contamination import (
+        decontaminate_spans,
+    )
+
+    # the cyclic token sequences share every consecutive 5-gram, so
+    # probe = doc 0 FULLY covers all other docs — the worst case for
+    # the reconstruction step (covered == every position; the
+    # filter-with-array_contains form would pay O(len²) per doc here)
+    probes = docs.filter(F.col("doc_id") == 0).select("text")
+    corpus = docs.filter(F.col("doc_id") > 0)
+    row = (
+        decontaminate_spans(corpus, probes, n=5)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("removed_tokens").alias("removed"),
+            F.sum(F.length("clean_text")).alias("left"),
+        )
+        .first()
+    )
+    assert row["docs"] == 7 and row["removed"] == 7 * 20_000
+    assert row["left"] == 0
+
+
 _LONG_DOC_CANARIES = [
     ("word_ngrams", _canary_word_ngrams),
     ("hashed_tokens_bigram", _canary_hashed_tokens_bigram),
@@ -464,6 +490,7 @@ _LONG_DOC_CANARIES = [
     ("chunk_text_tokens_col", _canary_chunk_text_tokens_col),
     ("quality_kernels", _canary_quality_kernels),
     ("minhash_signing", _canary_minhash_signing),
+    ("decontaminate_spans", _canary_decontaminate_spans),
 ]
 
 
