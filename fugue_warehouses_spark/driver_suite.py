@@ -73,6 +73,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_contamination": (("source", "s"), ("n_docs", "i"), ("n_contaminated", "i"),),
     "doc_decontaminate_spans": (("doc_id", "i"), ("source", "s"), ("n_tokens", "i"), ("removed_tokens", "i"), ("clean_md5", "s"),),
     "doc_near_dedup_canonical": (("doc_id", "i"), ("source", "s"), ("cluster_size", "i"),),
+    "doc_dup_cluster_sizes": (("cluster_size", "i"), ("n_clusters", "i"), ("n_docs", "i"), ("dropped_tokens", "i"),),
     "doc_token_balanced_shards": (("shard", "i"), ("n_docs", "i"), ("shard_tokens", "i"), ("id_checksum", "i"),),
     "doc_corpus_datacard": (("source", "s"), ("n_docs", "i"), ("total_tokens", "i"), ("n_langs", "i"), ("top_lang", "s"), ("top_lang_tokens", "i"), ("top_lang_token_share", "f"), ("n_exact_dup_docs", "i"), ("distinct_fps", "i"), ("p50_tokens", "f"), ("p90_tokens", "f"), ("p99_tokens", "f"),),
     "doc_alpha_mixture": (("lang", "s"), ("n_docs", "i"), ("id_sum", "i"),),
@@ -272,6 +273,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "doc_near_dup_signature_estimate",
         "doc_context_windows", "doc_webdataset_export",
         "doc_decontaminate_spans", "doc_near_dedup_canonical",
+        "doc_dup_cluster_sizes",
     ),
     # A12/A13 + deterministic sampling/mixture family
     "sampling_suite": (

@@ -1462,6 +1462,110 @@ _NEAR_DEDUP_CANONICAL_SQL = """
     """
 
 
+# Same recursive-closure shape again, aggregated to the duplication
+# PROFILE: how many near-dup clusters of each size, how many docs they
+# bind, and the token mass a dedup pass would drop (all non-survivor
+# docs' tokens, min-id survivor convention). comp includes self, so
+# grouping by it enumerates full membership; singletons are docs
+# absent from the pair graph.
+_DUP_CLUSTER_SIZES_SQL = """
+    WITH RECURSIVE g AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(length(text) - 4, 1)),
+        i -> substring(text, i, 5))) AS grams
+      FROM documents),
+    p AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                     / (len(a.grams) + len(b.grams)
+                        - len(list_intersect(a.grams, b.grams))), 6) AS jac
+        FROM g a JOIN g b ON a.doc_id < b.doc_id)
+      WHERE jac >= 0.6),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM sym
+      UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+    comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+    tok AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             t -> t <> ''))::BIGINT AS ntok
+      FROM documents),
+    clusters AS (
+      SELECT c.comp,
+             count(*) AS sz,
+             sum(CASE WHEN c.id <> c.comp THEN t.ntok ELSE 0 END) AS drop_tok
+      FROM comp c JOIN tok t ON c.id = t.doc_id
+      GROUP BY c.comp),
+    singles AS (
+      SELECT count(*)::BIGINT AS n FROM documents d
+      WHERE d.doc_id NOT IN (SELECT id FROM comp))
+    SELECT sz::BIGINT AS cluster_size,
+           count(*)::BIGINT AS n_clusters,
+           (sz * count(*))::BIGINT AS n_docs,
+           sum(drop_tok)::BIGINT AS dropped_tokens
+    FROM clusters GROUP BY sz
+    UNION ALL
+    SELECT 1, n, n, 0 FROM singles WHERE n > 0
+    """
+
+
+@_q("doc_dup_cluster_sizes", _DUP_CLUSTER_SIZES_SQL)
+def doc_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile for a release datacard: the near-dup
+    cluster-size histogram (n clusters / docs per size, singletons as
+    size 1) and the token mass a min-id dedup pass would drop per
+    size. The cluster labels are the same MinHash-LSH pair graph +
+    label-propagation components the resolution facets use — this
+    facet answers 'HOW duplicated is the corpus' where they answer
+    'which docs survive'. Aggregation is component-keyed then
+    size-keyed — both tiny frames; the oracle replays the recursive
+    closure and the same integer aggregates."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.near_dup_pairs_minhash(docs, "doc_id", "text", threshold=0.6)
+    comps = DD.connected_components(pairs.select("id_a", "id_b"))
+    toks = docs.select(
+        "doc_id", TX.token_count("text").alias("__ntok")
+    )
+    members = comps.join(
+        toks, comps["id"] == toks["doc_id"], "inner"
+    ).select("id", "component", "__ntok")
+    clusters = members.groupBy("component").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum(
+            F.when(F.col("id") != F.col("component"), F.col("__ntok"))
+            .otherwise(F.lit(0))
+            .cast("long")
+        ).alias("drop_tok"),
+    )
+    hist = clusters.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("drop_tok").alias("dropped_tokens"),
+    ).select(
+        F.col("sz").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long"),
+        (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        F.col("dropped_tokens").cast("long"),
+    )
+    singles = (
+        docs.join(comps, docs["doc_id"] == comps["id"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n").cast("long").alias("n_clusters"),
+            F.col("n").cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("dropped_tokens"),
+        )
+    )
+    return hist.select(
+        "cluster_size", "n_clusters", "n_docs", "dropped_tokens"
+    ).unionByName(singles)
+
+
 @_q("doc_near_dedup_canonical", _NEAR_DEDUP_CANONICAL_SQL)
 def doc_near_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup with a canonical-selection POLICY
