@@ -695,6 +695,28 @@ def probe(spark, sizes, ops=None, repeat=1):
 
             timed("epoch_shuffle_rank", n, lambda: epoch_shuffle(
                 docs.select("doc_id"), "doc_id", epochs=3).count())
+        # connected-components label propagation (round 11): the
+        # resolution step behind dedup_near/_canonical and the
+        # duplication profile. Synthetic DISTRIBUTED edge list — n/4
+        # four-node chains — verifies the component count exactly and
+        # times the propagate+path-halving loop. Expect ~linear in
+        # edges with a round count that stays flat (diameter 3).
+        if wanted("cc_label_prop"):
+            edges = (
+                spark.range(n)
+                .filter(F.col("id") % 4 != 3)
+                .select(
+                    F.col("id").alias("id_a"),
+                    (F.col("id") + 1).alias("id_b"),
+                )
+            )
+
+            def _cc():
+                comps = D.connected_components(edges)
+                got = comps.select("component").distinct().count()
+                assert got == n // 4, (got, n // 4)
+
+            timed("cc_label_prop", n, _cc)
         # span-surgery decontamination (round 11): probe = every 50th
         # doc (2% benchmark), corpus = the rest. The corpus-side gram
         # explode is the linear term; the probe broadcast and the
