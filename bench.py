@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "lineitem_unpivot_charges",
     "doc_top_tokens",
     "multimodal_features",
+    "multimodal_audio_features",
     "doc_chunks",
     "doc_context_windows",
     "doc_training_pipeline",

@@ -341,6 +341,7 @@ KEEPS: tuple[str, ...] = (
     "embedding_ivf_topk",
     "embedding_kmeans",
     "multimodal_features",
+    "multimodal_audio_features",
     "part_pagerank",
     "customer_fuzzy_match",
     "doc_bm25_search",

@@ -11,7 +11,9 @@ stubs: ``decode_stub=True`` produces deterministic fake features
 derived from the payload bytes. With ``decode_stub=False`` the image
 kernels now run a REAL decode→process→re-encode path for PNG
 payloads via the stdlib-only codec in :mod:`extensions.png`
-(decode, box-resample, encode — round 6); every other format still
+(decode, box-resample, encode — round 6), and the audio kernel
+really decodes RIFF/WAV PCM via :mod:`extensions.wav` (round 11);
+every other format still
 raises ``NotImplementedError`` at the point its codec would run —
 that boundary is honest, not a stub farm. The Spark-side plumbing —
 schema, batch shape, partitioning, UDF signatures — is identical in
@@ -147,6 +149,105 @@ def extract_features(
                     "n_bytes": [len(p) if p is not None else 0 for p in payloads],
                 }
             )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    frame_len: int = 160,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """binary audio payload -> integer acoustic aggregates per payload.
+
+    Output schema (all exact integers so a SQL oracle can replay it):
+    ``(id long, sample_rate int, n_samples long, n_frames long,
+    sumsq long, zero_crossings long, peak int, max_frame_sumsq long,
+    n_bytes long)``.
+
+    ``decode_stub=False``: WAV/PCM payloads take the REAL pipeline —
+    RIFF chunk-walk decode, channel mixdown, ``frame_len``-sample
+    framing, vectorized integer features (:mod:`extensions.wav`,
+    round 11) — any other container raises ``NotImplementedError``
+    (mp3/flac/ogg codecs are genuinely absent here).
+    ``decode_stub=True``: deterministic pseudo-aggregates derived from
+    the payload digest (same convention as ``_fake_features``), so the
+    plumbing is testable with no codec at all.
+
+    Scale shape: identical to ``extract_features`` — ``mapInPandas``
+    over the payload column, embarrassingly parallel, payloads never
+    shuffled or collected; outputs are 9 scalars per payload, so the
+    frame after this is metadata-sized regardless of audio length.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("sumsq", T.LongType()),
+            T.StructField("zero_crossings", T.LongType()),
+            T.StructField("peak", T.IntegerType()),
+            T.StructField("max_frame_sumsq", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def _real(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+        from fugue_warehouses_spark.extensions.wav import (
+            decode_wav,
+            frame_features,
+            mixdown,
+        )
+
+        if payload[:4] != b"RIFF":
+            raise NotImplementedError(
+                "real audio decode beyond WAV/PCM requires codec "
+                "libraries absent in this environment"
+            )
+        samples, rate = decode_wav(payload)
+        mono = mixdown(samples)
+        ff = frame_features(mono, frame_len)
+        return (
+            int(rate),
+            int(mono.size),
+            int(ff["sumsq"].size),
+            int(ff["sumsq"].sum()),
+            int(ff["zero_crossings"].sum()),
+            int(ff["peak"].max()) if ff["peak"].size else 0,
+            int(ff["sumsq"].max()) if ff["sumsq"].size else 0,
+        )
+
+    def _stub(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+        h = hashlib.sha256((payload or b"") + (0).to_bytes(4, "big")).digest()
+        w = [int.from_bytes(h[i : i + 4], "big") for i in range(0, 28, 4)]
+        n_samples = w[1] % 65536
+        n_frames = -(-n_samples // frame_len) if n_samples else 0
+        return (16000, n_samples, n_frames, w[2], w[3] % (n_samples + 1),
+                w[4] % 32768, w[5])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _stub if decode_stub else _real
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "id", "sample_rate", "n_samples", "n_frames", "sumsq",
+                "zero_crossings", "peak", "max_frame_sumsq", "n_bytes",
+            )}
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                rate, n, nf, ss, zc, pk, mfs = kernel(payload)
+                rows["id"].append(int(rid))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["n_frames"].append(nf)
+                rows["sumsq"].append(ss)
+                rows["zero_crossings"].append(zc)
+                rows["peak"].append(pk)
+                rows["max_frame_sumsq"].append(mfs)
+                rows["n_bytes"].append(len(payload))
+            yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 

@@ -2372,6 +2372,89 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+# The audio facet's payloads are synthesized PCM whose sample stream is
+# a closed-form integer function of (doc_id, i) — so after the REAL
+# WAV encode->decode round trip (lossless for int16 PCM) the decoded
+# features are pure integer arithmetic DuckDB replays exactly: no
+# float enters either engine. n_bytes is the canonical 44-byte
+# header + 2 bytes/sample, also closed-form.
+_AUDIO_SQL = """
+    WITH base AS (
+      SELECT doc_id AS id, 256 + doc_id % 256 AS n FROM documents
+    ), s AS (
+      SELECT b.id, b.n, g.i,
+             ((b.id * 2654435761 + g.i * 40503) % 65536) - 32768 AS v
+      FROM base b, LATERAL (SELECT unnest(range(0, b.n)) AS i) g
+    ), c AS (
+      SELECT id, n, i, v, i // 160 AS frame,
+             CASE WHEN i > 0
+                   AND ((lag(v) OVER (PARTITION BY id ORDER BY i) < 0)
+                        <> (v < 0))
+                  THEN 1 ELSE 0 END AS xing
+      FROM s
+    ), f AS (
+      SELECT id, frame, sum(v * v)::BIGINT AS fsumsq,
+             sum(xing)::BIGINT AS fxing, max(abs(v))::INT AS fpeak
+      FROM c GROUP BY id, frame
+    )
+    SELECT f.id, 16000 AS sample_rate, max(b.n)::BIGINT AS n_samples,
+           count(*)::BIGINT AS n_frames, sum(fsumsq)::BIGINT AS sumsq,
+           sum(fxing)::BIGINT AS zero_crossings, max(fpeak)::INT AS peak,
+           max(fsumsq)::BIGINT AS max_frame_sumsq,
+           (44 + 2 * max(b.n))::BIGINT AS n_bytes
+    FROM f JOIN base b USING (id)
+    GROUP BY f.id ORDER BY f.id
+    """
+
+
+@_q("multimodal_audio_features", _AUDIO_SQL)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio leg of the multimodal surface (round 11): synthesize
+    deterministic PCM per document, encode it as a genuine WAV
+    container (extensions.wav), then run the full real pipeline —
+    RIFF chunk-walk decode, 160-sample framing, vectorized integer
+    acoustic features (multimodal.audio_features, decode_stub=False).
+
+    The WAV encode->decode round trip is byte-lossless for int16 PCM,
+    so the oracle replays the same closed-form sample stream in pure
+    SQL and every output column hash-matches exactly. Scale shape:
+    two chained mapInPandas stages (synth+encode, decode+featurize),
+    both embarrassingly parallel — payloads never shuffle; the
+    result is 9 scalars/doc. The id frame is round-robin repartitioned
+    to the session's parallelism before the synth stage: the fixture
+    corpus is one parquet file (one input split), and a payload kernel
+    chained onto a single split would serialize — at 100 TB the
+    repartition moves only 8-byte ids, never audio bytes."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from fugue_warehouses_spark.extensions.wav import encode_wav
+
+        for pdf in batches:
+            ids = pdf["id"].astype("int64")
+            payloads = []
+            for did in ids:
+                n = 256 + int(did) % 256
+                v = (
+                    (int(did) * 2654435761
+                     + np.arange(n, dtype=np.int64) * 40503) % 65536
+                ) - 32768
+                payloads.append(encode_wav(v.astype(np.int16), 16000))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "id long, payload binary")
+    return MM.audio_features(
+        media, "payload", "id", frame_len=160, decode_stub=False
+    ).orderBy("id")
+
+
 @_q(
     "q9_profit_by_nation",
     """
