@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "doc_top_tokens",
     "multimodal_features",
     "multimodal_audio_features",
+    "multimodal_audio_segments",
     "doc_chunks",
     "doc_context_windows",
     "doc_training_pipeline",

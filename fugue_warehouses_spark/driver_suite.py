@@ -132,6 +132,8 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "lineitem_stats_suite": (("l_returnflag", "s"), ("n", "i"), ("qty_price_corr", "f"), ("qty_price_covar", "f"), ("qty_disc_covar_pop", "f"), ("price_stddev", "f"), ("qty_stddev_pop", "f"), ("disc_var", "f"), ("qty_median", "f"),),
     "lineitem_unpivot_charges": (("l_returnflag", "s"), ("measure", "s"), ("amount", "f"),),
     "lineitem_winsorized": (("l_returnflag", "s"), ("n", "i"), ("n_clipped_low", "i"), ("n_clipped_high", "i"), ("mean_raw", "f"), ("mean_winsorized", "f"),),
+    "multimodal_audio_features": (("id", "i"), ("sample_rate", "i"), ("n_samples", "i"), ("n_frames", "i"), ("sumsq", "i"), ("zero_crossings", "i"), ("peak", "i"), ("max_frame_sumsq", "i"), ("n_bytes", "i"),),
+    "multimodal_audio_segments": (("id", "i"), ("seg_idx", "i"), ("start_frame", "i"), ("end_frame", "i"), ("n_frames", "i"), ("seg_sumsq", "i"), ("seg_peak", "i"),),
     "nation_customer_roster": (("nation", "s"), ("roster", "s"), ("n_customers", "i"),),
     "orders_approx_distinct": (("approx_custkeys", "i"), ("n_orders", "i"),),
     "orders_approx_distinct_check": (("o_orderstatus", "s"), ("exact_custkeys", "i"), ("approx_within_5pct", "i"),),
@@ -314,6 +316,10 @@ SUITES: dict[str, tuple[str, ...]] = {
     ),
     # B10 take with presort + NULL position
     "take_suite": ("take_top2_per_order", "take_nulls_first_events"),
+    # §2.E audio leg: REAL WAV decode -> integer features / VAD islands
+    "multimodal_audio_suite": (
+        "multimodal_audio_features", "multimodal_audio_segments",
+    ),
 }
 
 # queries that keep their own driver slot (full-row hash check)
@@ -341,7 +347,6 @@ KEEPS: tuple[str, ...] = (
     "embedding_ivf_topk",
     "embedding_kmeans",
     "multimodal_features",
-    "multimodal_audio_features",
     "part_pagerank",
     "customer_fuzzy_match",
     "doc_bm25_search",

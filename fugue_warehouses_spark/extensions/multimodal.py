@@ -252,6 +252,116 @@ def audio_features(
     return df.select(id_col, payload_col).mapInPandas(run, schema)
 
 
+def audio_segments(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    frame_len: int = 160,
+    sumsq_threshold: int = 0,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """VAD-style silence segmentation: one output row per maximal run
+    of consecutive ACTIVE frames (frame energy ``sumsq >
+    sumsq_threshold``) — the utterance-extraction primitive an audio
+    training pipeline runs before transcription/embedding.
+
+    Output: ``(id long, seg_idx int, start_frame long, end_frame long,
+    n_frames long, seg_sumsq long, seg_peak int)`` — ``end_frame``
+    inclusive, ``seg_idx`` 0-based per payload in time order; all
+    integer-exact so a SQL oracle replays it as a classic
+    gaps-and-islands over the decoded frame table.
+
+    ``decode_stub=False`` really decodes WAV/PCM (:mod:`extensions
+    .wav`); the stub path fabricates a deterministic frame-energy
+    sequence from the payload digest so plumbing is testable with no
+    codec. Same scale shape as ``audio_features``: per-payload Arrow
+    kernel, no shuffle, output rows are segment-sized (7 scalars),
+    never sample-sized.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("seg_idx", T.IntegerType()),
+            T.StructField("start_frame", T.LongType()),
+            T.StructField("end_frame", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("seg_sumsq", T.LongType()),
+            T.StructField("seg_peak", T.IntegerType()),
+        ]
+    )
+
+    def _frames_real(payload: bytes):
+        import numpy as np
+
+        from fugue_warehouses_spark.extensions.wav import (
+            decode_wav,
+            mixdown,
+        )
+
+        if payload[:4] != b"RIFF":
+            raise NotImplementedError(
+                "real audio decode beyond WAV/PCM requires codec "
+                "libraries absent in this environment"
+            )
+        mono = mixdown(decode_wav(payload)[0])
+        n = mono.size
+        n_frames = -(-n // frame_len) if n else 0
+        if not n_frames:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z
+        pad = n_frames * frame_len - n
+        fr = np.pad(mono, (0, pad)).reshape(n_frames, frame_len)
+        return (fr * fr).sum(axis=1), np.abs(fr).max(axis=1)
+
+    def _frames_stub(payload: bytes):
+        import numpy as np
+
+        h = hashlib.sha256((payload or b"") + (1).to_bytes(4, "big"))
+        seed = int.from_bytes(h.digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        n_frames = int(seed % 24)
+        sumsq = rng.integers(0, 2**40, size=n_frames, dtype=np.int64)
+        peak = rng.integers(0, 32768, size=n_frames, dtype=np.int64)
+        return sumsq, peak
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        frames = _frames_stub if decode_stub else _frames_real
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "id", "seg_idx", "start_frame", "end_frame", "n_frames",
+                "seg_sumsq", "seg_peak",
+            )}
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload) if payload is not None else b""
+                sumsq, peak = frames(payload)
+                active = sumsq > sumsq_threshold
+                if not active.any():
+                    continue
+                # island boundaries: starts where active rises, ends
+                # where it falls (vectorized run-length extraction)
+                edges = np.diff(active.astype(np.int8))
+                starts = np.flatnonzero(edges == 1) + 1
+                ends = np.flatnonzero(edges == -1)
+                if active[0]:
+                    starts = np.concatenate(([0], starts))
+                if active[-1]:
+                    ends = np.concatenate((ends, [active.size - 1]))
+                csum = np.concatenate(([0], np.cumsum(sumsq)))
+                for k, (s, e) in enumerate(zip(starts, ends)):
+                    cols["id"].append(int(rid))
+                    cols["seg_idx"].append(k)
+                    cols["start_frame"].append(int(s))
+                    cols["end_frame"].append(int(e))
+                    cols["n_frames"].append(int(e - s + 1))
+                    cols["seg_sumsq"].append(int(csum[e + 1] - csum[s]))
+                    cols["seg_peak"].append(int(peak[s : e + 1].max()))
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str,

@@ -2455,6 +2455,83 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+# Segmentation sibling: amplitude-modulated PCM (every 4th 160-sample
+# frame is ~18 dB quieter) so thresholded frame energy yields real
+# active/silent islands; the oracle is a classic gaps-and-islands
+# (row_number difference) over the replayed frame table. All integer.
+_AUDIO_SEG_SQL = """
+    WITH base AS (
+      SELECT doc_id AS id, 512 + doc_id % 512 AS n FROM documents
+    ), s AS (
+      SELECT b.id, g.i,
+             (((b.id * 2654435761 + g.i * 40503) % 8192) - 4096)
+             * (CASE WHEN (g.i // 160) % 4 = 0 THEN 1 ELSE 8 END) AS v
+      FROM base b, LATERAL (SELECT unnest(range(0, b.n)) AS i) g
+    ), f AS (
+      SELECT id, i // 160 AS frame, sum(v * v)::BIGINT AS fsumsq,
+             max(abs(v))::INT AS fpeak
+      FROM s GROUP BY id, i // 160
+    ), a AS (
+      SELECT *, frame - row_number() OVER (PARTITION BY id ORDER BY frame)
+                 AS grp
+      FROM f WHERE fsumsq > 10000000000
+    ), seg AS (
+      SELECT id, min(frame) AS start_frame, max(frame) AS end_frame,
+             count(*)::BIGINT AS n_frames, sum(fsumsq)::BIGINT AS seg_sumsq,
+             max(fpeak)::INT AS seg_peak
+      FROM a GROUP BY id, grp
+    )
+    SELECT id,
+           (row_number() OVER (PARTITION BY id ORDER BY start_frame)
+            - 1)::INT AS seg_idx,
+           start_frame, end_frame, n_frames, seg_sumsq, seg_peak
+    FROM seg ORDER BY id, seg_idx
+    """
+
+
+@_q("multimodal_audio_segments", _AUDIO_SEG_SQL)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style utterance extraction over REALLY-decoded audio
+    (round 11): synthesize amplitude-modulated PCM (quiet frame every
+    4th), WAV-encode, then run multimodal.audio_segments with
+    decode_stub=False — RIFF decode, 160-sample framing, energy
+    threshold, maximal-run island extraction inside the Arrow batch.
+    Oracle replays the frame table in SQL and does the textbook
+    gaps-and-islands; int16 PCM round-trips losslessly so the match
+    is hash-exact. Segment rows (7 scalars) are the only thing that
+    leaves the kernel — at 100 TB the audio bytes ride the scan."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from fugue_warehouses_spark.extensions.wav import encode_wav
+
+        for pdf in batches:
+            ids = pdf["id"].astype("int64")
+            payloads = []
+            for did in ids:
+                n = 512 + int(did) % 512
+                i = np.arange(n, dtype=np.int64)
+                b = ((int(did) * 2654435761 + i * 40503) % 8192) - 4096
+                gain = np.where((i // 160) % 4 == 0, 1, 8)
+                payloads.append(
+                    encode_wav((b * gain).astype(np.int16), 16000)
+                )
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "id long, payload binary")
+    return MM.audio_segments(
+        media, "payload", "id", frame_len=160,
+        sumsq_threshold=10_000_000_000, decode_stub=False,
+    ).orderBy("id", "seg_idx")
+
+
 @_q(
     "q9_profit_by_nation",
     """

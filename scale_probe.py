@@ -126,6 +126,7 @@ def probe(spark, sizes, ops=None, repeat=1):
         "global_cumsum_window",
         "pagerank_phases",
         "ann_recall",
+        "audio_kernel",
     }
     # part_pagerank per-phase attribution (round 11, VERDICT r10 next
     # #3): the facet's clean-window readings trended 1.88 -> 2.33 ->
@@ -346,6 +347,60 @@ def probe(spark, sizes, ops=None, repeat=1):
         if need_emb:
             emb = make_embeddings(spark, n).repartition(32).cache()
             emb.count()
+
+        # REAL WAV decode throughput, off-fixture (round 11): n one-
+        # second clips (16000 samples @ 16 kHz ~= 32 KB WAV each),
+        # synthesized + encoded DISTRIBUTED off spark.range (clips
+        # never touch the driver) and cached as binary OUTSIDE the
+        # timed region. The timed region is exactly the facet's
+        # serving stage — RIFF decode + 160-sample framing + integer
+        # features (multimodal.audio_features, decode_stub=False).
+        # Linear-in-n wall time at fixed clip length == kernel-bound;
+        # MB/s = n * (44 + 2*16000) / t.
+        if wanted("audio_kernel"):
+            from pyspark.sql import functions as _F
+
+            from fugue_warehouses_spark.extensions import (
+                multimodal as _MM,
+            )
+
+            def _gen_audio(batches):
+                import numpy as np
+                import pandas as pd
+
+                from fugue_warehouses_spark.extensions.wav import (
+                    encode_wav,
+                )
+
+                for pdf in batches:
+                    ids = pdf["id"].astype("int64")
+                    payloads = []
+                    for did in ids:
+                        v = (
+                            (int(did) * 2654435761
+                             + np.arange(16000, dtype=np.int64) * 40503)
+                            % 65536
+                        ) - 32768
+                        payloads.append(
+                            encode_wav(v.astype(np.int16), 16000)
+                        )
+                    yield pd.DataFrame({"id": ids, "payload": payloads})
+
+            media = (
+                spark.range(n)
+                .select(_F.col("id"))
+                .repartition(32)
+                .mapInPandas(_gen_audio, "id long, payload binary")
+                .cache()
+            )
+            media.count()
+            timed(
+                "audio_kernel", n,
+                lambda: _MM.audio_features(
+                    media, "payload", "id", decode_stub=False
+                ).count(),
+            )
+            media.unpersist()
 
         # distributed global cumsum (rank.add_global_cumsum) vs the
         # naive partition-less SUM() OVER (ORDER BY) window — the

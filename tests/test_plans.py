@@ -533,3 +533,21 @@ def test_token_balanced_shards_no_global_window_no_extra_scan(spark, sf_dir):
     simple = _simple(df)
     assert "CartesianProduct" not in simple and "Join Cross" not in simple
     assert simple.count("Exchange") <= 3
+
+
+def test_audio_facets_payloads_never_shuffle(spark, sf_dir):
+    """The audio facets chain synth -> featurize as two MapInPandas
+    stages; the ONLY exchanges allowed are the 8-byte-id round-robin
+    BEFORE the synth kernel and the final 9-scalar sort — an exchange
+    between the two kernels would shuffle whole WAV payloads, the
+    exact thing the 100 TB shape forbids."""
+    for name in ("multimodal_audio_features", "multimodal_audio_segments"):
+        simple = _simple(QUERIES[name](spark, sf_dir))
+        assert simple.count("Exchange") <= 2, (name, simple)
+        # no exchange between the two python kernels: the plan segment
+        # from the first MapInPandas (bottom-up: last in text) to the
+        # second must be exchange-free
+        idx = [m for m in range(len(simple)) if simple.startswith("MapInPandas", m)]
+        assert len(idx) == 2, (name, "expected exactly two MapInPandas")
+        between = simple[idx[0]:idx[1]]
+        assert "Exchange" not in between, (name, between)

@@ -226,6 +226,67 @@ def test_audio_features_real_rejects_foreign_container(spark):
         MM.audio_features(df, "payload", "id", decode_stub=False).collect()
 
 
+def _ref_segments(sumsq, peak, thr):
+    out, k, s = [], 0, None
+    nf = len(sumsq)
+    for f in range(nf):
+        if sumsq[f] > thr and s is None:
+            s = f
+        if s is not None and (f == nf - 1 or sumsq[f] <= thr):
+            e = f if sumsq[f] > thr else f - 1
+            out.append(
+                (k, s, e, e - s + 1, sum(sumsq[s : e + 1]),
+                 max(peak[s : e + 1]))
+            )
+            k += 1
+            s = None
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(-2048, 2047), min_size=1, max_size=900),
+    st.integers(1, 8),
+)
+def test_audio_segments_real_matches_python_reference(spark, vals, gain_period):
+    # amplitude-modulate so active/silent islands actually occur
+    x = np.array(vals, dtype=np.int64)
+    i = np.arange(x.size)
+    x = x * np.where((i // 40) % gain_period == 0, 1, 8)
+    payload = encode_wav(x.astype(np.int16), 16000)
+    thr = 40 * 1024 * 1024  # between quiet and loud frame energies
+    out = MM.audio_segments(
+        _media_df(spark, [payload]), "payload", "id",
+        frame_len=40, sumsq_threshold=thr, decode_stub=False,
+    ).orderBy("seg_idx").collect()
+    ff = frame_features(x, 40)
+    # per-frame peak for the reference (frame_features peak is per-frame)
+    exp = _ref_segments(
+        [int(v) for v in ff["sumsq"]], [int(v) for v in ff["peak"]], thr
+    )
+    got = [(r.seg_idx, r.start_frame, r.end_frame, r.n_frames,
+            r.seg_sumsq, r.seg_peak) for r in out]
+    assert got == exp
+
+
+def test_audio_segments_all_silent_yields_no_rows(spark):
+    payload = encode_wav(np.zeros(500, dtype=np.int16), 16000)
+    out = MM.audio_segments(
+        _media_df(spark, [payload]), "payload", "id",
+        sumsq_threshold=0, decode_stub=False,
+    )
+    assert out.count() == 0
+
+
+def test_audio_segments_stub_path_runs(spark):
+    df = _media_df(spark, [b"x", b"yz", b""])
+    rows = MM.audio_segments(df, "payload", "id",
+                             sumsq_threshold=2**39).collect()
+    for r in rows:  # islands are well-formed
+        assert r.start_frame <= r.end_frame
+        assert r.n_frames == r.end_frame - r.start_frame + 1
+
+
 def test_audio_features_stub_path_deterministic(spark):
     df = _media_df(spark, [b"abc", b"", None])
     a = [tuple(r) for r in
