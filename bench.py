@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "multimodal_features",
     "multimodal_audio_features",
     "multimodal_audio_segments",
+    "doc_retrieval_eval",
     "doc_chunks",
     "doc_context_windows",
     "doc_training_pipeline",

@@ -58,6 +58,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_curriculum_schedule": (("schedule_pos", "i"), ("bucket", "i"), ("doc_id", "i"), ("quality", "f"),),
     "doc_cdc_dedup": (("source", "s"), ("n_chunks", "i"), ("n_distinct_chunks", "i"), ("total_chunk_chars", "i"), ("distinct_chunk_chars", "i"),),
     "doc_incremental_dedup": (("doc_id", "i"), ("source", "s"),),
+    "doc_retrieval_eval": (("query", "s"), ("mrr", "f"), ("ndcg", "f"), ("best_at_k", "f"), ("max_rel", "i"), ("n_matched", "i"),),
     "doc_incremental_dedup_bloom": (("doc_id", "i"), ("source", "s"),),
     "doc_incremental_dedup_bloom_persisted": (("doc_id", "i"), ("source", "s"),),
     "doc_incremental_near_dedup": (("id_new", "i"), ("id_match", "i"), ("jaccard_sim", "f"),),
@@ -256,7 +257,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     "doc_text_analysis_suite": (
         "doc_token_stats", "doc_bpe_token_budget", "doc_top_tokens",
         "doc_bigram_lift", "doc_unigram_surprisal", "doc_lang_confusion",
-        "doc_tfidf_keywords", "doc_hybrid_search",
+        "doc_tfidf_keywords", "doc_hybrid_search", "doc_retrieval_eval",
     ),
     # corpus-quality family
     "doc_quality_suite": (

@@ -109,6 +109,217 @@ def bm25_sql(
     """
 
 
+def retrieval_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[str, list[str]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Rank-quality evaluation of the BM25 ranking against graded
+    pseudo-relevance — the eval leg of the retrieval family (index /
+    scorer changes need a regression number, not eyeballs).
+
+    Truth: ``rel(q, d) = Σ_{t∈q} tf(t, d)`` (uncapped term-hit mass) —
+    the standard pseudo-label when no human judgments exist; BM25's
+    k1 tf-saturation and length normalization genuinely disagree with
+    it, so the metrics discriminate. Per query:
+
+    - ``mrr``: 1/rank of the first argmax-relevance doc in the BM25
+      order, 0 if it is outside the top ``k``;
+    - ``ndcg``: DCG@k of the BM25 order over gains ``rel`` divided by
+      the ideal (rel-sorted) DCG@k;
+    - ``best_at_k``: fraction of the top ``k`` that are
+      argmax-relevance docs;
+    - ``max_rel`` / ``n_matched``: label stats for the denominator.
+
+    Ranks use ``round(score, 6) DESC, id`` exactly like
+    ``bm25_scores``'s consumers, so the order is cross-engine
+    deterministic. Plan shape: ONE wordcount pass (the posting lists
+    of the probe terms — never the corpus — flow into scoring), then
+    two windows PARTITIONED BY query over the matched set (eval-set-
+    sized, not corpus-sized) and per-query aggregates.
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts], "qid string, term string"
+    )
+    # doc length as a per-row projection (size of the token array) —
+    # no second explode+aggregate pass over the corpus; empty docs are
+    # excluded exactly as the explode form would
+    doclen = df.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("__dl")
+    ).where(F.col("__dl") > 0)
+    stats = doclen.agg(
+        F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+        .filter(F.col("__t").isin(*all_terms))
+        .groupBy(id_col, "__t")
+        .agg(F.count("*").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
+    hits = (
+        qterms.withColumnRenamed("term", "__t")
+        .join(tf, "__t")
+        .join(F.broadcast(dfreq), "__t")
+        .join(doclen, id_col)
+        .join(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+    )
+    denom = F.col("__tf") + k1 * (
+        1.0 - b + b * F.col("__dl") / F.col("__avgdl")
+    )
+    scored = hits.groupBy("qid", id_col).agg(
+        F.round(
+            F.sum(idf * (F.col("__tf") * (k1 + 1.0)) / denom), 6
+        ).alias("score"),
+        F.sum("__tf").cast("int").alias("rel"),
+    )
+    mx = scored.groupBy("qid").agg(F.max("rel").alias("__max_rel"))
+    w_sys = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    w_ideal = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), F.col(id_col).asc()
+    )
+    ranked = scored.withColumn("__rn", F.row_number().over(w_sys)).join(
+        F.broadcast(mx), "qid"
+    )
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    m = ranked.groupBy("qid").agg(
+        F.min(
+            F.when(F.col("rel") == F.col("__max_rel"), F.col("__rn"))
+        ).alias("__first_best"),
+        F.sum(
+            F.when(
+                F.col("__rn") <= k,
+                F.col("rel") / log2(F.col("__rn") + 1.0),
+            ).otherwise(0.0)
+        ).alias("__dcg"),
+        F.sum(
+            F.when(
+                (F.col("__rn") <= k)
+                & (F.col("rel") == F.col("__max_rel")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("__best_in_top"),
+        F.max("__max_rel").cast("long").alias("max_rel"),
+        F.count("*").cast("long").alias("n_matched"),
+    )
+    ideal = scored.withColumn("__rn", F.row_number().over(w_ideal))
+    i = ideal.groupBy("qid").agg(
+        F.sum(
+            F.when(
+                F.col("__rn") <= k,
+                F.col("rel") / log2(F.col("__rn") + 1.0),
+            ).otherwise(0.0)
+        ).alias("__idcg")
+    )
+    return (
+        m.join(i, "qid")
+        .select(
+            F.col("qid").alias("query"),
+            F.round(
+                F.when(
+                    F.col("__first_best").isNull()
+                    | (F.col("__first_best") > k),
+                    0.0,
+                ).otherwise(1.0 / F.col("__first_best")),
+                6,
+            ).alias("mrr"),
+            F.round(F.col("__dcg") / F.col("__idcg"), 6).alias("ndcg"),
+            F.round(F.col("__best_in_top") / float(k), 6).alias("best_at_k"),
+            "max_rel",
+            "n_matched",
+        )
+        .orderBy("query")
+    )
+
+
+def retrieval_eval_sql(
+    queries: list[tuple[str, list[str]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of ``retrieval_eval`` over ``documents``."""
+    vals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in queries for t in ts
+    )
+    return rf"""
+    WITH qterms(qid, term) AS (VALUES {vals}),
+    toks AS (
+      SELECT doc_id, tok FROM documents,
+        UNNEST(string_split_regex(trim(text), '\s+')) AS u(tok)
+      WHERE tok <> ''),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM doclen),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN (SELECT DISTINCT term FROM qterms)
+      GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY tok),
+    hits AS (
+      SELECT q.qid, tf.doc_id, tf.tf, tf.tok, dfreq.df, doclen.dl
+      FROM qterms q JOIN tf ON tf.tok = q.term
+      JOIN dfreq USING (tok) JOIN doclen USING (doc_id)),
+    scored AS (
+      SELECT qid, doc_id,
+             round(sum(ln(((SELECT n FROM stats) - df + 0.5)
+                          / (df + 0.5) + 1.0)
+                 * (tf * ({k1} + 1.0))
+                 / (tf + {k1} * (1.0 - {b} + {b} * dl
+                                 / (SELECT avgdl FROM stats)))), 6)
+               AS score,
+             sum(tf)::INT AS rel
+      FROM hits GROUP BY qid, doc_id),
+    mx AS (SELECT qid, max(rel) AS max_rel FROM scored GROUP BY qid),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM scored),
+    ideal AS (
+      SELECT qid, rel, row_number() OVER (PARTITION BY qid
+                                          ORDER BY rel DESC, doc_id) AS rn
+      FROM scored),
+    m AS (
+      SELECT r.qid,
+             min(CASE WHEN r.rel = mx.max_rel THEN r.rn END) AS first_best,
+             sum(CASE WHEN r.rn <= {k}
+                      THEN r.rel / log2(r.rn + 1.0) ELSE 0 END) AS dcg,
+             sum(CASE WHEN r.rn <= {k} AND r.rel = mx.max_rel
+                      THEN 1 ELSE 0 END)::BIGINT AS best_in_top,
+             max(mx.max_rel)::BIGINT AS max_rel,
+             count(*)::BIGINT AS n_matched
+      FROM ranked r JOIN mx ON mx.qid = r.qid GROUP BY r.qid),
+    i AS (
+      SELECT qid, sum(CASE WHEN rn <= {k}
+                           THEN rel / log2(rn + 1.0) ELSE 0 END) AS idcg
+      FROM ideal GROUP BY qid)
+    SELECT m.qid AS query,
+           round(CASE WHEN m.first_best IS NULL OR m.first_best > {k}
+                      THEN 0.0 ELSE 1.0 / m.first_best END, 6) AS mrr,
+           round(m.dcg / i.idcg, 6) AS ndcg,
+           round(m.best_in_top / {k}.0, 6) AS best_at_k,
+           m.max_rel, m.n_matched
+    FROM m JOIN i USING (qid)
+    ORDER BY query
+    """
+
+
 def tfidf_keywords(
     df: DataFrame,
     group_col: str = "source",

@@ -6530,6 +6530,35 @@ from fugue_warehouses_spark.extensions.retrieval import bm25_sql as _bm25_sql  #
 
 ORACLE["doc_bm25_search"] = _bm25_sql(_BM25_TERMS)
 
+_EVAL_QUERIES = [
+    ("q_spark_hash", ["spark", "hash"]),
+    ("q_window_merge", ["window", "merge"]),
+    ("q_sort_stream_filter", ["sort", "stream", "filter"]),
+    ("q_vector_group_key", ["vector", "group", "key"]),
+]
+
+
+@_q("doc_retrieval_eval", None)  # oracle attached below (needs queries)
+def doc_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval (round 11): MRR@10 / nDCG@10 /
+    best-doc@10 of the BM25 ranking against graded term-hit-mass
+    pseudo-relevance, per probe query (extensions/retrieval.py
+    retrieval_eval). The eval leg every index/scorer change needs —
+    a regression NUMBER for ranking quality, the lexical sibling of
+    the ANN recall harness (scale_probe --ops ann_recall). One
+    wordcount pass; ranking windows are matched-set-sized."""
+    from fugue_warehouses_spark.extensions import retrieval as RT
+
+    docs = _t(spark, sf_dir, "documents")
+    return RT.retrieval_eval(docs, "doc_id", "text", _EVAL_QUERIES, k=10)
+
+
+from fugue_warehouses_spark.extensions.retrieval import (  # noqa: E402
+    retrieval_eval_sql as _retrieval_eval_sql,
+)
+
+ORACLE["doc_retrieval_eval"] = _retrieval_eval_sql(_EVAL_QUERIES, k=10)
+
 
 def _hybrid_sql() -> str:
     """DuckDB twin of doc_hybrid_search: the bm25_sql top-50 leg
