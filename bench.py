@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "multimodal_audio_features",
     "multimodal_audio_segments",
     "doc_retrieval_eval",
+    "doc_datacard_diff",
+    "embedding_decontaminate",
     "doc_chunks",
     "doc_context_windows",
     "doc_training_pipeline",

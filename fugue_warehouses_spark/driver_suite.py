@@ -59,6 +59,8 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_cdc_dedup": (("source", "s"), ("n_chunks", "i"), ("n_distinct_chunks", "i"), ("total_chunk_chars", "i"), ("distinct_chunk_chars", "i"),),
     "doc_incremental_dedup": (("doc_id", "i"), ("source", "s"),),
     "doc_retrieval_eval": (("query", "s"), ("mrr", "f"), ("ndcg", "f"), ("best_at_k", "f"), ("max_rel", "i"), ("n_matched", "i"),),
+    "embedding_decontaminate": (("vec_id", "i"), ("label", "i"), ("nearest_benchmark", "i"), ("max_sim", "f"),),
+    "doc_datacard_diff": (("source", "s"), ("n_old", "i"), ("n_new", "i"), ("old_tokens", "i"), ("new_tokens", "i"), ("n_dup_vs_old", "i"), ("dup_tokens_vs_old", "i"), ("n_dup_within_new", "i"), ("n_novel_fp", "i"), ("novel_ratio", "f"),),
     "doc_incremental_dedup_bloom": (("doc_id", "i"), ("source", "s"),),
     "doc_incremental_dedup_bloom_persisted": (("doc_id", "i"), ("source", "s"),),
     "doc_incremental_near_dedup": (("id_new", "i"), ("id_match", "i"), ("jaccard_sim", "f"),),
@@ -268,6 +270,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     # end-to-end pipeline hygiene: packing/chunking/decontamination
     "doc_pipeline_suite": (
         "doc_training_pipeline", "doc_contamination", "doc_corpus_datacard",
+        "doc_datacard_diff",
         "doc_train_test_split", "doc_chunks", "doc_cdc_dedup",
         "doc_incremental_dedup", "doc_incremental_dedup_bloom",
         "doc_incremental_dedup_bloom_persisted",
@@ -303,7 +306,7 @@ SUITES: dict[str, tuple[str, ...]] = {
         "embedding_norms_by_label", "embedding_semantic_dedup",
         "embedding_outliers", "embedding_matryoshka_topk",
         "embedding_ivf_persisted_topk", "embedding_incremental_dedup",
-        "embedding_incremental_dedup_indexed",
+        "embedding_incremental_dedup_indexed", "embedding_decontaminate",
     ),
     # funnel/cohort analytics
     "behavior_suite": ("events_cohort_retention", "events_funnel_stages"),

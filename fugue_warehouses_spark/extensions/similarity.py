@@ -1099,6 +1099,77 @@ def ivf_topk_from_index(
     )
 
 
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
+    threshold: float = 0.35,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SEMANTIC decontamination: flag corpus rows whose embedding is
+    within ``cosine >= threshold`` of ANY benchmark vector — the
+    embedding-space sibling of the n-gram `contamination` /
+    `decontaminate_spans` family (paraphrased benchmark leakage that
+    lexical n-grams miss). Output: one row per CONTAMINATED corpus
+    row — ``(corpus_id, *extra_cols, nearest_benchmark, max_sim)``,
+    ``nearest_benchmark`` the argmax benchmark id with ties (at
+    ``round_digits`` rounding) broken toward the smallest id; callers
+    anti-join the flags to drop the rows.
+
+    Scale shape: the benchmark set is eval-suite-sized by contract —
+    it collects to a normalized float64 matrix shipped in the task
+    closure; the corpus STREAMS through one Arrow kernel doing a
+    single (batch x dim) @ (dim x n_bench) GEMM + row-max — no
+    shuffle, no corpus collect, output bounded by contamination count.
+    Same rounding-commutes-with-max argument as max_cosine_against.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bids, bmat = _collect_query_matrix(benchmark, corpus_id, corpus_vec)
+    if len(bids) == 0:
+        raise ValueError("benchmark set is empty")
+    order = np.argsort(bids)  # argmax first-match => min benchmark id
+    bids_sorted = bids[order]
+    bmat_sorted = bmat[order]
+
+    fields = [T.StructField(corpus_id, corpus.schema[corpus_id].dataType)]
+    fields += [
+        T.StructField(c, corpus.schema[c].dataType) for c in extra_cols
+    ]
+    fields += [
+        T.StructField("nearest_benchmark", corpus.schema[corpus_id].dataType),
+        T.StructField("max_sim", T.DoubleType()),
+    ]
+    schema = T.StructType(fields)
+    cols = [corpus_id, *extra_cols, corpus_vec]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf[corpus_vec].tolist(), dtype="float64")
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = np.round((mat / norms) @ bmat_sorted.T, round_digits)
+            mx = sims.max(axis=1)
+            keep = mx >= threshold
+            if not keep.any():
+                continue
+            am = sims[keep].argmax(axis=1)
+            out = {corpus_id: pdf[corpus_id].to_numpy()[keep]}
+            for c in extra_cols:
+                out[c] = pdf[c].to_numpy()[keep]
+            out["nearest_benchmark"] = bids_sorted[am]
+            out["max_sim"] = mx[keep]
+            yield pd.DataFrame(out)
+
+    return corpus.select(*cols).mapInPandas(run, schema)
+
+
 def recall_at_k(
     truth: DataFrame,
     approx: DataFrame,

@@ -994,6 +994,155 @@ def doc_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_datacard_diff",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source, len({_TOKS}) AS ntok,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::UINTEGER % 10
+               AS m
+      FROM documents),
+    old_agg AS (
+      SELECT source, count(*)::BIGINT AS n_old,
+             CAST(sum(ntok) AS BIGINT) AS old_tokens
+      FROM base WHERE m >= 2 GROUP BY source),
+    old_fps AS (SELECT DISTINCT fp FROM base WHERE m >= 2),
+    new_batch AS (
+      SELECT source, ntok, fp FROM base WHERE m = 0      -- novel pages
+      UNION ALL
+      SELECT source, ntok, fp FROM base WHERE m = 2      -- re-fetched
+      UNION ALL
+      SELECT source, ntok, fp FROM base WHERE m = 1      -- double-fetched
+      UNION ALL
+      SELECT source, ntok, fp FROM base WHERE m = 1),
+    new_flag AS (
+      SELECT b.source, b.ntok, b.fp,
+             (o.fp IS NOT NULL) AS seen
+      FROM new_batch b LEFT JOIN old_fps o ON b.fp = o.fp),
+    new_agg AS (
+      SELECT source, count(*)::BIGINT AS n_new,
+             CAST(sum(ntok) AS BIGINT) AS new_tokens,
+             sum(CASE WHEN seen THEN 1 ELSE 0 END)::BIGINT AS n_dup_vs_old,
+             CAST(sum(CASE WHEN seen THEN ntok ELSE 0 END) AS BIGINT)
+               AS dup_tokens_vs_old,
+             (count(*) - count(DISTINCT fp))::BIGINT AS n_dup_within_new,
+             count(DISTINCT CASE WHEN NOT seen THEN fp END)::BIGINT
+               AS n_novel_fp
+      FROM new_flag GROUP BY source)
+    SELECT coalesce(o.source, n.source) AS source,
+           coalesce(o.n_old, 0)::BIGINT AS n_old,
+           coalesce(n.n_new, 0)::BIGINT AS n_new,
+           coalesce(o.old_tokens, 0)::BIGINT AS old_tokens,
+           coalesce(n.new_tokens, 0)::BIGINT AS new_tokens,
+           coalesce(n.n_dup_vs_old, 0)::BIGINT AS n_dup_vs_old,
+           coalesce(n.dup_tokens_vs_old, 0)::BIGINT AS dup_tokens_vs_old,
+           coalesce(n.n_dup_within_new, 0)::BIGINT AS n_dup_within_new,
+           coalesce(n.n_novel_fp, 0)::BIGINT AS n_novel_fp,
+           round(coalesce(n.n_novel_fp, 0)
+                 / greatest(coalesce(n.n_new, 0), 1), 6) AS novel_ratio
+    FROM old_agg o FULL OUTER JOIN new_agg n USING (source)
+    ORDER BY source
+    """,
+)
+def doc_datacard_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl DATACARD DIFF (round 11): the operational
+    sibling of doc_corpus_datacard — before ingesting a new crawl
+    snapshot, report per source what it actually adds: doc/token
+    mass vs the previous corpus, exact-dup exposure against the OLD
+    corpus (docs + wasted token mass), within-batch duplication, and
+    the novel-fingerprint count/ratio that decides whether the crawl
+    is worth the ingest.
+
+    The fixture corpus has no snapshots, so the facet fabricates a
+    crawl with KNOWN composition from a doc_id-hash split (m =
+    md5-derived 0..9): old corpus = m>=2; new crawl = novel pages
+    (m=0) + re-fetched unchanged pages (m=2 -> guaranteed
+    dup-vs-old exposure) + double-fetched URLs (m=1 twice ->
+    guaranteed within-batch dups) — every dup leg of the report
+    carries signal at every SF. In production old/new are two real
+    snapshot tables and the UNION disappears.
+
+    100 TB shape: one scan computes (source, ntok, fp, m) in place;
+    the only data-sized exchange is the 16-byte fp hash-shuffle for
+    the old-fps distinct + the left join that flags seen/unseen —
+    the same single-shuffle skeleton as the incremental exact-dedup
+    family, with per-source aggregates riding it. Output is
+    #sources rows."""
+    from fugue_warehouses_spark.functions.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    m = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10
+    ).alias("m")
+    base = docs.select(
+        "source",
+        TX.token_count("text").alias("ntok"),
+        fingerprint("text").alias("fp"),
+        m,
+    )
+    old = base.filter(F.col("m") >= 2)
+    old_agg = old.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_old"),
+        F.sum("ntok").cast("long").alias("old_tokens"),
+    )
+    old_fps = old.select("fp").distinct().withColumn("seen", F.lit(True))
+    m1 = base.filter(F.col("m") == 1)
+    new_batch = (
+        base.filter(F.col("m") == 0)
+        .unionAll(base.filter(F.col("m") == 2))
+        .unionAll(m1)
+        .unionAll(m1)
+        .select("source", "ntok", "fp")
+    )
+    new_flag = (
+        new_batch
+        .join(old_fps, "fp", "left")
+        .select("source", "ntok", "fp", F.coalesce("seen", F.lit(False)).alias("seen"))
+    )
+    new_agg = new_flag.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum("ntok").cast("long").alias("new_tokens"),
+        F.sum(F.when(F.col("seen"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_vs_old"),
+        F.sum(F.when(F.col("seen"), F.col("ntok")).otherwise(0))
+        .cast("long")
+        .alias("dup_tokens_vs_old"),
+        (F.count(F.lit(1)) - F.countDistinct("fp"))
+        .cast("long")
+        .alias("n_dup_within_new"),
+        F.countDistinct(
+            F.when(~F.col("seen"), F.col("fp"))
+        ).alias("n_novel_fp"),
+    )
+    return (
+        old_agg.join(new_agg, "source", "full_outer")
+        .select(
+            "source",
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("old_tokens", F.lit(0)).cast("long").alias("old_tokens"),
+            F.coalesce("new_tokens", F.lit(0)).cast("long").alias("new_tokens"),
+            F.coalesce("n_dup_vs_old", F.lit(0)).cast("long").alias("n_dup_vs_old"),
+            F.coalesce("dup_tokens_vs_old", F.lit(0))
+            .cast("long")
+            .alias("dup_tokens_vs_old"),
+            F.coalesce("n_dup_within_new", F.lit(0))
+            .cast("long")
+            .alias("n_dup_within_new"),
+            F.coalesce("n_novel_fp", F.lit(0)).cast("long").alias("n_novel_fp"),
+            F.round(
+                F.coalesce("n_novel_fp", F.lit(0))
+                / F.greatest(F.coalesce("n_new", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("novel_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
     "doc_bpe_token_budget",
     f"""
     SELECT source,
@@ -1735,6 +1884,50 @@ def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SS.similarity_pairs(emb, threshold=0.35, round_digits=6)
+
+
+@_q(
+    "embedding_decontaminate",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    b AS (SELECT vec_id, v FROM e WHERE vec_id < 25),
+    c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 25),
+    sims AS (
+      SELECT c.vec_id, c.label, b.vec_id AS bid,
+             round(list_cosine_similarity(c.v, b.v), 6) AS s
+      FROM c CROSS JOIN b),
+    mx AS (
+      SELECT vec_id, label, max(s) AS max_sim
+      FROM sims GROUP BY vec_id, label)
+    SELECT m.vec_id, m.label,
+           min(s2.bid)::BIGINT AS nearest_benchmark, m.max_sim
+    FROM mx m JOIN sims s2
+      ON s2.vec_id = m.vec_id AND s2.s = m.max_sim
+    WHERE m.max_sim >= 0.35
+    GROUP BY m.vec_id, m.label, m.max_sim
+    ORDER BY m.vec_id
+    """,
+)
+def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination (round 11): flag corpus embeddings
+    within cosine >= 0.35 of any benchmark vector (benchmark =
+    vec_id < 25 here; a real eval suite's embeddings in production) —
+    the embedding-space leg of the decontamination family, catching
+    paraphrased benchmark leakage that the n-gram legs
+    (doc_contamination / doc_decontaminate_spans) cannot see.
+    similarity.decontaminate_semantic: benchmark matrix in the task
+    closure, corpus streams through one GEMM+row-max Arrow kernel —
+    no shuffle, no corpus collect; nearest benchmark id ties break
+    toward the smallest id, so the flag table is deterministic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flags = SS.decontaminate_semantic(
+        emb.filter(F.col("vec_id") >= 25),
+        emb.filter(F.col("vec_id") < 25),
+        extra_cols=("label",),
+        threshold=0.35,
+    )
+    return flags.orderBy("vec_id")
 
 
 # Same transitive-closure oracle shape as doc_near_dedup_resolved,

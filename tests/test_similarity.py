@@ -640,3 +640,50 @@ def test_recall_anchors_matryoshka_and_quantized(spark, tables):
         normed, normed.filter("vec_id < 20"), k=10
     ).filter("query_id != match_id")
     assert recall_at_k(truth, qd) >= 0.9
+
+
+def test_decontaminate_semantic_hand_built(spark):
+    from fugue_warehouses_spark.extensions.similarity import (
+        decontaminate_semantic,
+    )
+
+    # benchmark: two orthogonal axes; ids deliberately unsorted on
+    # input to exercise the min-id tie-break sort
+    bench = spark.createDataFrame(
+        [(11, [0.0, 1.0, 0.0]), (10, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (100, [2.0, 0.0, 0.0], 1),   # cos=1.0 vs bench 10
+            (101, [0.0, 0.0, 3.0], 2),   # orthogonal to both -> clean
+            (102, [1.0, 1.0, 0.0], 3),   # cos=.7071 vs BOTH -> tie -> 10
+            (103, [0.1, 0.9, 0.0], 4),   # closest to bench 11
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {
+        r.vec_id: r
+        for r in decontaminate_semantic(
+            corpus, bench, extra_cols=("label",), threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {100, 102, 103}
+    assert out[100].nearest_benchmark == 10 and out[100].max_sim == 1.0
+    assert out[102].nearest_benchmark == 10  # tie broken to min id
+    assert out[102].max_sim == 0.707107
+    assert out[103].nearest_benchmark == 11
+    assert out[103].label == 4
+
+    # threshold just above the tie similarity drops the tied row
+    out2 = decontaminate_semantic(
+        corpus, bench, extra_cols=("label",), threshold=0.71
+    ).collect()
+    assert {r.vec_id for r in out2} == {100, 103}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        decontaminate_semantic(
+            corpus, bench.filter("vec_id < 0"), threshold=0.5
+        )
