@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "doc_retrieval_eval",
     "doc_datacard_diff",
     "embedding_decontaminate",
+    "doc_bpe_train",
     "doc_chunks",
     "doc_context_windows",
     "doc_training_pipeline",

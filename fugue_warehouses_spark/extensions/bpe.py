@@ -1,0 +1,222 @@
+"""Distributed BPE (byte-pair-encoding) tokenizer training.
+
+The canonical corpus-prep step this engine was still missing: learn a
+merge table from the corpus itself (Sennrich et al. 2016 — the
+algorithm behind GPT-2/RoBERTa-style tokenizers), expressed
+Spark-first. The reference repo has no tokenizer training (north-star
+extension, SURVEY.md §2.E); `doc_bpe_token_budget` estimates token
+counts with a FIXED regex heuristic — this module learns the actual
+merges.
+
+Algorithm (classic word-frequency BPE):
+
+1. wordcount the corpus once — all further work is VOCAB-sized, not
+   corpus-sized (the standard trick that makes BPE trainable at all);
+2. represent each distinct word as a space-separated symbol string
+   ``"h e l l o </w>"``;
+3. per merge step: count adjacent symbol pairs weighted by word
+   frequency (one wordcount-shaped shuffle over pair strings), pick
+   the argmax (ties break lexicographically so training is
+   deterministic), and apply the merge to every word.
+
+The merge application is pure string algebra, JVM-side: pad every
+symbol with its OWN spaces (``' ' || replace(s,' ','  ') || ' '``),
+so one left-to-right literal ``replace`` of ``' a  b '`` with
+``' ab '`` implements exactly BPE's greedy non-overlapping merge —
+including the self-overlap case (``a a a a -> aa aa``, the middle
+pair skipped) — then collapse the doubled spaces. The same two
+replaces run verbatim in the DuckDB oracle, which is how the facet is
+hash-exact end-to-end (and both are pinned against a plain-Python
+textbook BPE in tests).
+
+Scale: the corpus is touched ONCE (wordcount). Each of the k merge
+steps is one pair-count shuffle + one scalar argmax collect + one
+narrow projection over the vocab table (checkpointed per iteration,
+the same iterative-state pattern as k-means/PageRank here). At 100 TB
+the vocab table is millions of rows — trivially distributed — and k
+(30k merges for a production tokenizer) is the cost driver, which is
+why real pipelines train on a sampled wordcount; `sample_words` caps
+the vocab side deterministically for that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fugue_warehouses_spark.functions.text import tokens
+
+END = "</w>"
+
+
+def _word_seqs(df: DataFrame, text_col: str) -> DataFrame:
+    """corpus -> (freq, s) with s the space-separated symbol string."""
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return words.select(
+        "freq",
+        F.concat(
+            F.array_join(F.split("w", ""), " "), F.lit(" " + END)
+        ).alias("s"),
+    )
+
+
+def _pair_counts(seq: DataFrame) -> DataFrame:
+    """(freq, s) -> (p, c): adjacent-pair counts weighted by freq.
+    slice+zip (never per-index element access — the O(n²) inlining
+    hazard swept in round 10)."""
+    l = F.split("s", " ")
+    n = F.size(l)
+    z = F.arrays_zip(
+        F.slice(l, 1, n - 1).alias("a"), F.slice(l, 2, n - 1).alias("b")
+    )
+    return (
+        seq.select("freq", F.explode(z).alias("z"))
+        .select(
+            F.concat_ws(" ", F.col("z.a"), F.col("z.b")).alias("p"), "freq"
+        )
+        .groupBy("p")
+        .agg(F.sum("freq").alias("c"))
+    )
+
+
+def _apply_merge(seq: DataFrame, pair: str) -> DataFrame:
+    """Merge one pair in every word via the double-space replace."""
+    merged = pair.replace(" ", "")
+    padded = F.concat(
+        F.lit(" "), F.replace("s", F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    target = " " + pair.replace(" ", "  ") + " "
+    replaced = F.replace(padded, F.lit(target), F.lit(" " + merged + " "))
+    return seq.select(
+        "freq",
+        F.trim(F.replace(replaced, F.lit("  "), F.lit(" "))).alias("s"),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    sample_words: int | None = None,
+) -> tuple[DataFrame, list[tuple[str, int]]]:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Returns ``(merge_table_df, merges)``: the DataFrame has one row
+    per step ``(step int, pair string, pair_freq long)``; ``merges``
+    is the same as a driver-side list for feeding :func:`bpe_encode`.
+    ``sample_words`` deterministically caps the vocab side (top-n
+    words by frequency, ties by word) — the production lever when the
+    distinct-word table is itself huge.
+
+    Each iteration collects ONE scalar row (the argmax pair) — the
+    bounded-collect contract every iterative op here follows; the
+    vocab table is localCheckpoint'ed per step so the replace chain
+    never builds an unbounded lineage.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    spark = df.sparkSession
+    seq = _word_seqs(df, text_col)
+    if sample_words is not None:
+        seq = seq.orderBy(F.desc("freq"), F.asc("s")).limit(sample_words)
+    seq = seq.localCheckpoint()
+    merges: list[tuple[str, int]] = []
+    for _step in range(n_merges):
+        best = (
+            _pair_counts(seq)
+            .orderBy(F.desc("c"), F.asc("p"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocab fully merged — nothing left to learn
+            break
+        pair, c = best[0]["p"], int(best[0]["c"])
+        merges.append((pair, c))
+        seq = _apply_merge(seq, pair).localCheckpoint()
+    out = spark.createDataFrame(
+        [(i, p, c) for i, (p, c) in enumerate(merges)],
+        "step int, pair string, pair_freq long",
+    )
+    return out, merges
+
+
+def bpe_encode(
+    df: DataFrame, text_col: str, merges: list[tuple[str, int] | str]
+) -> DataFrame:
+    """Apply a learned merge table: adds ``bpe_tokens array<string>``
+    and ``n_bpe_tokens int`` per row — the REAL token count the
+    token-budget facets estimate. One narrow projection per merge
+    (all codegen'd into a single stage), no shuffle."""
+    # per-word framing: spaces in the original text become word
+    # boundaries; the </w> marker keeps merges from crossing words
+    sym = F.array_join(
+        F.transform(
+            tokens(text_col),
+            lambda w: F.concat(
+                F.array_join(F.split(w, ""), " "), F.lit(" " + END)
+            ),
+        ),
+        " ",
+    )
+    col = sym
+    for m in merges:
+        pair = m[0] if isinstance(m, tuple) else m
+        merged = pair.replace(" ", "")
+        padded = F.concat(
+            F.lit(" "), F.replace(col, F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        target = " " + pair.replace(" ", "  ") + " "
+        col = F.trim(
+            F.replace(
+                F.replace(padded, F.lit(target), F.lit(" " + merged + " ")),
+                F.lit("  "),
+                F.lit(" "),
+            )
+        )
+    toks_col = F.split(col, " ")
+    return df.withColumn("bpe_tokens", toks_col).withColumn(
+        "n_bpe_tokens", F.size(toks_col)
+    )
+
+
+def bpe_train_sql(n_merges: int = 8) -> str:
+    """DuckDB twin of ``bpe_train`` over ``documents`` (MATERIALIZED
+    chained CTEs — one per merge step; without MATERIALIZED the chain
+    re-evaluates exponentially)."""
+    toks = r"list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"
+    sql = f"""
+    WITH words AS MATERIALIZED (
+      SELECT tok AS w, count(*)::BIGINT AS freq
+      FROM documents, UNNEST({toks}) AS u(tok) GROUP BY tok),
+    seq0 AS MATERIALIZED (
+      SELECT freq,
+             array_to_string(string_split(w, ''), ' ') || ' {END}' AS s
+      FROM words)"""
+    selects = []
+    for i in range(n_merges):
+        sql += f""",
+    pairs{i} AS MATERIALIZED (
+      SELECT l[g.i] || ' ' || l[g.i+1] AS p, sum(freq) AS c
+      FROM (SELECT freq, string_split(s, ' ') AS l FROM seq{i}) t,
+           LATERAL (SELECT unnest(range(1, len(t.l))) AS i) g
+      GROUP BY p),
+    best{i} AS MATERIALIZED (
+      SELECT p, c FROM pairs{i} ORDER BY c DESC, p ASC LIMIT 1),
+    seq{i + 1} AS MATERIALIZED (
+      SELECT freq,
+             trim(replace(replace(
+               ' ' || replace(s, ' ', '  ') || ' ',
+               ' ' || replace((SELECT p FROM best{i}), ' ', '  ') || ' ',
+               ' ' || replace((SELECT p FROM best{i}), ' ', '') || ' '),
+               '  ', ' ')) AS s
+      FROM seq{i})"""
+        selects.append(
+            f"SELECT {i} AS step, (SELECT p FROM best{i}) AS pair, "
+            f"(SELECT c FROM best{i})::BIGINT AS pair_freq"
+        )
+    sql += "\n    " + "\n    UNION ALL ".join(selects) + "\n    ORDER BY step"
+    return sql

@@ -1142,6 +1142,28 @@ def doc_datacard_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from fugue_warehouses_spark.extensions.bpe import bpe_train_sql as _bpe_train_sql  # noqa: E402
+
+
+@_q("doc_bpe_train", _bpe_train_sql(8))
+def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (round 11): learn the first
+    8 merges from the corpus (extensions/bpe.py — wordcount once,
+    then per step one vocab-sized pair-count shuffle + scalar argmax
+    + the double-space literal-replace merge). Deterministic: pair
+    argmax ties break lexicographically. The oracle replays training
+    as 8 MATERIALIZED chained CTEs with the identical replace
+    algebra; both are pinned against a plain-Python textbook BPE in
+    tests/test_bpe.py. At 100 TB the corpus is touched once and k is
+    the cost driver — production trains ~30k merges on a sampled
+    wordcount (the `sample_words` lever)."""
+    from fugue_warehouses_spark.extensions.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    out, _merges = bpe_train(docs, "text", n_merges=8)
+    return out.orderBy("step")
+
+
 @_q(
     "doc_bpe_token_budget",
     f"""

@@ -117,6 +117,7 @@ def probe(spark, sizes, ops=None, repeat=1):
         "emb_probe_exact",
         "emb_probe_ivf",
         "embedding_ingest",
+        "semantic_decon",
     }
     # synthesizes its own DISTRIBUTED corpus (1.28M rows never touch
     # the driver) — needs neither the docs nor the driver-built emb
@@ -827,6 +828,15 @@ def probe(spark, sizes, ops=None, repeat=1):
                     batch_e, assigned=asg, centroids=cents,
                     centroid_rows=cent_rows, threshold=0.9,
                     n_probe=n_probe,
+                ).count()))
+        # semantic decontamination (round 11): fixed 256-vector
+        # benchmark in the closure, corpus streams through the
+        # GEMM+row-max kernel — expect linear in n with no shuffle
+        if emb is not None and wanted("semantic_decon"):
+            bench_e = emb.filter("vec_id < 256")
+            timed("semantic_decon", n, lambda: (
+                S.decontaminate_semantic(
+                    emb.filter("vec_id >= 256"), bench_e, threshold=0.3
                 ).count()))
         # probe PRIMITIVES in isolation: the full dedup op shares its
         # within-batch resolution term (batch^2 FLOPs) between both

@@ -1,0 +1,115 @@
+"""Distributed BPE training/encoding vs a plain-Python textbook BPE.
+
+The Spark trainer and the DuckDB oracle both implement the merge with
+the double-space replace trick; the reference here is the classic
+position-walking implementation (Sennrich et al.) — agreement of all
+three on random corpora is the evidence the string algebra is exactly
+BPE (greedy left-to-right, self-overlap skipped)."""
+
+from __future__ import annotations
+
+import collections
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fugue_warehouses_spark.extensions.bpe import (
+    END,
+    bpe_encode,
+    bpe_train,
+    bpe_train_sql,
+)
+
+
+def _ref_bpe(texts: list[str], n_merges: int):
+    """Textbook BPE: position-walking merge, no string tricks."""
+    wc = collections.Counter(t for x in texts for t in x.split())
+    seqs = {w: tuple(list(w) + [END]) for w in wc}
+    merges = []
+    for step in range(n_merges):
+        pc = collections.Counter()
+        for w, f in wc.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, f"{a} {b}", c))
+        for w in seqs:
+            s = seqs[w]
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    return merges, seqs
+
+
+_word = st.text(alphabet="abc", min_size=1, max_size=6)
+_corpus = st.lists(
+    st.lists(_word, min_size=1, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_corpus, st.integers(1, 6))
+def test_trainer_matches_textbook_bpe(spark, texts, k):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out, _ = bpe_train(df, "text", n_merges=k)
+    got = [tuple(r) for r in out.orderBy("step").collect()]
+    exp, _ = _ref_bpe(texts, k)
+    assert got == exp
+
+
+@settings(max_examples=6, deadline=None)
+@given(_corpus, st.integers(1, 5))
+def test_oracle_matches_textbook_bpe(texts, k):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)", [(t,) for t in texts])
+    got = [tuple(r) for r in con.execute(bpe_train_sql(k)).fetchall()]
+    exp, _ = _ref_bpe(texts, k)
+    assert got == exp
+
+
+def test_self_overlap_pair_merges_alternately(spark):
+    # 'aaaa' -> a a a a </w>; merging ('a','a') must give aa aa </w>
+    df = spark.createDataFrame([("aaaa aaaa aaaa",)], "text string")
+    out, merges = bpe_train(df, "text", n_merges=1)
+    assert merges[0][0] == "a a"
+    enc = bpe_encode(df, "text", merges).first()
+    assert list(enc.bpe_tokens)[:3] == ["aa", "aa", END]
+
+
+def test_encode_matches_reference_segmentation(spark):
+    texts = ["low lower lowest", "low low newer newest", "wider new"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    _, merges = bpe_train(df, "text", n_merges=6)
+    exp_merges, seqs = _ref_bpe(texts, 6)
+    assert [(p, c) for _, p, c in exp_merges] == merges
+    enc = bpe_encode(df, "text", merges).collect()
+    for row, text in zip(enc, texts):
+        exp_tokens = [t for w in text.split() for t in seqs[w]]
+        assert list(row.bpe_tokens) == exp_tokens
+        assert row.n_bpe_tokens == len(exp_tokens)
+
+
+def test_sample_words_cap_and_guards(spark):
+    df = spark.createDataFrame(
+        [("low low low rare",)], "text string"
+    )
+    # cap to the single most frequent word: merges come from 'low' only
+    out, merges = bpe_train(df, "text", n_merges=2, sample_words=1)
+    assert all("r" not in p for p, _ in merges)
+    with pytest.raises(ValueError):
+        bpe_train(df, "text", n_merges=0)
