@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "doc_datacard_diff",
     "embedding_decontaminate",
     "doc_bpe_train",
+    "doc_bpe_encode",
     "doc_chunks",
     "doc_context_windows",
     "doc_training_pipeline",

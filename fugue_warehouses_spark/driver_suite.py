@@ -60,6 +60,7 @@ SPEC: dict[str, tuple[tuple[str, str], ...]] = {
     "doc_incremental_dedup": (("doc_id", "i"), ("source", "s"),),
     "doc_retrieval_eval": (("query", "s"), ("mrr", "f"), ("ndcg", "f"), ("best_at_k", "f"), ("max_rel", "i"), ("n_matched", "i"),),
     "doc_bpe_train": (("step", "i"), ("pair", "s"), ("pair_freq", "i"),),
+    "doc_bpe_encode": (("source", "s"), ("n_docs", "i"), ("total_ws_tokens", "i"), ("total_bpe_tokens", "i"), ("bpe_per_word", "f"),),
     "embedding_decontaminate": (("vec_id", "i"), ("label", "i"), ("nearest_benchmark", "i"), ("max_sim", "f"),),
     "doc_datacard_diff": (("source", "s"), ("n_old", "i"), ("n_new", "i"), ("old_tokens", "i"), ("new_tokens", "i"), ("n_dup_vs_old", "i"), ("dup_tokens_vs_old", "i"), ("n_dup_within_new", "i"), ("n_novel_fp", "i"), ("novel_ratio", "f"),),
     "doc_incremental_dedup_bloom": (("doc_id", "i"), ("source", "s"),),
@@ -259,7 +260,7 @@ SUITES: dict[str, tuple[str, ...]] = {
     # text analysis family
     "doc_text_analysis_suite": (
         "doc_token_stats", "doc_bpe_token_budget", "doc_bpe_train",
-        "doc_top_tokens",
+        "doc_bpe_encode", "doc_top_tokens",
         "doc_bigram_lift", "doc_unigram_surprisal", "doc_lang_confusion",
         "doc_tfidf_keywords", "doc_hybrid_search", "doc_retrieval_eval",
     ),

@@ -220,3 +220,40 @@ def bpe_train_sql(n_merges: int = 8) -> str:
         )
     sql += "\n    " + "\n    UNION ALL ".join(selects) + "\n    ORDER BY step"
     return sql
+
+
+def bpe_encode_sql(n_merges: int = 8) -> str:
+    """DuckDB twin of train-then-encode over ``documents``: the
+    ``bpe_train_sql`` CTE chain learns the merges, then the corpus is
+    symbolized and pushed through the same ``n_merges`` padded
+    replaces; output is per-source real-BPE token mass."""
+    toks = r"list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"
+    train = bpe_train_sql(n_merges)
+    # reuse the training chain's CTEs; drop its final SELECT
+    head = train[: train.rindex("\n    SELECT 0 AS step")]
+    sql = head + f""",
+    enc0 AS MATERIALIZED (
+      SELECT source,
+             len({toks})::BIGINT AS ws_tokens,
+             array_to_string(list_transform({toks},
+               w -> array_to_string(string_split(w, ''), ' ')
+                    || ' {END}'), ' ') AS s
+      FROM documents)"""
+    for i in range(n_merges):
+        sql += f""",
+    enc{i + 1} AS MATERIALIZED (
+      SELECT source, ws_tokens,
+             trim(replace(replace(
+               ' ' || replace(s, ' ', '  ') || ' ',
+               ' ' || replace((SELECT p FROM best{i}), ' ', '  ') || ' ',
+               ' ' || replace((SELECT p FROM best{i}), ' ', '') || ' '),
+               '  ', ' ')) AS s
+      FROM enc{i})"""
+    sql += f"""
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(ws_tokens)::BIGINT AS total_ws_tokens,
+           sum(len(string_split(s, ' ')))::BIGINT AS total_bpe_tokens,
+           round(sum(len(string_split(s, ' ')))
+                 / sum(ws_tokens), 6) AS bpe_per_word
+    FROM enc{n_merges} GROUP BY source ORDER BY source"""
+    return sql

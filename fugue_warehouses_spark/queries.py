@@ -1164,6 +1164,37 @@ def doc_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("step")
 
 
+from fugue_warehouses_spark.extensions.bpe import bpe_encode_sql as _bpe_encode_sql  # noqa: E402
+
+
+@_q("doc_bpe_encode", _bpe_encode_sql(8))
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-ENCODE (round 11): the learned 8-merge table
+    applied corpus-wide (bpe.bpe_encode — a shuffle-free codegen'd
+    replace chain riding the scan), reporting per-source REAL BPE
+    token mass and tokens-per-word — the ground truth the
+    doc_bpe_token_budget heuristic estimates. Oracle reuses the
+    training CTE chain and encodes with the identical replace
+    algebra, so the whole train->encode pipeline is hash-exact."""
+    from fugue_warehouses_spark.extensions.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    _, merges = bpe_train(docs, "text", n_merges=8)
+    enc = bpe_encode(docs, "text", merges)
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(TX.tokens("text"))).cast("long").alias("total_ws_tokens"),
+            F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens") / F.sum(F.size(TX.tokens("text"))), 6
+            ).alias("bpe_per_word"),
+        )
+        .orderBy("source")
+    )
+
+
 @_q(
     "doc_bpe_token_budget",
     f"""
