@@ -128,6 +128,7 @@ def probe(spark, sizes, ops=None, repeat=1):
         "pagerank_phases",
         "ann_recall",
         "audio_kernel",
+        "bpe_iteration",
     }
     # part_pagerank per-phase attribution (round 11, VERDICT r10 next
     # #3): the facet's clean-window readings trended 1.88 -> 2.33 ->
@@ -402,6 +403,51 @@ def probe(spark, sizes, ops=None, repeat=1):
                 ).count(),
             )
             media.unpersist()
+
+        # BPE merge-iteration cost vs VOCAB size (round 11): the
+        # trainer's claim is that after the one corpus wordcount every
+        # iteration is vocab-sized. Synthesize n DISTINCT words (8-char
+        # base-26 encodings of spark.range ids — never driver-side),
+        # uniform freq, then time ONE pair-count+argmax+merge step
+        # (the unit that repeats k times). Expect linear in n past the
+        # scheduling floor.
+        if wanted("bpe_iteration"):
+            from pyspark.sql import functions as _F
+
+            from fugue_warehouses_spark.extensions.bpe import (
+                _apply_merge,
+                _pair_counts,
+            )
+
+            chars = _F.transform(
+                _F.sequence(_F.lit(0), _F.lit(7)),
+                lambda i: _F.chr(
+                    (_F.col("id") / _F.pow(_F.lit(26.0), i.cast("double")))
+                    .cast("long") % 26 + 97
+                ),
+            )
+            seq = (
+                spark.range(n)
+                .repartition(32)
+                .select(
+                    _F.lit(1).cast("long").alias("freq"),
+                    _F.concat(
+                        _F.array_join(chars, " "), _F.lit(" </w>")
+                    ).alias("s"),
+                )
+                .localCheckpoint()
+            )
+
+            def _one_iter():
+                best = (
+                    _pair_counts(seq)
+                    .orderBy(_F.desc("c"), _F.asc("p"))
+                    .limit(1)
+                    .collect()
+                )
+                _apply_merge(seq, best[0]["p"]).count()
+
+            timed("bpe_iteration", n, _one_iter)
 
         # distributed global cumsum (rank.add_global_cumsum) vs the
         # naive partition-less SUM() OVER (ORDER BY) window — the
