@@ -138,9 +138,17 @@ def retrieval_eval(
     Ranks use ``round(score, 6) DESC, id`` exactly like
     ``bm25_scores``'s consumers, so the order is cross-engine
     deterministic. Plan shape: ONE wordcount pass (the posting lists
-    of the probe terms — never the corpus — flow into scoring), then
-    two windows PARTITIONED BY query over the matched set (eval-set-
-    sized, not corpus-sized) and per-query aggregates.
+    of the probe terms — never the corpus — flow into scoring); then
+    NO matched-set-sized window anywhere — a ``PARTITION BY query``
+    window would serialize each query's whole matched set through one
+    task (at web scale a common term matches 10^8 docs). Instead:
+    DCG/best@k come from a TWO-PHASE bounded top-k (per-partition
+    top-k candidates — provably a superset of the global top-k —
+    then an exact window over the ≤ #partitions·k·#queries candidate
+    rows), and MRR's first-best rank is computed as a count-above
+    aggregate against the per-query argmax row (broadcast,
+    #queries-sized), which is exact at ANY rank without ranking
+    anything.
     """
     if not queries:
         raise ValueError("queries must be non-empty")
@@ -186,47 +194,94 @@ def retrieval_eval(
         ).alias("score"),
         F.sum("__tf").cast("int").alias("rel"),
     )
+    scored = scored.localCheckpoint(eager=False)
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+
+    def _topk(by: list, ascending: list) -> DataFrame:
+        """Two-phase bounded top-k per qid: per-Arrow-batch top-k
+        (a superset of each partition's top-k, hence of the global
+        top-k), then the exact window over the reduced candidates."""
+        cols = list(scored.columns)
+
+        def part(batches):
+            for pdf in batches:
+                yield (
+                    pdf.sort_values(by=by, ascending=ascending)
+                    .groupby("qid", sort=False)
+                    .head(k)
+                )
+
+        cand = scored.mapInPandas(part, scored.schema)
+        w = Window.partitionBy("qid").orderBy(
+            *[
+                F.col(c).asc() if a else F.col(c).desc()
+                for c, a in zip(by, ascending)
+            ]
+        )
+        return (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(*cols, "__rn")
+        )
+
     mx = scored.groupBy("qid").agg(F.max("rel").alias("__max_rel"))
-    w_sys = Window.partitionBy("qid").orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
+    # MRR without ranking: the argmax-relevance doc's exact rank is
+    # 1 + count of rows ordered above it — an aggregate against the
+    # broadcast per-query best row, exact at any rank
+    best = (
+        scored.join(F.broadcast(mx), "qid")
+        .filter(F.col("rel") == F.col("__max_rel"))
+        .groupBy("qid")
+        .agg(F.max(F.struct(F.col("score"), (-F.col(id_col)).alias("__nid"))).alias("__b"))
+        .select(
+            "qid",
+            F.col("__b.score").alias("__bs"),
+            (-F.col("__b.__nid")).alias("__bid"),
+        )
     )
-    w_ideal = Window.partitionBy("qid").orderBy(
-        F.col("rel").desc(), F.col(id_col).asc()
+    first_best = (
+        scored.join(F.broadcast(best), "qid")
+        .groupBy("qid")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        (F.col("score") > F.col("__bs"))
+                        | (
+                            (F.col("score") == F.col("__bs"))
+                            & (F.col(id_col) < F.col("__bid"))
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+                + 1
+            ).alias("__first_best")
+        )
     )
-    ranked = scored.withColumn("__rn", F.row_number().over(w_sys)).join(
+    sys_top = _topk(["score", id_col], [False, True]).join(
         F.broadcast(mx), "qid"
     )
-    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
-    m = ranked.groupBy("qid").agg(
-        F.min(
-            F.when(F.col("rel") == F.col("__max_rel"), F.col("__rn"))
-        ).alias("__first_best"),
-        F.sum(
-            F.when(
-                F.col("__rn") <= k,
-                F.col("rel") / log2(F.col("__rn") + 1.0),
-            ).otherwise(0.0)
-        ).alias("__dcg"),
-        F.sum(
-            F.when(
-                (F.col("__rn") <= k)
-                & (F.col("rel") == F.col("__max_rel")),
-                1,
-            ).otherwise(0)
+    m = (
+        sys_top.groupBy("qid")
+        .agg(
+            F.sum(F.col("rel") / log2(F.col("__rn") + 1.0)).alias("__dcg"),
+            F.sum(
+                F.when(F.col("rel") == F.col("__max_rel"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("__best_in_top"),
         )
-        .cast("long")
-        .alias("__best_in_top"),
-        F.max("__max_rel").cast("long").alias("max_rel"),
-        F.count("*").cast("long").alias("n_matched"),
+        .join(first_best, "qid")
+        .join(
+            scored.groupBy("qid").agg(
+                F.max("rel").cast("long").alias("max_rel"),
+                F.count("*").cast("long").alias("n_matched"),
+            ),
+            "qid",
+        )
     )
-    ideal = scored.withColumn("__rn", F.row_number().over(w_ideal))
-    i = ideal.groupBy("qid").agg(
-        F.sum(
-            F.when(
-                F.col("__rn") <= k,
-                F.col("rel") / log2(F.col("__rn") + 1.0),
-            ).otherwise(0.0)
-        ).alias("__idcg")
+    i = _topk(["rel", id_col], [False, True]).groupBy("qid").agg(
+        F.sum(F.col("rel") / log2(F.col("__rn") + 1.0)).alias("__idcg")
     )
     return (
         m.join(i, "qid")
