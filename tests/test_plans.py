@@ -551,3 +551,18 @@ def test_audio_facets_payloads_never_shuffle(spark, sf_dir):
         assert len(idx) == 2, (name, "expected exactly two MapInPandas")
         between = simple[idx[0]:idx[1]]
         assert "Exchange" not in between, (name, between)
+
+
+def test_retrieval_eval_has_no_matched_set_ranking_window(spark, sf_dir):
+    """The eval's ranking must stay two-phase bounded top-k: the only
+    row_number windows allowed are over the kernel-reduced candidate
+    frames (which appear AFTER a MapInPandas in the plan). A
+    regression to ranking the raw matched set would show as a window
+    whose input subtree has no MapInPandas, and as fewer than two
+    top-k kernels."""
+    simple = _simple(QUERIES["doc_retrieval_eval"](spark, sf_dir))
+    assert simple.count("MapInPandas") >= 2, "bounded top-k kernels missing"
+    import re
+
+    n_windows = len(re.findall(r"\bWindow\b", simple))
+    assert n_windows <= 2, (n_windows, "unexpected extra ranking windows")
