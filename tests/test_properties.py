@@ -483,6 +483,29 @@ def _canary_decontaminate_spans(spark, docs):
     assert row["left"] == 0
 
 
+def _canary_bpe_encode(spark, docs):
+    from pyspark.sql import functions as F
+
+    from fugue_warehouses_spark.extensions.bpe import bpe_encode
+
+    # fixed 4-merge table; the encode is a per-merge literal-replace
+    # chain over the symbolized text (~340 KB/doc here) — linear per
+    # merge; a per-position form would be O(len^2)
+    merges = [("w 1", 0), ("w 2", 0), ("1 </w>", 0), ("w1 </w>", 0)]
+    row = (
+        bpe_encode(docs, "text", merges)
+        .agg(
+            F.sum("n_bpe_tokens").alias("k"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("words"),
+        )
+        .first()
+    )
+    # sandwich: at least one symbol per word, at most all unmerged
+    # symbols (word chars + </w> each)
+    assert row["k"] >= row["words"]
+    assert row["k"] <= 8 * 20_000 * 6
+
+
 _LONG_DOC_CANARIES = [
     ("word_ngrams", _canary_word_ngrams),
     ("hashed_tokens_bigram", _canary_hashed_tokens_bigram),
@@ -491,6 +514,7 @@ _LONG_DOC_CANARIES = [
     ("quality_kernels", _canary_quality_kernels),
     ("minhash_signing", _canary_minhash_signing),
     ("decontaminate_spans", _canary_decontaminate_spans),
+    ("bpe_encode", _canary_bpe_encode),
 ]
 
 
