@@ -83,18 +83,23 @@ def _pair_counts(seq: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(seq: DataFrame, pair: str) -> DataFrame:
-    """Merge one pair in every word via the double-space replace."""
+def _merge_expr(col, pair: str):
+    """The double-space merge algebra as a Column expression — the ONE
+    Spark-side definition of a BPE merge step, shared by the trainer
+    (`_apply_merge`) and the encoder (`bpe_encode`) so the two can
+    never drift."""
     merged = pair.replace(" ", "")
     padded = F.concat(
-        F.lit(" "), F.replace("s", F.lit(" "), F.lit("  ")), F.lit(" ")
+        F.lit(" "), F.replace(col, F.lit(" "), F.lit("  ")), F.lit(" ")
     )
     target = " " + pair.replace(" ", "  ") + " "
     replaced = F.replace(padded, F.lit(target), F.lit(" " + merged + " "))
-    return seq.select(
-        "freq",
-        F.trim(F.replace(replaced, F.lit("  "), F.lit(" "))).alias("s"),
-    )
+    return F.trim(F.replace(replaced, F.lit("  "), F.lit(" ")))
+
+
+def _apply_merge(seq: DataFrame, pair: str) -> DataFrame:
+    """Merge one pair in every word via the double-space replace."""
+    return seq.select("freq", _merge_expr(F.col("s"), pair).alias("s"))
 
 
 def bpe_train(
@@ -164,20 +169,14 @@ def bpe_encode(
     )
     col = sym
     for m in merges:
-        pair = m[0] if isinstance(m, tuple) else m
-        merged = pair.replace(" ", "")
-        padded = F.concat(
-            F.lit(" "), F.replace(col, F.lit(" "), F.lit("  ")), F.lit(" ")
-        )
-        target = " " + pair.replace(" ", "  ") + " "
-        col = F.trim(
-            F.replace(
-                F.replace(padded, F.lit(target), F.lit(" " + merged + " ")),
-                F.lit("  "),
-                F.lit(" "),
-            )
-        )
-    toks_col = F.split(col, " ")
+        col = _merge_expr(col, m[0] if isinstance(m, tuple) else m)
+    # empty/whitespace-only docs symbolize to '' — their token list is
+    # empty, not [''] (F.split('', ' ') phantom-counts one token);
+    # branch on the cheap source-token count, not on the full merge
+    # chain (a `col == ''` branch would inline the chain twice)
+    toks_col = F.when(
+        F.size(tokens(text_col)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(col, " "))
     return df.withColumn("bpe_tokens", toks_col).withColumn(
         "n_bpe_tokens", F.size(toks_col)
     )
@@ -186,7 +185,11 @@ def bpe_encode(
 def bpe_train_sql(n_merges: int = 8) -> str:
     """DuckDB twin of ``bpe_train`` over ``documents`` (MATERIALIZED
     chained CTEs — one per merge step; without MATERIALIZED the chain
-    re-evaluates exponentially)."""
+    re-evaluates exponentially). Vocab exhaustion (no pairs left
+    before step k) matches the trainer's ``break``: an empty
+    ``best{{i}}`` emits no merge row and passes ``seq`` through
+    unchanged — the scalar subquery's NULL must never reach
+    ``replace`` (it would NULL-poison the whole chain)."""
     toks = r"list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"
     sql = f"""
     WITH words AS MATERIALIZED (
@@ -208,15 +211,18 @@ def bpe_train_sql(n_merges: int = 8) -> str:
       SELECT p, c FROM pairs{i} ORDER BY c DESC, p ASC LIMIT 1),
     seq{i + 1} AS MATERIALIZED (
       SELECT freq,
-             trim(replace(replace(
-               ' ' || replace(s, ' ', '  ') || ' ',
-               ' ' || replace((SELECT p FROM best{i}), ' ', '  ') || ' ',
-               ' ' || replace((SELECT p FROM best{i}), ' ', '') || ' '),
-               '  ', ' ')) AS s
+             CASE WHEN (SELECT p FROM best{i}) IS NULL THEN s
+                  ELSE trim(replace(replace(
+                    ' ' || replace(s, ' ', '  ') || ' ',
+                    ' ' || replace((SELECT p FROM best{i}), ' ', '  ')
+                        || ' ',
+                    ' ' || replace((SELECT p FROM best{i}), ' ', '')
+                        || ' '),
+                    '  ', ' ')) END AS s
       FROM seq{i})"""
         selects.append(
-            f"SELECT {i} AS step, (SELECT p FROM best{i}) AS pair, "
-            f"(SELECT c FROM best{i})::BIGINT AS pair_freq"
+            f"SELECT {i} AS step, p AS pair, c::BIGINT AS pair_freq "
+            f"FROM best{i}"
         )
     sql += "\n    " + "\n    UNION ALL ".join(selects) + "\n    ORDER BY step"
     return sql
@@ -243,17 +249,25 @@ def bpe_encode_sql(n_merges: int = 8) -> str:
         sql += f""",
     enc{i + 1} AS MATERIALIZED (
       SELECT source, ws_tokens,
-             trim(replace(replace(
-               ' ' || replace(s, ' ', '  ') || ' ',
-               ' ' || replace((SELECT p FROM best{i}), ' ', '  ') || ' ',
-               ' ' || replace((SELECT p FROM best{i}), ' ', '') || ' '),
-               '  ', ' ')) AS s
+             CASE WHEN (SELECT p FROM best{i}) IS NULL THEN s
+                  ELSE trim(replace(replace(
+                    ' ' || replace(s, ' ', '  ') || ' ',
+                    ' ' || replace((SELECT p FROM best{i}), ' ', '  ')
+                        || ' ',
+                    ' ' || replace((SELECT p FROM best{i}), ' ', '')
+                        || ' '),
+                    '  ', ' ')) END AS s
       FROM enc{i})"""
+    # empty/whitespace-only docs symbolize to '' — count them as 0
+    # BPE tokens (string_split('') would phantom-count 1)
     sql += f"""
     SELECT source, count(*)::BIGINT AS n_docs,
            sum(ws_tokens)::BIGINT AS total_ws_tokens,
-           sum(len(string_split(s, ' ')))::BIGINT AS total_bpe_tokens,
-           round(sum(len(string_split(s, ' ')))
+           sum(CASE WHEN s = '' THEN 0
+                    ELSE len(string_split(s, ' ')) END)::BIGINT
+             AS total_bpe_tokens,
+           round(sum(CASE WHEN s = '' THEN 0
+                          ELSE len(string_split(s, ' ')) END)
                  / sum(ws_tokens), 6) AS bpe_per_word
     FROM enc{n_merges} GROUP BY source ORDER BY source"""
     return sql

@@ -159,6 +159,7 @@ def audio_features(
     id_col: str,
     frame_len: int = 160,
     decode_stub: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """binary audio payload -> integer acoustic aggregates per payload.
 
@@ -176,11 +177,23 @@ def audio_features(
     the payload digest (same convention as ``_fake_features``), so the
     plumbing is testable with no codec at all.
 
+    ``on_error``: ``"raise"`` (default — deterministic pipelines and
+    the oracle-checked facet) or ``"skip"`` — undecodable payloads
+    (wrong container, truncated header, null) are DROPPED instead of
+    failing the task. Skip is what an unattended ingest wants: one
+    bad clip in a crawl batch must not wedge the stream (a failed
+    task replays the same file forever under checkpointing). Rows
+    needing quarantine rather than silence should be routed upstream
+    by container sniff (``substring(payload, 1, 4) = X'52494646'`` is
+    the WAV check, expressible in the stream itself).
+
     Scale shape: identical to ``extract_features`` — ``mapInPandas``
     over the payload column, embarrassingly parallel, payloads never
     shuffled or collected; outputs are 9 scalars per payload, so the
     frame after this is metadata-sized regardless of audio length.
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
     schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -237,7 +250,12 @@ def audio_features(
             )}
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload) if payload is not None else b""
-                rate, n, nf, ss, zc, pk, mfs = kernel(payload)
+                try:
+                    rate, n, nf, ss, zc, pk, mfs = kernel(payload)
+                except (NotImplementedError, ValueError):
+                    if on_error == "skip":
+                        continue
+                    raise
                 rows["id"].append(int(rid))
                 rows["sample_rate"].append(rate)
                 rows["n_samples"].append(n)
@@ -291,10 +309,9 @@ def audio_segments(
     )
 
     def _frames_real(payload: bytes):
-        import numpy as np
-
         from fugue_warehouses_spark.extensions.wav import (
             decode_wav,
+            frame_features,
             mixdown,
         )
 
@@ -303,15 +320,8 @@ def audio_segments(
                 "real audio decode beyond WAV/PCM requires codec "
                 "libraries absent in this environment"
             )
-        mono = mixdown(decode_wav(payload)[0])
-        n = mono.size
-        n_frames = -(-n // frame_len) if n else 0
-        if not n_frames:
-            z = np.zeros(0, dtype=np.int64)
-            return z, z
-        pad = n_frames * frame_len - n
-        fr = np.pad(mono, (0, pad)).reshape(n_frames, frame_len)
-        return (fr * fr).sum(axis=1), np.abs(fr).max(axis=1)
+        ff = frame_features(mixdown(decode_wav(payload)[0]), frame_len)
+        return ff["sumsq"], ff["peak"]
 
     def _frames_stub(payload: bytes):
         import numpy as np

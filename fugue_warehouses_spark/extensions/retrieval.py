@@ -194,7 +194,11 @@ def retrieval_eval(
         ).alias("score"),
         F.sum("__tf").cast("int").alias("rel"),
     )
-    scored = scored.localCheckpoint(eager=False)
+    # eager: the five downstream consumers (mx/best/first_best/two
+    # top-k legs) must all read the materialized blocks — a lazy
+    # checkpoint materializing under concurrent jobs emits spurious
+    # 'non-existent accumulator' scheduler errors
+    scored = scored.localCheckpoint()
     log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
 
     def _topk(by: list, ascending: list) -> DataFrame:
@@ -224,20 +228,24 @@ def retrieval_eval(
             .select(*cols, "__rn")
         )
 
-    mx = scored.groupBy("qid").agg(F.max("rel").alias("__max_rel"))
+    mx = scored.groupBy("qid").agg(
+        F.max("rel").alias("__max_rel"),
+        F.count("*").alias("__n_matched"),
+    )
     # MRR without ranking: the argmax-relevance doc's exact rank is
     # 1 + count of rows ordered above it — an aggregate against the
-    # broadcast per-query best row, exact at any rank
+    # broadcast per-query best row, exact at any rank. The best row is
+    # (max score, then MIN id) — two chained aggregates rather than a
+    # struct-max over a negated id, so string/decimal id columns work
+    best_rel = scored.join(F.broadcast(mx), "qid").filter(
+        F.col("rel") == F.col("__max_rel")
+    )
+    best_score = best_rel.groupBy("qid").agg(F.max("score").alias("__bs"))
     best = (
-        scored.join(F.broadcast(mx), "qid")
-        .filter(F.col("rel") == F.col("__max_rel"))
+        best_rel.join(F.broadcast(best_score), "qid")
+        .filter(F.col("score") == F.col("__bs"))
         .groupBy("qid")
-        .agg(F.max(F.struct(F.col("score"), (-F.col(id_col)).alias("__nid"))).alias("__b"))
-        .select(
-            "qid",
-            F.col("__b.score").alias("__bs"),
-            (-F.col("__b.__nid")).alias("__bid"),
-        )
+        .agg(F.max("__bs").alias("__bs"), F.min(id_col).alias("__bid"))
     )
     first_best = (
         scored.join(F.broadcast(best), "qid")
@@ -273,9 +281,10 @@ def retrieval_eval(
         )
         .join(first_best, "qid")
         .join(
-            scored.groupBy("qid").agg(
-                F.max("rel").cast("long").alias("max_rel"),
-                F.count("*").cast("long").alias("n_matched"),
+            mx.select(
+                "qid",
+                F.col("__max_rel").cast("long").alias("max_rel"),
+                F.col("__n_matched").cast("long").alias("n_matched"),
             ),
             "qid",
         )

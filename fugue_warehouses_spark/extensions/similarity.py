@@ -1141,7 +1141,12 @@ def decontaminate_semantic(
         T.StructField(c, corpus.schema[c].dataType) for c in extra_cols
     ]
     fields += [
-        T.StructField("nearest_benchmark", corpus.schema[corpus_id].dataType),
+        # benchmark ids fill this column — type from the BENCHMARK
+        # frame (a different table by design; its ids may be strings
+        # while corpus ids are longs)
+        T.StructField(
+            "nearest_benchmark", benchmark.schema[corpus_id].dataType
+        ),
         T.StructField("max_sim", T.DoubleType()),
     ]
     schema = T.StructType(fields)

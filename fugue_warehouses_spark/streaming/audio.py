@@ -41,9 +41,20 @@ def run_audio_feature_ingest(
     id_col: str = "id",
     frame_len: int = 160,
     decode_stub: bool = False,
+    on_error: str = "skip",
 ) -> StreamingQuery:
     """Start the streaming featurization: binary payload stream ->
     integer acoustic features appended to a parquet store.
+
+    ``on_error`` defaults to ``"skip"`` here (the batch API defaults
+    to ``"raise"``): under checkpointing a failed task REPLAYS the
+    same file forever, so one mp3 or truncated clip in a crawl batch
+    would wedge the stream permanently. Skipped rows are dropped, not
+    lost-by-accident — rows needing quarantine should be routed
+    upstream with a container sniff on the payload prefix (WAV =
+    ``X'52494646'``), which keeps the file-sink exactly-once story
+    intact. Pass ``on_error="raise"`` for curated sources where a bad
+    payload is a pipeline bug.
 
     ``trigger(availableNow=True)`` drains everything currently in the
     source then stops — the batch-ish invocation the tests and backfill
@@ -54,7 +65,7 @@ def run_audio_feature_ingest(
         raise ValueError("stream_df must be a streaming DataFrame")
     feats = audio_features(
         stream_df, payload_col, id_col,
-        frame_len=frame_len, decode_stub=decode_stub,
+        frame_len=frame_len, decode_stub=decode_stub, on_error=on_error,
     )
     return (
         feats.writeStream.format("parquet")

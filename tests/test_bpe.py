@@ -113,3 +113,36 @@ def test_sample_words_cap_and_guards(spark):
     assert all("r" not in p for p, _ in merges)
     with pytest.raises(ValueError):
         bpe_train(df, "text", n_merges=0)
+
+
+def test_vocab_exhaustion_matches_between_all_three(spark):
+    # single 1-char word: one merge ('a </w>') exhausts the vocab;
+    # the oracle must emit ONE row and no NULLs (the pre-fix chain
+    # NULL-poisoned seq and emitted a NULL step row)
+    texts = ["a"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out, merges = bpe_train(df, "text", n_merges=3)
+    got = [tuple(r) for r in out.orderBy("step").collect()]
+    exp, _ = _ref_bpe(texts, 3)
+    assert got == exp == [(0, "a </w>", 1)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES ('a')")
+    assert [tuple(r) for r in con.execute(bpe_train_sql(3)).fetchall()] == exp
+    # encode oracle survives exhaustion too (no NULL poisoning)
+    from fugue_warehouses_spark.extensions.bpe import bpe_encode_sql
+
+    con2 = duckdb.connect()
+    con2.execute("CREATE TABLE documents (text VARCHAR, source VARCHAR)")
+    con2.execute("INSERT INTO documents VALUES ('a', 's')")
+    rows = con2.execute(bpe_encode_sql(3)).fetchall()
+    assert rows == [("s", 1, 1, 1, 1.0)]
+
+
+def test_encode_empty_doc_counts_zero_tokens(spark):
+    df = spark.createDataFrame([("",), ("   ",), ("ab",)], "text string")
+    out = bpe_encode(df, "text", [("a b", 0)]).collect()
+    by_text = {r.text: r for r in out}
+    assert by_text[""].n_bpe_tokens == 0 and list(by_text[""].bpe_tokens) == []
+    assert by_text["   "].n_bpe_tokens == 0
+    assert by_text["ab"].n_bpe_tokens == 2  # ab </w>

@@ -80,3 +80,15 @@ def test_best_outside_top_k_zeroes_mrr(spark):
 def test_empty_queries_rejected(spark):
     with pytest.raises(ValueError):
         retrieval_eval(_corpus(spark), "doc_id", "text", [])
+
+
+def test_string_id_columns_work(spark):
+    # the min-id tie-break must not negate the id column (string ids
+    # crashed the struct-max formulation under ANSI)
+    rows = [("d1", "cat dog"), ("d2", "cat cat dog dog " + "pad " * 40),
+            ("d3", "cat mouse")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    r = retrieval_eval(df, "doc_id", "text", [("q", ["cat", "dog"])], k=10)
+    out = r.collect()[0]
+    assert out.max_rel == 4 and out.n_matched == 3
+    assert 0 < out.mrr <= 1.0 and 0 < out.ndcg <= 1.0

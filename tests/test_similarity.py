@@ -687,3 +687,25 @@ def test_decontaminate_semantic_hand_built(spark):
         decontaminate_semantic(
             corpus, bench.filter("vec_id < 0"), threshold=0.5
         )
+
+
+def test_decontaminate_semantic_string_benchmark_ids(spark):
+    from fugue_warehouses_spark.extensions.similarity import (
+        decontaminate_semantic,
+    )
+
+    bench = spark.createDataFrame(
+        [("mmlu", [1.0, 0.0]), ("gsm8k", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(7, [2.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    # corpus ids long, benchmark ids string: nearest_benchmark must
+    # carry the BENCHMARK id type
+    out = decontaminate_semantic(
+        corpus.withColumnRenamed("vec_id", "cid"),
+        bench.withColumnRenamed("vec_id", "cid"),
+        corpus_id="cid", threshold=0.5,
+    ).collect()
+    assert out[0].nearest_benchmark == "mmlu"

@@ -301,3 +301,31 @@ def test_audio_features_stub_path_deterministic(spark):
         assert nf == -(-n // 160) if n else nf == 0
         assert zc <= n and 0 <= peak < 32768
     assert a[0][8] == 3 and a[1][8] == 0 and a[2][8] == 0
+
+
+def test_audio_features_on_error_skip_drops_bad_payloads(spark):
+    good = encode_wav(np.arange(100, dtype=np.int16), 16000)
+    df = _media_df(spark, [good, b"\xff\xf3not-a-wav", None, good[:20]])
+    out = MM.audio_features(
+        df, "payload", "id", decode_stub=False, on_error="skip"
+    ).collect()
+    assert [r.id for r in out] == [0]  # only the decodable clip
+    with pytest.raises(ValueError, match="on_error"):
+        MM.audio_features(df, "payload", "id", on_error="quarantine")
+
+
+def test_streaming_ingest_survives_bad_payload(spark, tmp_path):
+    from fugue_warehouses_spark.streaming.audio import (
+        run_audio_feature_ingest,
+    )
+
+    src, dst, ckpt = (str(tmp_path / n) for n in ("src", "dst", "ckpt"))
+    rows = [(0, encode_wav(np.arange(64, dtype=np.int16), 16000)),
+            (1, b"\xff\xf3mp3-frame-not-wav"),
+            (2, encode_wav(np.arange(96, dtype=np.int16), 16000))]
+    spark.createDataFrame(rows, "id long, payload binary").write.parquet(src)
+    stream = spark.readStream.schema("id long, payload binary").parquet(src)
+    q = run_audio_feature_ingest(stream, dst, ckpt)  # default skip
+    q.awaitTermination(120)
+    got = sorted(r.id for r in spark.read.parquet(dst).collect())
+    assert got == [0, 2]  # the mp3 row skipped, stream not wedged
