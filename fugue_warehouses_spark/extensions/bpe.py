@@ -120,7 +120,16 @@ def bpe_train(
     Each iteration collects ONE scalar row (the argmax pair) — the
     bounded-collect contract every iterative op here follows; the
     vocab table is localCheckpoint'ed per step so the replace chain
-    never builds an unbounded lineage.
+    never builds an unbounded lineage. Checkpoints are LAZY
+    (round 11, guide §1.2 "fewer passes"): each step's argmax collect
+    is the next job anyway, so it materializes the pending checkpoint
+    for free — eager checkpoints ran a separate job per step (one
+    full extra pass over the vocab table each), measured 28 jobs for
+    the 8-merge facet vs ~11 lazy, and the trailing merge's
+    checkpoint (which no consumer ever reads) is never materialized
+    at all. The collects are strictly sequential, so the
+    lazy-checkpoint-under-concurrent-jobs scheduler caveat
+    (retrieval_eval) does not apply.
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
@@ -128,7 +137,7 @@ def bpe_train(
     seq = _word_seqs(df, text_col)
     if sample_words is not None:
         seq = seq.orderBy(F.desc("freq"), F.asc("s")).limit(sample_words)
-    seq = seq.localCheckpoint()
+    seq = seq.localCheckpoint(eager=False)
     merges: list[tuple[str, int]] = []
     for _step in range(n_merges):
         best = (
@@ -141,8 +150,13 @@ def bpe_train(
             break
         pair, c = best[0]["p"], int(best[0]["c"])
         merges.append((pair, c))
-        seq = _apply_merge(seq, pair).localCheckpoint()
-    out = spark.createDataFrame(
+        seq = _apply_merge(seq, pair).localCheckpoint(eager=False)
+    # one-slice local frame: k merge rows need one slice, not
+    # defaultParallelism (plans/localframe.py)
+    from fugue_warehouses_spark.plans.localframe import local_frame
+
+    out = local_frame(
+        spark,
         [(i, p, c) for i, (p, c) in enumerate(merges)],
         "step int, pair string, pair_freq long",
     )

@@ -223,10 +223,13 @@ def pagerank(
             r = (1.0 - damping) / n_loc + damping * contrib
         spark = edges.sparkSession
         out = pd.DataFrame({"node": node_vals, "score": r})
+        # coalesce(1): the Arrow conversion otherwise slices the
+        # node-sized result into defaultParallelism near-empty
+        # partitions (32 no-op tasks for every downstream read)
         return spark.createDataFrame(out, schema=T.StructType([
             T.StructField("node", edges.schema["src"].dataType),
             T.StructField("score", T.DoubleType()),
-        ]))
+        ])).coalesce(1)
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst"))
     ).distinct()

@@ -156,8 +156,15 @@ def retrieval_eval(
 
     spark = df.sparkSession
     all_terms = sorted({t for _, ts in queries for t in ts})
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, ts in queries for t in ts], "qid string, term string"
+    # one-slice local frame: a handful of probe terms otherwise
+    # parallelize into defaultParallelism near-empty slices — a no-op
+    # task (and a Python-runner round) per slice per read
+    from fugue_warehouses_spark.plans.localframe import local_frame
+
+    qterms = local_frame(
+        spark,
+        [(qid, t) for qid, ts in queries for t in ts],
+        "qid string, term string",
     )
     # doc length as a per-row projection (size of the token array) —
     # no second explode+aggregate pass over the corpus; empty docs are

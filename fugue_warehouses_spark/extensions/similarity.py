@@ -880,7 +880,12 @@ def build_ivf_hash_index(
     cn[cn == 0] = 1.0
     cmat_n = cmat / cn
     spark = corpus.sparkSession
-    centroids = spark.createDataFrame(
+    # one-slice local frame: k rows need one slice, not
+    # defaultParallelism (plans/localframe.py)
+    from fugue_warehouses_spark.plans.localframe import local_frame
+
+    centroids = local_frame(
+        spark,
         [(int(i), [float(x) for x in cmat[i]]) for i in range(len(cmat))],
         "cidx int, centroid array<double>",
     )
@@ -1053,7 +1058,10 @@ def ivf_topk_from_index(
     # plain-tuple createDataFrame: the probe set is tiny (n_q * n_probe
     # rows) and the pandas->Arrow conversion path costs more than it
     # saves at that size
-    probes = spark.createDataFrame(
+    from fugue_warehouses_spark.plans.localframe import local_frame
+
+    probes = local_frame(  # tiny probe set — one slice
+        spark,
         probe_rows,
         schema=T.StructType(
             [
@@ -1755,7 +1763,10 @@ def incremental_embedding_dedup(
             qids[alive], qmat[alive], threshold, round_digits
         )
         spark = batch.sparkSession
-        kept_df = spark.createDataFrame(
+        from fugue_warehouses_spark.plans.localframe import local_frame
+
+        kept_df = local_frame(  # batch-sized id list — one slice
+            spark,
             [(v.item() if hasattr(v, "item") else v,) for v in kept],
             T.StructType([T.StructField(id_col, batch.schema[id_col].dataType)]),
         )

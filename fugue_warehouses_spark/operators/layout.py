@@ -373,4 +373,8 @@ def export_tar_shards(
     manifest_rows = (
         sharded.groupBy("shard").applyInPandas(write_shard, schema).collect()
     )
-    return df.sparkSession.createDataFrame(manifest_rows, schema)
+    # one-slice local frame: #shards manifest rows — one slice, not
+    # defaultParallelism near-empty ones (plans/localframe.py)
+    from fugue_warehouses_spark.plans.localframe import local_frame
+
+    return local_frame(df.sparkSession, manifest_rows, schema)

@@ -29,9 +29,61 @@ the same distributed-rank trick internally) re-expressed for Spark.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from fugue_warehouses_spark.plans.localframe import local_frame
+
+
+def _range_npart(df: DataFrame, num_partitions: int | None) -> int:
+    """Scale-adaptive range-partition count (round 11, guide §2:
+    "make partitioning scale-adaptive — derive from input size —
+    rather than a constant tuned for either local mode or the
+    cluster"). The previous constant (defaultParallelism) was wrong
+    at BOTH ends: at bench scale every rank/cumsum paid 32-partition
+    exchanges, checkpoints and windows on kilobytes (~6 x 32 tiny
+    tasks per facet — pure scheduler floor), and at 100 TB a fixed 32
+    would put terabytes in one range partition.
+
+    Derives the count from Catalyst's own size estimate of the input
+    plan: ceil(bytes / target) with target =
+    $SPARK_GRAFT_RANGE_PARTITION_BYTES (default 64 MB, the same
+    advisory granularity AQE coalesces shuffles to), clamped to
+    [defaultParallelism, max(defaultParallelism, 4096)]. The FLOOR is
+    defaultParallelism — AQE's parallelism-first rule: a small input
+    still spreads its per-partition sort/window compute over every
+    core (an npart-from-bytes-only variant was measured this round:
+    it collapsed sf0.1 inputs to 1 range partition and serialized
+    2-4 s of per-doc expression work that 32 partitions run in
+    parallel — strictly worse). The CEILING scales with data: at
+    100 TB ceil(bytes/64 MB) >> cores, where the previous constant 32
+    would have put terabytes in one range partition. Unknown/absent
+    stats (an RDD-backed checkpoint input, whose LogicalRDD reports a
+    placeholder size) keep the defaultParallelism floor. Partition count provably cannot change any caller's
+    result: every call site orders by a TOTAL order (unique
+    tiebreaker) and sums integer value columns, so rank/cumsum values
+    are partition-independent (tests/test_rank.py pins equality
+    across num_partitions)."""
+    if num_partitions is not None:
+        return num_partitions
+    par = df.sparkSession.sparkContext.defaultParallelism
+    target = int(
+        os.environ.get("SPARK_GRAFT_RANGE_PARTITION_BYTES", str(64 << 20))
+    )
+    cap = max(par, 4096)
+    try:
+        nbytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return par
+    if nbytes <= 0 or nbytes >= (1 << 50):  # absent/default stats
+        return par
+    need = (nbytes + target - 1) // target
+    return int(min(max(par, need), cap))
 
 
 def add_global_rank(
@@ -53,7 +105,7 @@ def add_global_rank(
     monotonic ids to a single assignment.
     """
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    npart = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    npart = _range_npart(df, num_partitions)
     # monotonically_increasing_id = partition_index * 2^33 + row index
     # within the partition's iteration order — which IS the sort order
     # after sortWithinPartitions. Decode both halves instead of paying
@@ -78,7 +130,9 @@ def add_global_rank(
         offsets.append((p, acc))
         acc += counts[p]
     spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets or [], "__pid int, __off long")
+    # one-slice local frame: the 32-slice default costs a no-op task
+    # per slice on every broadcast build (plans/localframe.py)
+    off_df = local_frame(spark, offsets or [], "__pid int, __off long")
     ranked = (
         ranged.withColumn("__pid", pid)
         .join(F.broadcast(off_df), "__pid")
@@ -132,7 +186,7 @@ def add_global_cumsum(
     two balanced shuffles total, which is the honest price of an
     exact global cumsum without a single-task sort.
     """
-    npart = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    npart = _range_npart(df, num_partitions)
     ranged = (
         df.repartitionByRange(npart, *order_by)
         .sortWithinPartitions(*order_by)
@@ -167,7 +221,9 @@ def add_global_cumsum(
         offsets.append((p, _as_sum_type(acc)))
         acc += sums[p] or 0
     spark = df.sparkSession
-    off_df = spark.createDataFrame(
+    # one-slice local frame: see add_global_rank (plans/localframe.py)
+    off_df = local_frame(
+        spark,
         offsets or [],
         T.StructType(
             [

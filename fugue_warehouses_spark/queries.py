@@ -38,6 +38,7 @@ from fugue_warehouses_spark.functions import text as TX
 from fugue_warehouses_spark.operators import layout as LY
 from fugue_warehouses_spark.operators import timeseries as TSO
 from fugue_warehouses_spark.operators.take import take
+from fugue_warehouses_spark.plans.localframe import local_frame as _lf
 from fugue_warehouses_spark.sources import load_star_table, register_star_views
 from fugue_warehouses_spark.transform import transform
 
@@ -2524,13 +2525,14 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str, store: str | None = None):
             ).collect(),
             key=lambda r: r["cidx"],
         )
-        centroids = spark.createDataFrame(
+        centroids = _lf(
+            spark,
             [
                 (int(r["cidx"]), [float(x) for x in r["centroid"]])
                 for r in cent_rows
             ],
             "cidx int, centroid array<double>",
-        )
+        )  # k rows — one slice, not defaultParallelism
         entry = {
             "assigned": assigned,
             "centroids": centroids,

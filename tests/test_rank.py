@@ -114,6 +114,43 @@ def test_global_cumsum_no_single_partition_window(spark):
             assert "__pid" in line, line
 
 
+def test_rank_and_cumsum_partition_count_invariance(spark):
+    """Round 11: _range_npart derives the range-partition count from
+    the input's size estimate. Ranks and integer cumsums are provably
+    partition-count independent (total order + exact sums) — pin it
+    across explicit counts AND the adaptive default."""
+    from fugue_warehouses_spark.operators.rank import add_global_cumsum
+
+    df = spark.range(3000).selectExpr(
+        "id", "CAST(hash(id) % 31 AS DOUBLE) AS v",
+        "(id * 37) % 100 + 1 AS w",
+    )
+    base, n = add_global_rank(df, ["v", "id"], rank_col="r", num_partitions=1)
+    want = {r["id"]: r["r"] for r in base.collect()}
+    for np_ in (5, 32, None):  # None = adaptive (_range_npart)
+        got, n2 = add_global_rank(
+            df, ["v", "id"], rank_col="r", num_partitions=np_
+        )
+        assert n2 == n
+        assert {r["id"]: r["r"] for r in got.collect()} == want
+    cbase = {
+        r["id"]: r["cum"]
+        for r in add_global_cumsum(
+            df, [F.asc("v"), F.asc("id")], "w", cumsum_col="cum",
+            num_partitions=1,
+        ).collect()
+    }
+    for np_ in (5, 32, None):
+        cgot = {
+            r["id"]: r["cum"]
+            for r in add_global_cumsum(
+                df, [F.asc("v"), F.asc("id")], "w", cumsum_col="cum",
+                num_partitions=np_,
+            ).collect()
+        }
+        assert cgot == cbase
+
+
 def test_global_cumsum_empty_input(spark):
     from fugue_warehouses_spark.operators.rank import add_global_cumsum
 
