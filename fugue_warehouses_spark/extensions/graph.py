@@ -72,9 +72,20 @@ def cooccurrence_edges(
         .select("__p.src", "__p.dst")
         .distinct()
     )
-    return pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # mirror in the SAME pass (round 11, guide §1.2): the
+    # union(pairs, swapped(pairs)) form re-ran the distinct's final
+    # hash aggregate for the second leg (only its exchange is reused);
+    # exploding a 2-element struct array emits both directions from
+    # ONE read of the distinct output. Disjointness (src < dst
+    # strictly) is unchanged, so no second dedup is needed either way.
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
 
 
 def pagerank(

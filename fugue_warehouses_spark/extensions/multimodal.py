@@ -241,9 +241,89 @@ def audio_features(
         return (16000, n_samples, n_frames, w[2], w[3] % (n_samples + 1),
                 w[4] % 32768, w[5])
 
+    def _fast(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        """Batch-vectorized real path (round 11, guide §4.2): one
+        reduceat sweep over the whole Arrow batch's concatenated mono
+        PCM instead of ~10 numpy calls per 256–1024-sample payload
+        (per-call overhead measured ~3 ms/payload on the audio
+        facets). Applies when every decodable payload is mono 16-bit
+        PCM — any stereo/8-bit payload returns None and the batch
+        takes the per-payload kernel (output identical either way;
+        property-pinned in tests/test_wav.py)."""
+        import numpy as np
+
+        from fugue_warehouses_spark.extensions.wav import (
+            batch_frame_features,
+            parse_wav_raw,
+        )
+
+        ids = pdf[id_col]
+        n_rows = len(ids)
+        raws: list[bytes] = []
+        counts = np.zeros(n_rows, dtype=np.int64)
+        rates = np.zeros(n_rows, dtype=np.int64)
+        nbytes = np.zeros(n_rows, dtype=np.int64)
+        keep = np.ones(n_rows, dtype=bool)
+        for j, payload in enumerate(pdf[payload_col]):
+            payload = bytes(payload) if payload is not None else b""
+            nbytes[j] = len(payload)
+            try:
+                if payload[:4] != b"RIFF":
+                    raise NotImplementedError(
+                        "real audio decode beyond WAV/PCM requires codec "
+                        "libraries absent in this environment"
+                    )
+                raw, ch, rate, bits = parse_wav_raw(payload)
+            except (NotImplementedError, ValueError):
+                if on_error == "skip":
+                    keep[j] = False
+                    continue
+                raise
+            if ch != 1 or bits != 16:
+                return None  # mixdown/8-bit upconvert: per-payload path
+            usable = len(raw) - len(raw) % 2
+            raws.append(raw[:usable])
+            counts[j] = usable // 2
+            rates[j] = rate
+        x = np.frombuffer(b"".join(raws), dtype="<i2").astype(np.int64)
+        ff = batch_frame_features(x, counts, frame_len)
+        nfr = ff["fcounts"]
+        sumsq_t = np.zeros(n_rows, dtype=np.int64)
+        zc_t = np.zeros(n_rows, dtype=np.int64)
+        peak_m = np.zeros(n_rows, dtype=np.int64)
+        mfs = np.zeros(n_rows, dtype=np.int64)
+        nz = nfr > 0
+        if nz.any():
+            # empty payloads own no frames, so dropping their (equal)
+            # offsets keeps the remaining reduceat segments contiguous
+            offs_nz = ff["foffs"][nz]
+            sumsq_t[nz] = np.add.reduceat(ff["sumsq"], offs_nz)
+            zc_t[nz] = np.add.reduceat(ff["zero_crossings"], offs_nz)
+            peak_m[nz] = np.maximum.reduceat(ff["peak"], offs_nz)
+            mfs[nz] = np.maximum.reduceat(ff["sumsq"], offs_nz)
+        out = pd.DataFrame(
+            {
+                "id": ids.astype("int64").to_numpy(),
+                "sample_rate": rates,
+                "n_samples": counts,
+                "n_frames": nfr,
+                "sumsq": sumsq_t,
+                "zero_crossings": zc_t,
+                "peak": peak_m,
+                "max_frame_sumsq": mfs,
+                "n_bytes": nbytes,
+            }
+        )
+        return out if keep.all() else out[keep]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kernel = _stub if decode_stub else _real
         for pdf in batches:
+            if not decode_stub:
+                fast = _fast(pdf)
+                if fast is not None:
+                    yield fast
+                    continue
             rows = {k: [] for k in (
                 "id", "sample_rate", "n_samples", "n_frames", "sumsq",
                 "zero_crossings", "peak", "max_frame_sumsq", "n_bytes",
@@ -334,11 +414,111 @@ def audio_segments(
         peak = rng.integers(0, 32768, size=n_frames, dtype=np.int64)
         return sumsq, peak
 
+    def _fast(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        """Batch-vectorized real path (round 11, guide §4.2): frame
+        the whole Arrow batch's concatenated mono PCM in one reduceat
+        sweep, then extract every payload's active islands with one
+        vectorized rise/fall-edge pass — the per-payload island loop
+        ran ~10 numpy calls on <8-frame arrays per payload. Mono
+        16-bit PCM batches only; otherwise None -> per-payload path
+        (identical output, property-pinned in tests/test_wav.py)."""
+        import numpy as np
+
+        from fugue_warehouses_spark.extensions.wav import (
+            batch_frame_features,
+            parse_wav_raw,
+        )
+
+        ids = pdf[id_col]
+        n_rows = len(ids)
+        raws: list[bytes] = []
+        counts = np.zeros(n_rows, dtype=np.int64)
+        for j, payload in enumerate(pdf[payload_col]):
+            payload = bytes(payload) if payload is not None else b""
+            if payload[:4] != b"RIFF":
+                raise NotImplementedError(
+                    "real audio decode beyond WAV/PCM requires codec "
+                    "libraries absent in this environment"
+                )
+            raw, ch, _rate, bits = parse_wav_raw(payload)
+            if ch != 1 or bits != 16:
+                return None  # mixdown/8-bit upconvert: per-payload path
+            usable = len(raw) - len(raw) % 2
+            raws.append(raw[:usable])
+            counts[j] = usable // 2
+        x = np.frombuffer(b"".join(raws), dtype="<i2").astype(np.int64)
+        ff = batch_frame_features(x, counts, frame_len)
+        fsumsq, fpeak = ff["sumsq"], ff["peak"]
+        fcounts, foffs = ff["fcounts"], ff["foffs"]
+        tot_f = fsumsq.size
+        if not tot_f:
+            return pd.DataFrame(
+                {k: pd.Series(dtype="int64") for k in (
+                    "id", "seg_idx", "start_frame", "end_frame",
+                    "n_frames", "seg_sumsq", "seg_peak",
+                )}
+            )
+        active = fsumsq > sumsq_threshold
+        # rise/fall edges WITHIN each payload (frame grids never span
+        # payloads; first/last frame of a payload has no neighbor)
+        prev_a = np.zeros(tot_f, dtype=bool)
+        prev_a[1:] = active[:-1]
+        prev_a[foffs[fcounts > 0]] = False
+        next_a = np.zeros(tot_f, dtype=bool)
+        next_a[:-1] = active[1:]
+        last_idx = (foffs + fcounts - 1)[fcounts > 0]
+        next_a[last_idx] = False
+        starts = np.flatnonzero(active & ~prev_a)
+        ends = np.flatnonzero(active & ~next_a)
+        if not starts.size:
+            return pd.DataFrame(
+                {k: pd.Series(dtype="int64") for k in (
+                    "id", "seg_idx", "start_frame", "end_frame",
+                    "n_frames", "seg_sumsq", "seg_peak",
+                )}
+            )
+        # map each segment to its payload row and per-payload ordinal
+        row_of_frame = np.repeat(
+            np.arange(n_rows, dtype=np.int64), fcounts
+        )
+        seg_row = row_of_frame[starts]
+        per_row = np.bincount(seg_row, minlength=n_rows)
+        seg_idx = np.arange(starts.size, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(per_row)))[:-1], per_row
+        )
+        csum = np.concatenate(([0], np.cumsum(fsumsq)))
+        # seg_peak via interleaved reduceat [start, end+1); the gap
+        # entries between pairs are discarded, so a duplicate index
+        # (segment ending at a payload edge abutting the next start)
+        # is harmless; pad one element so end+1 == len is in range
+        idx2 = np.empty(2 * starts.size, dtype=np.int64)
+        idx2[0::2] = starts
+        idx2[1::2] = ends + 1
+        last_dup = idx2[-1] == fpeak.size
+        peak_src = np.append(fpeak, 0) if last_dup else fpeak
+        seg_peak = np.maximum.reduceat(peak_src, idx2)[0::2]
+        return pd.DataFrame(
+            {
+                "id": ids.astype("int64").to_numpy()[seg_row],
+                "seg_idx": seg_idx,
+                "start_frame": starts - foffs[seg_row],
+                "end_frame": ends - foffs[seg_row],
+                "n_frames": ends - starts + 1,
+                "seg_sumsq": csum[ends + 1] - csum[starts],
+                "seg_peak": seg_peak,
+            }
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         frames = _frames_stub if decode_stub else _frames_real
         for pdf in batches:
+            if not decode_stub:
+                fast = _fast(pdf)
+                if fast is not None:
+                    yield fast
+                    continue
             cols = {k: [] for k in (
                 "id", "seg_idx", "start_frame", "end_frame", "n_frames",
                 "seg_sumsq", "seg_peak",

@@ -44,15 +44,20 @@ def bm25_scores(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
-    )
-    doclen = toks.groupBy(id_col).agg(F.count("*").alias("__dl"))
+    # doc length as a per-row projection (round 11, guide §2.4 /
+    # §1.2 "fewer passes": retrieval_eval already computed it this
+    # way) — size of the token array, no second explode+groupBy pass
+    # over the corpus. Docs with zero tokens are excluded exactly as
+    # the explode+count form excluded them (they produced no rows).
+    doclen = df.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("__dl")
+    ).where(F.col("__dl") > 0)
     stats = doclen.agg(
         F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl")
     )
     tf = (
-        toks.filter(F.col("__t").isin(*query_terms))
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+        .filter(F.col("__t").isin(*query_terms))
         .groupBy(id_col, "__t")
         .agg(F.count("*").alias("__tf"))
     )
@@ -204,7 +209,11 @@ def retrieval_eval(
     # eager: the five downstream consumers (mx/best/first_best/two
     # top-k legs) must all read the materialized blocks — a lazy
     # checkpoint materializing under concurrent jobs emits spurious
-    # 'non-existent accumulator' scheduler errors
+    # 'non-existent accumulator' scheduler errors. (A
+    # repartition("qid") here was considered and REJECTED in round 11:
+    # it would funnel each query's whole matched set through one task
+    # at materialization — the serialization this operator exists to
+    # avoid.)
     scored = scored.localCheckpoint()
     log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
 
@@ -235,25 +244,38 @@ def retrieval_eval(
             .select(*cols, "__rn")
         )
 
+    # ONE aggregate for max-rel, match count AND the per-query best
+    # row (round 11, guide §2.4 "do fewer shuffles"): the previous
+    # shape ran three chained aggregation branches (mx -> filter ->
+    # best_score -> filter -> best) with two broadcast joins — three
+    # extra passes over the matched sets and ~5 extra exchanges. The
+    # best row is the lexicographic min of (-rel, -score, id): rows
+    # sorted by rel DESC, score DESC, id ASC — exactly the two-step
+    # filter semantics (argmax rel, then max score, then min id), as
+    # one partial-aggregating struct-min. rel is int and score double,
+    # so negation is exact; id keeps its own ASC direction inside the
+    # struct. (The old two-step form existed for non-numeric id
+    # columns — id is NOT negated here, so that still holds.)
     mx = scored.groupBy("qid").agg(
         F.max("rel").alias("__max_rel"),
         F.count("*").alias("__n_matched"),
+        F.min(
+            F.struct(
+                (-F.col("rel")).alias("__nr"),
+                (-F.col("score")).alias("__ns"),
+                F.col(id_col).alias("__id"),
+            )
+        ).alias("__best"),
     )
+    best = mx.select(
+        "qid",
+        (-F.col("__best.__ns")).alias("__bs"),
+        F.col("__best.__id").alias("__bid"),
+    )
+    mx = mx.drop("__best")
     # MRR without ranking: the argmax-relevance doc's exact rank is
     # 1 + count of rows ordered above it — an aggregate against the
-    # broadcast per-query best row, exact at any rank. The best row is
-    # (max score, then MIN id) — two chained aggregates rather than a
-    # struct-max over a negated id, so string/decimal id columns work
-    best_rel = scored.join(F.broadcast(mx), "qid").filter(
-        F.col("rel") == F.col("__max_rel")
-    )
-    best_score = best_rel.groupBy("qid").agg(F.max("score").alias("__bs"))
-    best = (
-        best_rel.join(F.broadcast(best_score), "qid")
-        .filter(F.col("score") == F.col("__bs"))
-        .groupBy("qid")
-        .agg(F.max("__bs").alias("__bs"), F.min(id_col).alias("__bid"))
-    )
+    # broadcast per-query best row, exact at any rank.
     first_best = (
         scored.join(F.broadcast(best), "qid")
         .groupBy("qid")

@@ -324,8 +324,19 @@ def dsir_importance(
     tt = _hashed_tokens(target, text_col, n_buckets, ngram_max=ngram_max)
     # the per-(doc, bucket) counts are needed for scoring anyway, so
     # the raw text is tokenized exactly ONCE: raw bucket totals roll
-    # up from perdoc rather than from a second pass over the corpus
-    perdoc = tr.groupBy(key_col, "__b").agg(F.count("*").alias("__n"))
+    # up from perdoc rather than from a second pass over the corpus.
+    # lazy localCheckpoint (round 11, guide §1.2 "fewer passes"):
+    # perdoc feeds TWO plan branches (the bucket-total rollup and the
+    # final per-doc weight join) — without it the regex split + n-gram
+    # build + explode + first aggregate re-ran once per branch. The
+    # checkpoint holds (key, bucket, count) int triples — the narrow
+    # proxy rows of the guide's §8 pattern, a small fraction of the
+    # text bytes they summarize
+    perdoc = (
+        tr.groupBy(key_col, "__b")
+        .agg(F.count("*").alias("__n"))
+        .localCheckpoint(eager=False)
+    )
     # ONE tagged-union wordcount instead of two counts + a full-outer
     # bucket join: same <= n_buckets result, one shuffle, no join
     cb = (
@@ -346,6 +357,12 @@ def dsir_importance(
             F.sum("__one_r").alias("__cr"), F.sum("__one_t").alias("__ct")
         )
     )
+    # lazy localCheckpoint (round 11, guide §1.2): cb is read by TWO
+    # branches (the totals aggregate and the log-ratio projection) —
+    # without it the tagged-union wordcount (and the target
+    # tokenization under it) re-ran per branch. cb is BOUNDED at
+    # n_buckets (<= 4096) rows, so the checkpoint is O(n_buckets)
+    cb = cb.localCheckpoint(eager=False)
     tot = cb.agg(
         F.sum("__cr").alias("__totr"), F.sum("__ct").alias("__tott")
     )

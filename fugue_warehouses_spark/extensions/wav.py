@@ -72,13 +72,16 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """WAV bytes -> ``(samples int16 (n, channels), sample_rate)``.
-
-    Real chunk-walking parser; see module docstring for the cases it
-    covers. 8-bit PCM (unsigned) is up-converted to int16 via the
-    standard ``(v - 128) << 8`` mapping.
-    """
+def parse_wav_raw(data: bytes) -> tuple[bytes, int, int, int]:
+    """WAV bytes -> ``(raw_pcm_bytes, channels, sample_rate, bits)``
+    WITHOUT materializing a sample array — the shared chunk-walking
+    parser behind :func:`decode_wav` and the batch kernels
+    (round 11, guide §4.2: the per-payload numpy work moved to one
+    vectorized pass over the whole Arrow batch, but the RIFF walk is
+    cheap pure-Python slicing and stays per payload). Raises exactly
+    as ``decode_wav``: ``ValueError`` for malformed RIFF,
+    ``NotImplementedError`` for non-integer-PCM codecs / unsupported
+    bit depths."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     declared = struct.unpack("<I", data[4:8])[0]
@@ -115,17 +118,28 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         )
     if ch < 1:
         raise ValueError("fmt chunk declares zero channels")
+    if bits not in (8, 16):
+        raise NotImplementedError(f"{bits}-bit PCM unsupported (8/16 only)")
+    return raw, ch, rate, bits
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> ``(samples int16 (n, channels), sample_rate)``.
+
+    Real chunk-walking parser; see module docstring for the cases it
+    covers. 8-bit PCM (unsigned) is up-converted to int16 via the
+    standard ``(v - 128) << 8`` mapping.
+    """
+    raw, ch, rate, bits = parse_wav_raw(data)
     if bits == 16:
         frame = 2 * ch
         usable = len(raw) - len(raw) % frame
         s = np.frombuffer(raw[:usable], dtype="<i2").reshape(-1, ch)
         s = s.astype(np.int16, copy=False)
-    elif bits == 8:
+    else:  # bits == 8 (parse_wav_raw rejected everything else)
         usable = len(raw) - len(raw) % ch
         u = np.frombuffer(raw[:usable], dtype=np.uint8).astype(np.int16)
         s = ((u - 128) << 8).reshape(-1, ch)
-    else:
-        raise NotImplementedError(f"{bits}-bit PCM unsupported (8/16 only)")
     return s, rate
 
 
@@ -174,6 +188,59 @@ def frame_features(
         (np.nonzero(flips)[0] + 1) // frame_len, minlength=n_frames
     ).astype(np.int64)
     return {"sumsq": sumsq, "zero_crossings": xing, "peak": peak}
+
+
+def batch_frame_features(
+    x: np.ndarray, counts: np.ndarray, frame_len: int = 160
+) -> dict[str, np.ndarray]:
+    """Vectorized :func:`frame_features` over MANY payloads at once
+    (round 11, guide §4.2: per-payload numpy calls on 256–1024-sample
+    arrays are dominated by per-call overhead — ~3 ms/payload measured
+    on the audio facets; one ``reduceat`` pass over the whole Arrow
+    batch amortizes it).
+
+    ``x``: int64 concatenation of every payload's mono samples in
+    batch order; ``counts``: per-payload sample counts (zeros allowed
+    — empty payloads contribute no frames). Frames never span payload
+    boundaries because every payload's frame grid restarts at its own
+    offset. Returns per-FRAME arrays ``sumsq`` / ``zero_crossings`` /
+    ``peak`` (identical, frame for frame, to running
+    ``frame_features`` per payload — pinned by a property test) plus
+    per-payload ``fcounts`` and exclusive frame offsets ``foffs``.
+    """
+    if frame_len < 1:
+        raise ValueError("frame_len must be >= 1")
+    counts = np.asarray(counts, dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    fcounts = -(-counts // frame_len)
+    foffs = np.concatenate(([0], np.cumsum(fcounts)))[:-1]
+    tot_f = int(fcounts.sum())
+    if not tot_f:
+        z = np.zeros(0, dtype=np.int64)
+        return {
+            "sumsq": z, "zero_crossings": z.copy(), "peak": z.copy(),
+            "fcounts": fcounts, "foffs": foffs,
+        }
+    # global frame-start indices: payload p's k-th frame starts at
+    # sample offs[p] + k*frame_len
+    k_in_payload = np.arange(tot_f, dtype=np.int64) - np.repeat(
+        foffs, fcounts
+    )
+    fstarts = np.repeat(offs, fcounts) + k_in_payload * frame_len
+    sumsq = np.add.reduceat(x * x, fstarts)
+    peak = np.maximum.reduceat(np.abs(x), fstarts)
+    # sign flips between consecutive samples WITHIN a payload; the
+    # flip at position i belongs to i's frame (frame_features: "the
+    # crossing between two frames belongs to the later frame" — and
+    # reduceat assigns index i to the segment that starts at <= i)
+    flips = np.zeros(x.size, dtype=np.int64)
+    flips[1:] = ((x[:-1] < 0) != (x[1:] < 0)).astype(np.int64)
+    flips[offs[counts > 0]] = 0  # no flip across payload boundaries
+    xing = np.add.reduceat(flips, fstarts)
+    return {
+        "sumsq": sumsq, "zero_crossings": xing, "peak": peak,
+        "fcounts": fcounts, "foffs": foffs,
+    }
 
 
 def resample_linear(

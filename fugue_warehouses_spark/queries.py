@@ -1312,12 +1312,18 @@ def doc_quality_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fugue_warehouses_spark.operators.rank import add_global_cumsum
 
     docs = _t(spark, sf_dir, "documents")
+    # lazy localCheckpoint (round 11, guide §1.2 "fewer passes"): the
+    # narrow (id, source, q, ntok) projection is consumed THREE times
+    # — the range-partitioner's sampling pass, the cumsum shuffle, and
+    # the total-tokens aggregate — and q/ntok are the expensive
+    # regex-heavy text expressions; materialize the 4-column frame
+    # once (rows are ~40 B regardless of document length)
     per = docs.select(
         "doc_id",
         "source",
         TX.quality_score("text").alias("q"),
         TX.token_count("text").alias("ntok"),
-    )
+    ).localCheckpoint(eager=False)
     cum = add_global_cumsum(
         per, [F.desc("q"), F.asc("doc_id")], "ntok", cumsum_col="cum"
     )
@@ -1378,10 +1384,13 @@ def doc_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fugue_warehouses_spark.operators.rank import add_global_cumsum
 
     docs = _t(spark, sf_dir, "documents")
+    # lazy localCheckpoint (round 11, guide §1.2): the q projection is
+    # consumed by the count, the range sampler and the cumsum shuffle
+    # — without it the regex-heavy quality_score re-evaluates each time
     per = docs.select(
         "doc_id", TX.quality_score("text").alias("q"),
         F.lit(1).alias("__one"),
-    )
+    ).localCheckpoint(eager=False)
     n = per.count()  # scalar: drives the quartile arithmetic
     ranked = add_global_cumsum(
         per, [F.desc("q"), F.asc("doc_id")], "__one", cumsum_col="qpos"
@@ -2710,14 +2719,26 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             ids = pdf["id"].astype("int64")
-            payloads = []
-            for did in ids:
-                n = 256 + int(did) % 256
-                v = (
-                    (int(did) * 2654435761
-                     + np.arange(n, dtype=np.int64) * 40503) % 65536
-                ) - 32768
-                payloads.append(encode_wav(v.astype(np.int16), 16000))
+            # vectorized sample synthesis across the whole batch
+            # (round 11, guide §4.2): one flat arange/mod pass instead
+            # of per-doc numpy calls; encode_wav slices per doc
+            idv = ids.to_numpy()
+            n = 256 + idv % 256
+            offs = np.concatenate(([0], np.cumsum(n)))
+            i_flat = np.arange(offs[-1], dtype=np.int64) - np.repeat(
+                offs[:-1], n
+            )
+            # (id % m) * c ≡ id * c (mod m): reduce ids first so the
+            # int64 product cannot overflow for any doc_id
+            v = (
+                (np.repeat(idv % 65536, n) * 2654435761
+                 + i_flat * 40503) % 65536
+            ) - 32768
+            v16 = v.astype(np.int16)
+            payloads = [
+                encode_wav(v16[offs[j]:offs[j + 1]], 16000)
+                for j in range(len(idv))
+            ]
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
     media = docs.mapInPandas(synth, "id long, payload binary")
@@ -2785,15 +2806,26 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             ids = pdf["id"].astype("int64")
-            payloads = []
-            for did in ids:
-                n = 512 + int(did) % 512
-                i = np.arange(n, dtype=np.int64)
-                b = ((int(did) * 2654435761 + i * 40503) % 8192) - 4096
-                gain = np.where((i // 160) % 4 == 0, 1, 8)
-                payloads.append(
-                    encode_wav((b * gain).astype(np.int16), 16000)
-                )
+            # vectorized synthesis across the batch (round 11, §4.2):
+            # same closed-form stream, one flat pass
+            idv = ids.to_numpy()
+            n = 512 + idv % 512
+            offs = np.concatenate(([0], np.cumsum(n)))
+            i_flat = np.arange(offs[-1], dtype=np.int64) - np.repeat(
+                offs[:-1], n
+            )
+            # (id % m) * c ≡ id * c (mod m): overflow-proof as in
+            # multimodal_audio_features
+            b = (
+                (np.repeat(idv % 8192, n) * 2654435761
+                 + i_flat * 40503) % 8192
+            ) - 4096
+            gain = np.where((i_flat // 160) % 4 == 0, 1, 8)
+            v16 = (b * gain).astype(np.int16)
+            payloads = [
+                encode_wav(v16[offs[j]:offs[j + 1]], 16000)
+                for j in range(len(idv))
+            ]
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
     media = docs.mapInPandas(synth, "id long, payload binary")
@@ -4134,10 +4166,21 @@ def doc_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = docs.filter(
         (TX.quality_score("text") >= 0.75) & (TX.lang_id("text") == "en")
     )
-    deduped = DD.fingerprint_dedup(filtered, "text", "doc_id")
+    # token estimate computed BEFORE the dedup window (round 11, guide
+    # §2.3 "project before the exchange" / §8 proxy pattern): the agg
+    # was the only post-window consumer of `text`, so the fingerprint
+    # exchange shipped every document's bytes to carry one long. With
+    # __est precomputed below the exchange, Catalyst prunes `text`
+    # from the shuffle — narrow ints cross, payload bytes don't.
+    # Identical results: __est is a pure per-row function and the
+    # survivor set is unchanged.
+    est = filtered.withColumn(
+        "__est", TX.bpe_token_estimate("text")
+    )
+    deduped = DD.fingerprint_dedup(est, "text", "doc_id")
     return deduped.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(TX.bpe_token_estimate("text")).cast("long").alias("est_tokens"),
+        F.sum("__est").cast("long").alias("est_tokens"),
     )
 
 
@@ -4752,7 +4795,14 @@ def doc_near_dup_signature_estimate(
     docs = _t(spark, sf_dir, "documents")
     hist = docs.filter(F.col("doc_id") % 5 != 4)
     new = docs.filter(F.col("doc_id") % 5 == 4)
-    slim = DD.build_minhash_index(hist, "doc_id", "text", keep_grams=False)
+    # lazy localCheckpoint (round 11, guide §1.2 "don't compute things
+    # twice"): the index feeds TWO plan branches (banding + verify
+    # signatures) — without it each branch re-signed the whole hist
+    # side; the sibling incremental facets already checkpoint here, and
+    # the real workflow reads a persisted signature table instead
+    slim = DD.build_minhash_index(
+        hist, "doc_id", "text", keep_grams=False
+    ).localCheckpoint(eager=False)
     pairs = DD.near_dup_pairs_against_index(
         new, slim, "doc_id", "text", threshold=0.6, verify="signature"
     )
@@ -5042,9 +5092,14 @@ def doc_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ORDER BY) is the semantics, not the plan). Integer arithmetic
     end-to-end, so shard boundaries hash-check cross-engine."""
     docs = _t(spark, sf_dir, "documents")
+    # lazy localCheckpoint (round 11, guide §1.2): the regex-heavy
+    # token_count projection feeds the cumsum pipeline's sampling
+    # pass, range shuffle and total aggregate — materialize the
+    # ~16 B/row (id, ntok) frame once instead of re-splitting every
+    # document per pass (same fix as doc_quality_token_budget)
     weighted = docs.select(
         "doc_id", TX.token_count("text").alias("__ntok")
-    )
+    ).localCheckpoint(eager=False)
     planned = LY.token_balanced_shards(weighted, "doc_id", "__ntok", 8)
     # one aggregate over the plan (shard_manifest's checksum inline, so
     # the cumsum pipeline runs once, not once per output column family)
@@ -6882,10 +6937,17 @@ def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     scored = RT.bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
     lex_order = [F.round("score", 6).desc(), F.col("doc_id").asc()]
+    # top-50 FIRST (TakeOrdered — distributed per-partition top-k +
+    # driver merge), THEN rank the 50 survivors with the window
+    # (round 11, guide §2.4): the previous shape ranked the whole
+    # matched set through a partition-less window — a one-task sort of
+    # every BM25 match. Ranks are identical because the order is total
+    # (rounded score desc, doc_id asc): the top-50 by that order get
+    # row numbers 1..50 either way.
     lex = (
-        scored.withColumn("r_lex", F.row_number().over(W.orderBy(*lex_order)))
-        .orderBy(*lex_order)
+        scored.orderBy(*lex_order)
         .limit(50)
+        .withColumn("r_lex", F.row_number().over(W.orderBy(*lex_order)))
         .select("doc_id", "r_lex")
     )
     anchor = emb.filter(F.col("vec_id") == 0)

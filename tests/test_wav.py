@@ -329,3 +329,111 @@ def test_streaming_ingest_survives_bad_payload(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.id for r in spark.read.parquet(dst).collect())
     assert got == [0, 2]  # the mp3 row skipped, stream not wedged
+
+
+# ------------------------------------------- batch-vectorized kernels
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-32768, 32767), min_size=0, max_size=400),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 64),
+)
+def test_batch_frame_features_matches_per_payload(payload_vals, frame_len):
+    """Round 11: batch_frame_features over concatenated payloads must
+    be frame-for-frame identical to frame_features per payload —
+    including empty payloads and sub-frame tails."""
+    from fugue_warehouses_spark.extensions.wav import batch_frame_features
+
+    arrays = [np.array(v, dtype=np.int64) for v in payload_vals]
+    counts = np.array([a.size for a in arrays], dtype=np.int64)
+    x = (
+        np.concatenate(arrays)
+        if any(a.size for a in arrays)
+        else np.zeros(0, dtype=np.int64)
+    )
+    got = batch_frame_features(x, counts, frame_len)
+    exp_sumsq, exp_zc, exp_peak, exp_fc = [], [], [], []
+    for a in arrays:
+        ff = frame_features(a, frame_len)
+        exp_sumsq.append(ff["sumsq"])
+        exp_zc.append(ff["zero_crossings"])
+        exp_peak.append(ff["peak"])
+        exp_fc.append(ff["sumsq"].size)
+    assert got["fcounts"].tolist() == exp_fc
+    assert got["sumsq"].tolist() == np.concatenate(exp_sumsq).tolist()
+    assert (
+        got["zero_crossings"].tolist()
+        == np.concatenate(exp_zc).tolist()
+    )
+    assert got["peak"].tolist() == np.concatenate(exp_peak).tolist()
+
+
+def test_audio_features_fast_path_mixed_batch(spark):
+    """Round 11: the vectorized mono-16-bit fast path over a batch
+    mixing empty, sub-frame and multi-frame payloads must equal the
+    per-payload kernel's output exactly."""
+    rng = _rng(11)
+    payloads, expected = [], []
+    sizes = [0, 1, 159, 160, 161, 500, 1024]
+    for i, n in enumerate(sizes):
+        s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        payloads.append(encode_wav(s, 16000))
+        ff = frame_features(s.astype(np.int64), 160)
+        expected.append(
+            (
+                i, 16000, n, len(ff["sumsq"]),
+                int(ff["sumsq"].sum()),
+                int(ff["zero_crossings"].sum()),
+                int(ff["peak"].max()) if ff["peak"].size else 0,
+                int(ff["sumsq"].max()) if ff["sumsq"].size else 0,
+                len(payloads[-1]),
+            )
+        )
+    out = MM.audio_features(
+        _media_df(spark, payloads), "payload", "id", decode_stub=False
+    ).orderBy("id")
+    assert [tuple(r) for r in out.collect()] == expected
+
+
+def test_audio_segments_fast_path_multi_payload_batch(spark):
+    """Round 11: vectorized island extraction across a batch must
+    match the per-payload reference for every payload, including
+    actives touching payload edges (the duplicate-reduceat-index
+    case) and all-silent payloads."""
+    rng = _rng(12)
+    thr = 40 * 1024 * 1024
+    payloads, exp = [], []
+    patterns = [
+        [1] * 80,            # all loud single frame stretch (edges)
+        [0] * 200,           # all silent
+        [1] * 40 + [0] * 40 + [1] * 40,   # island at both edges
+        [0] * 40 + [1] * 40 + [0] * 40,   # interior island
+        [1] * 400,           # long active run
+        [],                  # empty payload
+    ]
+    for i, pat in enumerate(patterns):
+        base = rng.integers(-2048, 2047, size=len(pat), dtype=np.int64)
+        gain = np.where(np.array(pat, dtype=np.int64) > 0, 8, 1)
+        x = base * gain
+        payloads.append(encode_wav(x.astype(np.int16), 16000))
+        ff = frame_features(x, 40)
+        for seg in _ref_segments(
+            [int(v) for v in ff["sumsq"]],
+            [int(v) for v in ff["peak"]], thr,
+        ):
+            exp.append((i,) + seg)
+    out = MM.audio_segments(
+        _media_df(spark, payloads), "payload", "id",
+        frame_len=40, sumsq_threshold=thr, decode_stub=False,
+    ).orderBy("id", "seg_idx").collect()
+    got = [
+        (r.id, r.seg_idx, r.start_frame, r.end_frame, r.n_frames,
+         r.seg_sumsq, r.seg_peak)
+        for r in out
+    ]
+    assert got == exp
