@@ -823,3 +823,68 @@ def test_reverify_missing_doc_fails_loudly(spark, tables):
         D.reverify_pairs_from_text(
             pairs, docs, threshold=0.6, band=0.25
         ).count()
+
+
+def test_simhash_batch_kernel_matches_per_token_reference(spark):
+    """Round 11: the batch-vectorized SimHash kernel (one reduceat
+    pass over the batch's concatenated token bytes) must produce
+    bit-identical signatures to the per-token formulation it replaced
+    — including wrapping uint64 polynomial hashes, multi-byte UTF-8
+    tokens, empty documents and whitespace-only documents."""
+    import numpy as np
+
+    from fugue_warehouses_spark.extensions.dedup import _simhash_bits_numpy
+
+    C1 = np.uint64(0xBF58476D1CE4E5B9)
+    C2 = np.uint64(0x94D049BB133111EB)
+
+    def mix(h):
+        h = (h ^ (h >> np.uint64(30))) * C1
+        h = (h ^ (h >> np.uint64(27))) * C2
+        return h ^ (h >> np.uint64(31))
+
+    def ref_bits(text, bits=64):
+        toks = (text or "").split()
+        if not toks:
+            hs = np.zeros(1, dtype=np.uint64)
+        else:
+            hs = np.array(
+                [
+                    np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+                    .astype(np.uint64)
+                    .dot(
+                        np.uint64(257)
+                        ** np.arange(
+                            len(t.encode("utf-8")) - 1, -1, -1,
+                            dtype=np.uint64,
+                        )
+                    )
+                    for t in toks
+                ],
+                dtype=np.uint64,
+            )
+        hs = mix(hs)
+        shifts = np.arange(bits, dtype=np.uint64)
+        bitmat = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+        return ((2 * bitmat.astype(np.int64) - 1).sum(axis=0) >= 0).astype(
+            np.int32
+        ).tolist()
+
+    texts = [
+        "",                      # empty
+        "   \t  ",               # whitespace-only
+        "one",                   # single token
+        "the quick brown fox jumps over the lazy dog " * 7,
+        "çédille ünïcode tökens mixed with ascii and 漢字 字符",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+        "repeated repeated repeated repeated repeated",
+        "x" * 300,               # one long token (pow-table length)
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["__bits"])
+        for r in _simhash_bits_numpy(df, "doc_id", "text", 64).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref_bits(t), f"doc {i} mismatch"
