@@ -244,6 +244,15 @@ def context_windows(
                 yield idx, len(w), " ".join(w)
                 idx += 1
 
-    return df.select(F.col(id_col), F.col(text_col)).lateralJoin(
+    # fan out an unsplittable scan before the per-row Python work
+    # (round 11, guide §2.5): a single-row-group parquet input scans
+    # as ONE task, serializing the UDTF on one core; at real scale the
+    # scan has many splits and this is a no-op (see plans/scanout.py)
+    from fugue_warehouses_spark.plans.scanout import fan_out_scan
+
+    src = fan_out_scan(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    return src.lateralJoin(
         _Windows(F.col(text_col).outer())
     ).select(id_col, "win_idx", "n_tokens", "win_text")
