@@ -127,6 +127,15 @@ def decontaminate_spans(
     downstream lambdas see it as a plain column attribute (round-10
     inlining lesson, see ``word_ngrams``), and the reconstruction is
     LINEAR in document length — see the array_except comment below."""
+    # fan out an unsplittable corpus scan (round 11, guide §2.5): a
+    # single-row-group input runs BOTH corpus passes below (the gram
+    # posexplode and the token projection) serially on one core; the
+    # keyed repartition is a no-op at real scan parallelism and its
+    # exchange is shared by the two consumers (see plans/scanout.py).
+    # Interleaved A/B at sf0.1: 2.66 -> 1.93 s min, identical rows.
+    from fugue_warehouses_spark.plans.scanout import fan_out_scan
+
+    corpus = fan_out_scan(corpus, id_col)
     probe = probe_gram_set(probes, text_col, n, hash_grams)
     # posexplode index == 0-based token start of the gram
     corpus_grams = corpus.select(

@@ -508,11 +508,15 @@ def test_decontaminate_spans_probe_broadcasts_no_cartesian(spark, sf_dir):
     exploded grams), and nothing in the plan may degenerate to a
     cartesian product. The non-broadcast shuffles are the hit-start
     groupBy and the contaminated-doc rebuild join — candidate-sized,
-    never corpus-gram-sized."""
+    never corpus-gram-sized. Round 11: fan_out_scan may add ONE more
+    exchange when the corpus scan is a single split (it moves raw
+    (id, text) rows once, pre-explode — still never exploded grams);
+    at real scan parallelism that exchange is absent, so the cap is
+    5 locally and the gram-sized-shuffle property is unchanged."""
     plan = _simple(QUERIES["doc_decontaminate_spans"](spark, sf_dir))
     assert plan.count("BroadcastExchange") >= 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
-    assert plan.count("Exchange") <= 4
+    assert plan.count("Exchange") <= 5
 
 
 def test_token_balanced_shards_no_global_window_no_extra_scan(spark, sf_dir):
