@@ -6424,7 +6424,15 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratically. Variants shuffle as 64-bit hashes, not strings (a
     hash collision only adds a candidate; the verify step removes it).
     """
-    c = _t(spark, sf_dir, "customer")
+    from fugue_warehouses_spark.plans.scanout import fan_out_scan
+
+    # fan out the unsplittable scan (round 11, guide §2.5): the
+    # deletion-variant explode + hash (~25x row fan-out) ran serially
+    # on the single-row-group customer file; the keyed repartition
+    # moves only the narrow name rows once, is reused by both join
+    # sides, and is a no-op at real scan parallelism. Interleaved A/B
+    # at sf0.1: 1.43 -> 0.60 s min, identical 10,435 rows.
+    c = fan_out_scan(_t(spark, sf_dir, "customer"), "c_custkey")
     va = c.select(
         F.col("c_nationkey").alias("nk"),
         F.col("c_custkey").alias("custkey_a"),
