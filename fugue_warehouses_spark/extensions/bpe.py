@@ -102,11 +102,54 @@ def _apply_merge(seq: DataFrame, pair: str) -> DataFrame:
     return seq.select("freq", _merge_expr(F.col("s"), pair).alias("s"))
 
 
+def _train_local(
+    words: list[tuple[int, str]], n_merges: int
+) -> list[tuple[str, int]]:
+    """Driver-local BPE merge loop over a collected vocab — the exact
+    same algebra as the distributed chain (pair counts weighted by
+    word freq; argmax by count desc then PAIR STRING asc, compared as
+    the joined ``"a b"`` string — a symbol-tuple compare would order
+    prefix-sharing symbols differently around the space byte; greedy
+    left-to-right non-overlapping merge). Equality with the
+    distributed chain is pinned by tests/test_bpe.py."""
+    vocab = [(int(f), s.split(" ")) for f, s in words]
+    merges: list[tuple[str, int]] = []
+    for _ in range(n_merges):
+        cnt: dict[tuple[str, str], int] = {}
+        for f, syms in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                cnt[p] = cnt.get(p, 0) + f
+        if not cnt:  # vocab fully merged — nothing left to learn
+            break
+        (a, b), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        merges.append((a + " " + b, int(c)))
+        ab = a + b
+        nxt: list[tuple[int, list[str]]] = []
+        for f, syms in vocab:
+            out: list[str] = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((f, out))
+        vocab = nxt
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
     sample_words: int | None = None,
+    local_merge_ops_below: float = 2e8,
+    local_bytes_below: int = 256 << 20,
 ) -> tuple[DataFrame, list[tuple[str, int]]]:
     """Learn ``n_merges`` BPE merges from the corpus.
 
@@ -130,6 +173,25 @@ def bpe_train(
     at all. The collects are strictly sequential, so the
     lazy-checkpoint-under-concurrent-jobs scheduler caveat
     (retrieval_eval) does not apply.
+
+    SMALL vocabs train on the DRIVER instead (round 12, the
+    ``plans/bounded`` gated-fast-path convention): after the one
+    corpus wordcount, a single aggregate measures the vocab's exact
+    row count and byte size (it doubles as the checkpoint's
+    materialization), and when both the estimated Python merge work
+    (``n_merges`` sequential vocab scans ≈ n_merges x bytes/2 symbol
+    visits) and the estimated driver transfer sit under their budgets
+    the k merge steps run as one collect + a pure-Python loop —
+    2 jobs instead of 2 + 2k (each distributed step is a vocab-sized
+    pair-count shuffle + argmax collect, pure scheduler floor when
+    the vocab is tiny: 19 jobs / 19 tasks / 0.6 s summed task time
+    profiled for the 8-merge facet at sf0.1). Above either budget
+    (a real web-corpus vocab, or a production 30k-merge run) the
+    distributed chain below runs exactly as before — it IS the
+    at-scale path. The local loop's merge table is IDENTICAL by
+    construction (same counts, same joined-pair-string tie-break,
+    same greedy non-overlapping merge); tests/test_bpe.py pins
+    local == distributed == textbook on tie-heavy corpora.
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
@@ -138,19 +200,40 @@ def bpe_train(
     if sample_words is not None:
         seq = seq.orderBy(F.desc("freq"), F.asc("s")).limit(sample_words)
     seq = seq.localCheckpoint(eager=False)
+    from fugue_warehouses_spark.plans.bounded import driver_fast_path_ok
+
+    # one aggregate: exact vocab rows + bytes, estimated BEFORE any
+    # transfer; also materializes the lazy checkpoint either path reads
+    vstats = seq.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.octet_length("s")), F.lit(0)).alias("b"),
+    ).first()
+    n_vocab, vbytes = int(vstats["n"]), int(vstats["b"])
     merges: list[tuple[str, int]] = []
-    for _step in range(n_merges):
-        best = (
-            _pair_counts(seq)
-            .orderBy(F.desc("c"), F.asc("p"))
-            .limit(1)
-            .collect()
+    if driver_fast_path_ok(
+        "bpe_train_local",
+        # ~2 bytes per symbol ("x " incl. separator): merge work is
+        # n_merges full scans of the symbol stream
+        merge_ops=(n_merges * vbytes / 2.0, local_merge_ops_below),
+        # Python str/tuple overhead x3 (split lists + count dict keys)
+        driver_bytes=(vbytes * 3.0 + n_vocab * 120.0, local_bytes_below),
+    ):
+        merges = _train_local(
+            [(r["freq"], r["s"]) for r in seq.collect()], n_merges
         )
-        if not best:  # vocab fully merged — nothing left to learn
-            break
-        pair, c = best[0]["p"], int(best[0]["c"])
-        merges.append((pair, c))
-        seq = _apply_merge(seq, pair).localCheckpoint(eager=False)
+    else:
+        for _step in range(n_merges):
+            best = (
+                _pair_counts(seq)
+                .orderBy(F.desc("c"), F.asc("p"))
+                .limit(1)
+                .collect()
+            )
+            if not best:  # vocab fully merged — nothing left to learn
+                break
+            pair, c = best[0]["p"], int(best[0]["c"])
+            merges.append((pair, c))
+            seq = _apply_merge(seq, pair).localCheckpoint(eager=False)
     # one-slice local frame: k merge rows need one slice, not
     # defaultParallelism (plans/localframe.py)
     from fugue_warehouses_spark.plans.localframe import local_frame

@@ -318,10 +318,25 @@ def dsir_importance(
     """
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
+    from fugue_warehouses_spark.plans.scanout import fan_out_scan
+
+    # fan out BOTH token streams before the gram explode (round 12,
+    # guide §2.5): the split + n-gram build + md5 bucket hash per gram
+    # is the dominant compute of this operator, and a single-row-group
+    # input runs all of it serially in the scan stage — profiled 9
+    # stages / 10-12 TASKS for the dsir facets at sf0.1 (one core busy,
+    # 31 idle). The keyed repartition is a no-op at real scan
+    # parallelism; the target side (no id column) fans out on the text
+    # itself — any deterministic spread works, placement can't change
+    # an aggregation's result.
     tr = _hashed_tokens(
-        raw, text_col, n_buckets, F.col(key_col), ngram_max=ngram_max
+        fan_out_scan(raw, key_col), text_col, n_buckets, F.col(key_col),
+        ngram_max=ngram_max,
     )
-    tt = _hashed_tokens(target, text_col, n_buckets, ngram_max=ngram_max)
+    tt = _hashed_tokens(
+        fan_out_scan(target, text_col), text_col, n_buckets,
+        ngram_max=ngram_max,
+    )
     # the per-(doc, bucket) counts are needed for scoring anyway, so
     # the raw text is tokenized exactly ONCE: raw bucket totals roll
     # up from perdoc rather than from a second pass over the corpus.
@@ -331,7 +346,10 @@ def dsir_importance(
     # build + explode + first aggregate re-ran once per branch. The
     # checkpoint holds (key, bucket, count) int triples — the narrow
     # proxy rows of the guide's §8 pattern, a small fraction of the
-    # text bytes they summarize
+    # text bytes they summarize. Lazy is SAFE here (unlike cb below):
+    # cb's EAGER checkpoint materializes perdoc as part of its own
+    # sequential job, so no two concurrent jobs ever race to
+    # materialize it.
     perdoc = (
         tr.groupBy(key_col, "__b")
         .agg(F.count("*").alias("__n"))
@@ -357,12 +375,19 @@ def dsir_importance(
             F.sum("__one_r").alias("__cr"), F.sum("__one_t").alias("__ct")
         )
     )
-    # lazy localCheckpoint (round 11, guide §1.2): cb is read by TWO
-    # branches (the totals aggregate and the log-ratio projection) —
-    # without it the tagged-union wordcount (and the target
-    # tokenization under it) re-ran per branch. cb is BOUNDED at
-    # n_buckets (<= 4096) rows, so the checkpoint is O(n_buckets)
-    cb = cb.localCheckpoint(eager=False)
+    # EAGER localCheckpoint (round 12, ADVICE r11): cb is read by TWO
+    # branches — the totals aggregate that feeds a BroadcastExchange
+    # (built on a separate scheduler thread) and the stream-side
+    # log-ratio projection — so a LAZY checkpoint would be
+    # materialized by two CONCURRENT jobs, the exact race
+    # retrieval.py's eager-checkpoint comment documents as emitting
+    # spurious 'non-existent accumulator' scheduler errors. Eager
+    # materialization here also pins perdoc (its upstream lazy
+    # checkpoint materializes as part of this job), so every later
+    # branch — broadcast or stream — reads finished blocks. cb is
+    # BOUNDED at n_buckets (<= 4096) rows, so the extra job is tiny
+    # relative to the corpus tokenization it seals.
+    cb = cb.localCheckpoint()
     tot = cb.agg(
         F.sum("__cr").alias("__totr"), F.sum("__ct").alias("__tott")
     )

@@ -98,6 +98,13 @@ def add_global_rank(
     tiebreaker column — or equal rows get an arbitrary stable order
     within their range partition).
 
+    ``order_by`` takes SORT expressions verbatim, like
+    :func:`add_global_cumsum` (``F.desc("q")``, plain strings/columns
+    default ascending) — round 12, so rank call sites that order
+    descending need no cumsum-of-ones detour (a rank IS a cumsum of
+    ones, but this operator computes it from the monotonic-id decode
+    with no pid window and no second exchange).
+
     Cost: ONE range shuffle (the only data movement), a per-partition
     sort, and a #partitions-int collect. The sorted+id'd frame is
     lazily localCheckpoint-ed so the counts pass and the ranked output
@@ -112,8 +119,8 @@ def add_global_rank(
     # a second exchange for a partition-id window.
     lo_mask = (1 << 33) - 1
     ranged = (
-        df.repartitionByRange(npart, *[c.asc() for c in order_cols])
-        .sortWithinPartitions(*[c.asc() for c in order_cols])
+        df.repartitionByRange(npart, *order_cols)
+        .sortWithinPartitions(*order_cols)
         .withColumn("__mono", F.monotonically_increasing_id())
         .localCheckpoint(eager=False)
     )

@@ -139,6 +139,25 @@ def test_vocab_exhaustion_matches_between_all_three(spark):
     assert rows == [("s", 1, 1, 1, 1.0)]
 
 
+@settings(max_examples=8, deadline=None)
+@given(_corpus, st.integers(1, 6))
+def test_local_fast_path_matches_distributed_chain(spark, texts, k):
+    # round 12: bpe_train takes a bounded driver-local merge loop when
+    # the vocab fits its budgets; forcing the budgets to 0 forces the
+    # distributed per-step chain. The two must learn the IDENTICAL
+    # merge table (same counts, same joined-pair-string tie-break).
+    from fugue_warehouses_spark.plans import bounded
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    _, local = bpe_train(df, "text", n_merges=k)
+    assert bounded.decisions["bpe_train_local"]["taken"] is True
+    _, dist = bpe_train(
+        df, "text", n_merges=k, local_merge_ops_below=0.0
+    )
+    assert bounded.decisions["bpe_train_local"]["taken"] is False
+    assert local == dist
+
+
 def test_encode_empty_doc_counts_zero_tokens(spark):
     df = spark.createDataFrame([("",), ("   ",), ("ab",)], "text string")
     out = bpe_encode(df, "text", [("a b", 0)]).collect()
