@@ -469,13 +469,17 @@ def _verify_pairs(
     :func:`near_dup_pairs_from_signatures`. ``pairs`` must be
     checkpointed by the caller (it is consumed three times: the stats
     count + both semi filters). See near_dup_pairs_minhash for the
-    semi-filter / SHUFFLE_HASH / computed-partition-count rationale."""
+    semi-filter / SHUFFLE_HASH / computed-partition-count rationale.
+
+    Round 12 (guide §2.4/§1.2): the sizing estimate is the plain PAIR
+    count, not a countDistinct over each id column — the count is
+    exchange-free (one scan of the just-materialized checkpoint, so
+    the stats job IS the banding materialization and nothing more),
+    and n_pairs >= n_distinct_ids always, so the partition count it
+    yields can only err toward MORE, smaller partitions — the exact
+    direction _verify_partitions' own estimate already leans."""
     par = pairs.sparkSession.sparkContext.defaultParallelism
-    stats = pairs.agg(
-        F.countDistinct("id_a").alias("na"),
-        F.countDistinct("id_b").alias("nb"),
-    ).first()
-    n_cand_ids = max(stats["na"] or 0, stats["nb"] or 0)
+    n_cand_ids = pairs.count()
     # the avg-gram-length pass only matters when the candidate set is
     # big enough that even a pessimistic 64 KB/row would overflow the
     # default partitions — below that, skip the (cached) corpus scan
@@ -531,13 +535,11 @@ def _verify_pairs_signature(
     no grams read (unbiased, std ≈ sqrt(j(1-j)/num_hashes); see
     near_dup_pairs_against_index's verify doc). Same semi-filter /
     SHUFFLE_HASH discipline; partition sizing is direct (fixed-width
-    num_hashes-component rows — no gram-length pass exists to pay)."""
+    num_hashes-component rows — no gram-length pass exists to pay),
+    and round 12 sizes from the exchange-free pair count (>= distinct
+    ids, errs toward more partitions — see _verify_pairs)."""
     par = pairs.sparkSession.sparkContext.defaultParallelism
-    stats = pairs.agg(
-        F.countDistinct("id_a").alias("na"),
-        F.countDistinct("id_b").alias("nb"),
-    ).first()
-    n_cand_ids = max(stats["na"] or 0, stats["nb"] or 0)
+    n_cand_ids = pairs.count()
     nparts = _verify_partitions(n_cand_ids, float(num_hashes), par)
     a = (
         with_sigs.withColumnRenamed(id_col, "id_a")
@@ -1840,15 +1842,15 @@ def near_dup_pairs_against_index(
     # near_dup_pairs_minhash: the SHUFFLE_HASH build OOMs instead of
     # spilling, so compute the partition count from the candidate set
     # (pairs are checkpointed — counting them materializes the banding
-    # join once for all consumers). Gram-length average comes from the
-    # batch signatures (cached, batch-sized); index docs are assumed
-    # same-corpus-distributed, absorbed by the sizing's safety factor.
+    # join once for all consumers; round 12: a plain exchange-free
+    # count, not a countDistinct — n_pairs >= distinct ids, so the
+    # sizing errs toward more, smaller partitions, and the stats job
+    # is NOTHING BUT the banding materialization). Gram-length average
+    # comes from the batch signatures (cached, batch-sized); index
+    # docs are assumed same-corpus-distributed, absorbed by the
+    # sizing's safety factor.
     par = new_df.sparkSession.sparkContext.defaultParallelism
-    vstats = pairs.agg(
-        F.countDistinct("id_new").alias("nn"),
-        F.countDistinct("id_match").alias("nm"),
-    ).first()
-    n_cand_ids = max(vstats["nn"] or 0, vstats["nm"] or 0)
+    n_cand_ids = pairs.count()
     if verify == "signature":
         # fixed-width rows (num_hashes int64 components): no gram-length
         # pass exists to pay; size directly from the candidate count

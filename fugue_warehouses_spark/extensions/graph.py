@@ -46,8 +46,21 @@ def cooccurrence_edges(
     1.8× faster at sf0.1. The per-group arrays are natural-group-grain
     (items per order), so the HOF pair expansion is over tiny arrays;
     fan-out stays Σ group_size², never |df|².
+
+    Round 12 (guide §2.5): the two-column projection is fanned out by
+    the group key before the aggregate when the scan is under-parallel
+    — a single-row-group input otherwise runs the partial collect_set
+    over the whole fact serially in a one-task scan stage. The keyed
+    repartition IS the aggregate's required distribution, so the
+    groupBy adds no second exchange (§2.4: two operations keyed the
+    same way share one exchange); at real scan parallelism fan_out is
+    a no-op and the plan is exactly the old one.
     """
-    sets = df.groupBy(F.col(group_col)).agg(
+    from fugue_warehouses_spark.plans.scanout import fan_out_scan
+
+    sets = fan_out_scan(
+        df.select(F.col(group_col), F.col(item_col)), group_col
+    ).groupBy(F.col(group_col)).agg(
         F.collect_set(F.col(item_col)).alias("__items")
     )
     pairs = (

@@ -52,17 +52,27 @@ def _range_npart(df: DataFrame, num_partitions: int | None) -> int:
     plan: ceil(bytes / target) with target =
     $SPARK_GRAFT_RANGE_PARTITION_BYTES (default 64 MB, the same
     advisory granularity AQE coalesces shuffles to), clamped to
-    [defaultParallelism, max(defaultParallelism, 4096)]. The FLOOR is
+    [defaultParallelism, max(defaultParallelism,
+    $SPARK_GRAFT_RANGE_PARTITION_CAP)]. The FLOOR is
     defaultParallelism — AQE's parallelism-first rule: a small input
     still spreads its per-partition sort/window compute over every
-    core (an npart-from-bytes-only variant was measured this round:
+    core (an npart-from-bytes-only variant was measured in round 11:
     it collapsed sf0.1 inputs to 1 range partition and serialized
     2-4 s of per-doc expression work that 32 partitions run in
     parallel — strictly worse). The CEILING scales with data: at
     100 TB ceil(bytes/64 MB) >> cores, where the previous constant 32
-    would have put terabytes in one range partition. Unknown/absent
-    stats (an RDD-backed checkpoint input, whose LogicalRDD reports a
-    placeholder size) keep the defaultParallelism floor. Partition count provably cannot change any caller's
+    would have put terabytes in one range partition; the cap default
+    is 65536 (round 12 — the flat 4096 meant ~25 GB/partition at
+    100 TB, sort-spill territory; 65536 keeps partitions ≈ 1.6 GB
+    there, and the env override covers larger corpora — spill math in
+    SCALE.md). Absent stats keep the defaultParallelism floor,
+    detected EXPLICITLY (round 12, ADVICE r11): a leaf with unknown
+    stats reports ``spark.sql.defaultSizeInBytes`` (Long.MaxValue
+    unless overridden) and products of it stay >= that value, so the
+    placeholder test compares against the session's ACTUAL conf value
+    instead of a magnitude cutoff — a genuinely >= 1 PiB input with
+    real stats now sizes from its bytes instead of silently falling
+    to the floor. Partition count provably cannot change any caller's
     result: every call site orders by a TOTAL order (unique
     tiebreaker) and sums integer value columns, so rank/cumsum values
     are partition-independent (tests/test_rank.py pins equality
@@ -73,14 +83,33 @@ def _range_npart(df: DataFrame, num_partitions: int | None) -> int:
     target = int(
         os.environ.get("SPARK_GRAFT_RANGE_PARTITION_BYTES", str(64 << 20))
     )
-    cap = max(par, 4096)
+    cap = max(
+        par, int(os.environ.get("SPARK_GRAFT_RANGE_PARTITION_CAP", "65536"))
+    )
     try:
         nbytes = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
     except Exception:
         return par
-    if nbytes <= 0 or nbytes >= (1 << 50):  # absent/default stats
+    try:
+        placeholder = int(
+            df.sparkSession._jsparkSession.sessionState()
+            .conf()
+            .defaultSizeInBytes()
+        )
+    except Exception:
+        placeholder = (1 << 63) - 1  # SQLConf default: Long.MaxValue
+    if nbytes <= 0 or nbytes >= placeholder:
+        return par  # absent/default stats (the placeholder itself)
+    if placeholder >= (1 << 62) and nbytes >= (1 << 53):
+        # derived-from-placeholder: operators above an unknown-stats
+        # leaf SCALE the Long.MaxValue placeholder (filter selectivity,
+        # column pruning), landing below it but still astronomically
+        # large. With the default placeholder, anything >= 8 PiB is a
+        # scaled placeholder (>= 1/1024 of Long.MaxValue), not a real
+        # input — this engine's at-scale claim is 100 TB. A session
+        # that set defaultSizeInBytes to a real value skips this band.
         return par
     need = (nbytes + target - 1) // target
     return int(min(max(par, need), cap))

@@ -1290,6 +1290,7 @@ def doc_quality_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id as total-order tiebreak, so the selected SET is
     engine-exact (checked per source via doc and token sums)."""
     from fugue_warehouses_spark.operators.rank import add_global_cumsum
+    from fugue_warehouses_spark.plans.scanout import fan_out_scan
 
     docs = _t(spark, sf_dir, "documents")
     # lazy localCheckpoint (round 11, guide §1.2 "fewer passes"): the
@@ -1297,8 +1298,11 @@ def doc_quality_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — the range-partitioner's sampling pass, the cumsum shuffle, and
     # the total-tokens aggregate — and q/ntok are the expensive
     # regex-heavy text expressions; materialize the 4-column frame
-    # once (rows are ~40 B regardless of document length)
-    per = docs.select(
+    # once (rows are ~40 B regardless of document length). Fan out the
+    # scan first (round 12, guide §2.5): the single-row-group fixture
+    # ran the whole regex projection as ONE task — profiled 30.5 s of
+    # summed task time serialized on one core.
+    per = fan_out_scan(docs, "doc_id").select(
         "doc_id",
         "source",
         TX.quality_score("text").alias("q"),
@@ -1364,12 +1368,15 @@ def doc_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both). The per-doc quality doubles are engine-identical (the
     token-budget facet's sort already pins this)."""
     from fugue_warehouses_spark.operators.rank import add_global_rank
+    from fugue_warehouses_spark.plans.scanout import fan_out_scan
 
     docs = _t(spark, sf_dir, "documents")
     # lazy localCheckpoint (round 11, guide §1.2): the q projection is
     # consumed by the range sampler and the rank shuffle — without it
-    # the regex-heavy quality_score re-evaluates each time
-    per = docs.select(
+    # the regex-heavy quality_score re-evaluates each time. Fanned out
+    # (round 12, guide §2.5): single-row-group scan serialized the
+    # quality regex on one core.
+    per = fan_out_scan(docs, "doc_id").select(
         "doc_id", TX.quality_score("text").alias("q"),
     ).localCheckpoint(eager=False)
     # both global positions are RANKS (cumsums of ones) — round 12:
@@ -4145,8 +4152,14 @@ def doc_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> per-source token budget. Every stage is the same operator the
     standalone queries use; Catalyst fuses the whole thing into a scan
     + two shuffles (dedup window, final aggregate)."""
+    from fugue_warehouses_spark.plans.scanout import fan_out_scan
+
     docs = _t(spark, sf_dir, "documents")
-    filtered = docs.filter(
+    # fan out the scan before the quality/lang filter (round 12, guide
+    # §2.5): both predicates are heavy regex/char-class expressions,
+    # and the single-row-group fixture evaluated them serially in a
+    # one-task scan stage. No-op at real scan parallelism.
+    filtered = fan_out_scan(docs, "doc_id").filter(
         (TX.quality_score("text") >= 0.75) & (TX.lang_id("text") == "en")
     )
     # token estimate computed BEFORE the dedup window (round 11, guide
@@ -5075,12 +5088,16 @@ def doc_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ORDER BY) is the semantics, not the plan). Integer arithmetic
     end-to-end, so shard boundaries hash-check cross-engine."""
     docs = _t(spark, sf_dir, "documents")
+    from fugue_warehouses_spark.plans.scanout import fan_out_scan
+
     # lazy localCheckpoint (round 11, guide §1.2): the regex-heavy
     # token_count projection feeds the cumsum pipeline's sampling
     # pass, range shuffle and total aggregate — materialize the
     # ~16 B/row (id, ntok) frame once instead of re-splitting every
-    # document per pass (same fix as doc_quality_token_budget)
-    weighted = docs.select(
+    # document per pass (same fix as doc_quality_token_budget).
+    # Fanned out (round 12, guide §2.5): the single-row-group scan
+    # serialized the split on one core.
+    weighted = fan_out_scan(docs, "doc_id").select(
         "doc_id", TX.token_count("text").alias("__ntok")
     ).localCheckpoint(eager=False)
     planned = LY.token_balanced_shards(weighted, "doc_id", "__ntok", 8)
