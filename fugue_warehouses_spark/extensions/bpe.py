@@ -148,7 +148,7 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 8,
     sample_words: int | None = None,
-    local_merge_ops_below: float = 2e8,
+    local_merge_ops_below: float = 5e6,
     local_bytes_below: int = 256 << 20,
 ) -> tuple[DataFrame, list[tuple[str, int]]]:
     """Learn ``n_merges`` BPE merges from the corpus.
@@ -180,7 +180,12 @@ def bpe_train(
     row count and byte size (it doubles as the checkpoint's
     materialization), and when both the estimated Python merge work
     (``n_merges`` sequential vocab scans ≈ n_merges x bytes/2 symbol
-    visits) and the estimated driver transfer sit under their budgets
+    visits; the 5e6 default is ~0.5 s of driver work at the ~10M
+    visits/s a Python dict-count loop sustains — sized against
+    SCALE_NOTES' round-11 probe, where the DISTRIBUTED iteration is
+    flat ~0.55 s/step up to a 1.28M-word vocab, so a laxer budget
+    would hand mid-size vocabs to a slower driver loop) and the
+    estimated driver transfer sit under their budgets
     the k merge steps run as one collect + a pure-Python loop —
     2 jobs instead of 2 + 2k (each distributed step is a vocab-sized
     pair-count shuffle + argmax collect, pure scheduler floor when

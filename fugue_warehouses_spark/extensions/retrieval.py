@@ -44,6 +44,15 @@ def bm25_scores(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    from fugue_warehouses_spark.plans.scanout import fan_out_scan
+
+    # fan out the 2-column corpus projection when the scan is
+    # under-parallel (round 12, guide §2.5): the tokenize split runs
+    # in the scan stage for BOTH the doclen projection and the tf
+    # explode, serially over a single-row-group input; the exchange is
+    # shared by the two branches (ReuseExchange) and is a no-op at
+    # real scan parallelism.
+    df = fan_out_scan(df.select(F.col(id_col), F.col(text_col)), id_col)
     # doc length as a per-row projection (round 11, guide §2.4 /
     # §1.2 "fewer passes": retrieval_eval already computed it this
     # way) — size of the token array, no second explode+groupBy pass
@@ -171,6 +180,14 @@ def retrieval_eval(
         [(qid, t) for qid, ts in queries for t in ts],
         "qid string, term string",
     )
+    # fan out the 2-column corpus projection when the scan is
+    # under-parallel (round 12, guide §2.5) — the tokenize split
+    # otherwise runs serially in one-task scan stages for both the
+    # doclen and tf branches; shared via ReuseExchange, no-op at real
+    # scan parallelism
+    from fugue_warehouses_spark.plans.scanout import fan_out_scan
+
+    df = fan_out_scan(df.select(F.col(id_col), F.col(text_col)), id_col)
     # doc length as a per-row projection (size of the token array) —
     # no second explode+aggregate pass over the corpus; empty docs are
     # excluded exactly as the explode form would

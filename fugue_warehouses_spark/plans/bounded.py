@@ -22,7 +22,7 @@ fast path didn't exist. The registered sites and their budgets:
 |---|---|---|---|
 | pagerank_local | edges; est. driver bytes | 8M edges; 256 MB | broadcast-rank join loop (graph.py) |
 | within_batch_cc | survivor-matrix FLOPs (n²·dim) | 1e11 FLOPs | similarity_pairs + dedup_near (similarity.py) |
-| bpe_train_local | merge work (n_merges·vocab symbols); est. driver bytes | 2e8 ops; 256 MB | per-step pair-count shuffle chain (bpe.py) |
+| bpe_train_local | merge work (n_merges·vocab symbols); est. driver bytes | 5e6 ops; 256 MB | per-step pair-count shuffle chain (bpe.py) |
 
 Static CONTRACT bounds (a collect whose size is fixed by the
 operator's definition, not gated at runtime) are deliberately NOT
